@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver corpus (TESTDATA.md / FIXTURES.md §2).
+  *
+  * Tables are plain Parquet directories; the scan is a standard
+  * `FileSourceScanExec`, so Catalyst predicate pushdown / column pruning /
+  * partition pruning apply for free. At 100 TB these paths would be
+  * partitioned directories (e.g. orders by month) and everything downstream
+  * is unchanged — the loaders deliberately expose nothing but a DataFrame.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables: always broadcast-eligible at any scale
+    * (region=5 rows, nation=25 rows — fixed-size in TPC-H regardless of SF).
+    */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every fixture table as a temp view so `spark.sql` text matches
+    * the DuckDB oracle text as closely as possible.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
