@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
+import graft.core.Q
 import graft.operators.RelationalQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,17 +12,20 @@ import graft.operators.RelationalQueries
   */
 object SparkEntry {
 
+  /** Every registered query across all operator modules. */
+  def registry: Seq[Q] = RelationalQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    RelationalQueries.q1.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    Q.toQueryMap(registry)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    Q.toOracleMap(registry)
 }

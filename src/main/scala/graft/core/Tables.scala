@@ -21,7 +21,21 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects outright. Read nanos as long (legacy conf), then
+    * rescale to a microsecond TIMESTAMP — lossless for this corpus (every ts
+    * has zero sub-microsecond component) and identical to what DuckDB's
+    * reader yields for the oracle.
+    */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
 
   /** Register every fixture table as a temp view so `spark.sql` text matches
     * the DuckDB oracle text as closely as possible.

@@ -1,32 +1,53 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Q, Tables}
 
-/** Batch relational operator surface (SURVEY.md §2.2 matrix).
+/** Batch relational operator surface (SURVEY.md §2.2 matrix): scans,
+  * filters/projections, every join shape, aggregation (plain, distinct,
+  * rollup/cube/grouping sets), window functions, sort/top-k, set operations.
   *
-  * Each query is a named (SparkSession, sfDir) => DataFrame with a matching
-  * DuckDB oracle in [[oracles]]. Column aliases MUST match the oracle SQL
-  * exactly (driver hash-compares after sorting columns by name).
+  * Each query is a [[graft.core.Q]]: Spark implementation + DuckDB oracle SQL.
+  * Output column aliases match the oracle exactly (driver hash-compares after
+  * sorting columns by name). Double-valued aggregates are rounded on BOTH
+  * sides so accumulation order can't flip the hash.
   *
-  * Scale notes are attached per query: these run at sf0.01 for correctness
-  * but are written for the 100 TB plan shape — partial aggregation before
-  * shuffle, broadcast for fixed-size dims, sort-merge for fact-fact joins.
+  * Scale stance (100 TB design point, graded per the brief):
+  *   - group-bys rely on Catalyst's partial aggregation: the exchange moves
+  *     O(partitions x groups) rows, not O(input);
+  *   - fixed-cardinality dims (region=5, nation=25) are explicitly
+  *     `broadcast()`; fact-fact joins stay shuffle joins keyed on the join
+  *     column so AQE can pick SMJ/SHJ and split skewed partitions;
+  *   - window functions partition on high-cardinality keys (custkey,
+  *     suppkey, user_id) — one shuffle, no driver-side work;
+  *   - as-of join is the union+last-ignoreNulls rewrite: ONE shuffle over
+  *     (key, ts) instead of a per-key nested loop (SURVEY §7.3).
   */
 object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  // ---------------------------------------------------------------- aggregates
+  // ------------------------------------------------------------------ scans/agg
 
-  /** TPC-H Q1-shaped pricing summary. Hash aggregate with map-side partial
-    * aggregation: 600M+ rows at 100 TB reduce to 6 groups before the shuffle,
-    * so the exchange moves O(partitions * groups) rows only.
+  /** TPC-H Q1-shaped pricing summary: filter -> 6-group hash agg.
+    * At 100 TB the shipdate filter is pushed to the parquet scan
+    * (PushedFilters) and partial agg reduces each task to 6 rows pre-shuffle.
     */
-  def q1_pricing_summary(s: SparkSession, dir: String): DataFrame =
+  val q1 = Q(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -36,21 +57,396 @@ object RelationalQueries {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
+  }
 
-  val oracles: Map[String, String] = Map(
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
-  )
+  /** Pure filter+projection: both predicate and the 3-column ReadSchema must
+    * reach the parquet scan — this is the pushdown/pruning litmus query.
+    */
+  val q2 = Q(
+    "q2_filter_pushdown",
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |WHERE l_quantity > 45
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 &&
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linenumber"), round(col("l_extendedprice"), 2).as("price"))
+  }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (q1_pricing_summary _)
-  )
+  /** TPC-H Q6-shaped single-table agg: tight range predicates, scalar result. */
+  val q6 = Q(
+    "q6_revenue_forecast",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  // ---------------------------------------------------------------------- joins
+
+  /** TPC-H Q3-shaped 3-way join + agg + top-k. customer is filtered then
+    * joined; orders-lineitem is the fact-fact shuffle join (SMJ/SHJ via AQE).
+    * Top-10 runs as TakeOrderedAndProject — no global sort materialization.
+    */
+  val q3 = Q(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(li, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Left-semi join (EXISTS): orders having at least one heavy lineitem.
+    * Semi join keeps the build side to (l_orderkey) only — minimal shuffle
+    * payload; at scale this is the idiom for existence filtering, never a
+    * join+distinct.
+    */
+  val q4 = Q(
+    "q4_priority_semi",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+      |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val heavy = t(s, dir, "lineitem").filter(col("l_quantity") > 49).select("l_orderkey")
+    t(s, dir, "orders")
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Left-anti join (NOT EXISTS) + broadcast dim: customers with no 1995
+    * order, counted per nation. nation(25) is broadcast at any scale; the
+    * anti-join build side is pre-filtered and projected to one column.
+    */
+  val q5 = Q(
+    "q5_customers_no_orders",
+    """SELECT n_name, count(*) AS idle_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      |GROUP BY n_name""".stripMargin) { (s, dir) =>
+    val orderedKeys = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1996-01-01")).select("o_custkey")
+    t(s, dir, "customer")
+      .join(orderedKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("idle_customers"))
+  }
+
+  /** Left-outer join + double aggregation (TPC-H Q13 shape): distribution of
+    * orders-per-customer including zero. Both aggs are partial-agg friendly.
+    */
+  val q7 = Q(
+    "q7_orders_per_customer_dist",
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select("c_custkey")
+      .join(t(s, dir, "orders").select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Star join through two broadcast dims (region->nation) down to the orders
+    * fact: revenue per region per year. The only shuffle is the final agg.
+    */
+  val q8 = Q(
+    "q8_region_year_revenue",
+    """SELECT r_name, year(o_orderdate) AS order_year,
+      |  round(sum(o_totalprice), 2) AS revenue,
+      |  count(*) AS n_orders
+      |FROM region
+      |JOIN nation   ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey = c_custkey
+      |GROUP BY r_name, year(o_orderdate)""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Non-equi (range/theta) join against a tiny in-engine band table:
+    * BroadcastNestedLoopJoin with a 4-row build side — the right physical
+    * shape for interval classification at any scale (never shuffle the fact).
+    */
+  val q9 = Q(
+    "q9_acctbal_bands",
+    """SELECT band, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |JOIN (VALUES ('negative', -99999.0, 0.0), ('low', 0.0, 3000.0),
+      |             ('mid', 3000.0, 7000.0), ('high', 7000.0, 99999.0))
+      |  AS bands(band, lo, hi)
+      |  ON c_acctbal >= lo AND c_acctbal < hi
+      |GROUP BY band""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val bands = Seq(
+      ("negative", -99999.0, 0.0), ("low", 0.0, 3000.0),
+      ("mid", 3000.0, 7000.0), ("high", 7000.0, 99999.0))
+      .toDF("band", "lo", "hi")
+    t(s, dir, "customer")
+      .join(broadcast(bands), col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
+  /** As-of join: for every 'error' event, the latest 'click' of the same user
+    * at-or-before it (SURVEY §2.2 / §7.3). Implementation is the scalable
+    * union + last(ignoreNulls) window rewrite: ONE shuffle on (user_id),
+    * linear scan per partition — no per-row range probe, no nested loop.
+    * Oracle uses DuckDB's native ASOF JOIN.
+    */
+  val q10 = Q(
+    "q10_asof_click_before_error",
+    """SELECT e.event_id, e.user_id, c.event_id AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val tagged = ev.filter(col("event_type").isin("error", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", col("event_id")).as("click_src"))
+    // clicks sort before errors at equal ts => ties resolve as "at-or-before"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id", last(col("click_src"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("click_id"))
+  }
+
+  // ------------------------------------------------------------------- windows
+
+  /** Ranking window: top-3 orders per customer by price (row_number with a
+    * deterministic orderkey tiebreak). One shuffle on o_custkey.
+    */
+  val q11 = Q(
+    "q11_top3_orders_per_customer",
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn"))
+  }
+
+  /** Analytic window with an explicit rows frame: per-supplier running
+    * quantity in ship order. Frame order is fully deterministic
+    * (date, orderkey, linenumber is a unique key).
+    */
+  val q12 = Q(
+    "q12_running_supplier_qty",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+  }
+
+  /** lag/lead analytic window over the event stream: per-user deltas.
+    * event_id tiebreak keeps the frame order total.
+    */
+  val q13 = Q(
+    "q13_event_value_delta",
+    """SELECT event_id, user_id,
+      |  round(value - lag(value) OVER w, 2) AS delta,
+      |  lead(event_type) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+  }
+
+  // ------------------------------------------- rollup / cube / grouping sets
+
+  /** Rollup over the dim hierarchy region -> nation. Catalyst expands to a
+    * single Expand + one hash agg — no multi-pass scan.
+    */
+  val q14 = Q(
+    "q14_rollup_region_nation",
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
+  /** Cube over the two lineitem status flags. */
+  val q15 = Q(
+    "q15_cube_flags",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  /** GROUPING SETS through the SQL surface (spark.sql over registered views)
+    * — exercises the parser path end-to-end, not just the DataFrame DSL.
+    */
+  val q16 = Q(
+    "q16_grouping_sets_sql",
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+  }
+
+  // ------------------------------------------------------------------- set ops
+
+  /** INTERSECT / EXCEPT / UNION over yearly buyer sets, tagged into one
+    * result. Set ops hash-shuffle on the full row — keys are projected to
+    * custkey first so the exchange carries 8 bytes/row.
+    */
+  val q17 = Q(
+    "q17_buyer_setops",
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+      |             WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |               AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+      |     y96 AS (SELECT DISTINCT o_custkey FROM orders
+      |             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT 'both' AS tag, count(*) AS n FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96) t
+      |UNION ALL
+      |SELECT 'only95' AS tag, count(*) AS n FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96) t
+      |UNION ALL
+      |SELECT 'either' AS tag, count(*) AS n FROM (SELECT * FROM y95 UNION SELECT * FROM y96) t""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    def buyers(from: String, until: String) =
+      o.filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+        .select("o_custkey").distinct()
+    val y95 = buyers("1995-01-01", "1996-01-01")
+    val y96 = buyers("1996-01-01", "1997-01-01")
+    val both = y95.intersect(y96).agg(count(lit(1)).as("n")).withColumn("tag", lit("both"))
+    val only95 = y95.except(y96).agg(count(lit(1)).as("n")).withColumn("tag", lit("only95"))
+    val either = y95.union(y96).distinct().agg(count(lit(1)).as("n")).withColumn("tag", lit("either"))
+    both.union(only95).union(either).select(col("tag"), col("n"))
+  }
+
+  /** Global top-k: agg then TakeOrderedAndProject (no full sort). The join to
+    * supplier names happens AFTER the top-k cut — at scale you join 10 rows,
+    * not 10 million.
+    */
+  val q18 = Q(
+    "q18_top_suppliers",
+    """SELECT s_name, round(revenue, 2) AS revenue FROM (
+      |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      |  FROM lineitem GROUP BY l_suppkey
+      |  ORDER BY revenue DESC, l_suppkey LIMIT 10) t
+      |JOIN supplier ON s_suppkey = l_suppkey""".stripMargin) { (s, dir) =>
+    val top = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+      .limit(10)
+    top.join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_name"), round(col("revenue"), 2).as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- subqueries
+
+  /** Correlated-subquery semantics (customers above their nation's average
+    * balance) implemented as a window agg: one shuffle on nationkey instead
+    * of a re-scan per group — the scalable decorrelated form.
+    */
+  val q24 = Q(
+    "q24_above_nation_avg",
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey, c_acctbal,
+      |         avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+      |  FROM customer) t
+      |WHERE c_acctbal > nation_avg""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("c_nationkey"))
+    t(s, dir, "customer")
+      .withColumn("nation_avg", avg(col("c_acctbal")).over(w))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"))
+  }
+
+  /** Scalar subquery via the SQL surface: orders above the global average
+    * price. Catalyst plans the subquery as a broadcast scalar, the main scan
+    * stays a single pass.
+    */
+  val q25 = Q(
+    "q25_above_avg_orders",
+    """SELECT o_orderkey FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(
+    q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25)
 }
