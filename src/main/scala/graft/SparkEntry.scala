@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Q
-import graft.operators.RelationalQueries
+import graft.functions.TextOps
+import graft.multimodal.MultimodalOps
+import graft.operators.{DedupOps, RelationalQueries, ScalarFunctionQueries, SimilarityOps}
+import graft.streaming.WindowQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +16,9 @@ import graft.operators.RelationalQueries
 object SparkEntry {
 
   /** Every registered query across all operator modules. */
-  def registry: Seq[Q] = RelationalQueries.all
+  def registry: Seq[Q] =
+    RelationalQueries.all ++ ScalarFunctionQueries.all ++ TextOps.all ++
+      DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all ++ WindowQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Text-analysis operators for the training-data pipeline (builder brief:
+  * token counting, quality scoring, language-ID heuristic, fingerprinting).
+  *
+  * Everything is Catalyst built-ins + higher-order array functions — fully
+  * codegen-friendly, shuffle-free per-row transforms, so these scale as pure
+  * map stages over any number of partitions. No UDFs.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Distinct token set (bag -> set). */
+  def tokenSet(c: Column): Column = array_distinct(split(c, " "))
+
+  /** Portable 32-bit word hash shared with the DuckDB oracle:
+    * first 8 hex chars of md5. Base of MinHash/SimHash in [[graft.operators.DedupOps]].
+    * SQL fragment form because it's used inside lambda bodies.
+    */
+  val wordHashSql: String = "CAST(conv(substring(md5(%s), 1, 8), 16, 10) AS BIGINT)"
+
+  /** t1: token statistics — whitespace tokens, distinct tokens, BPE-ish regex
+    * tokens, average token length.
+    */
+  val t1 = Q(
+    "t1_token_stats",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+')) AS n_word_runs,
+      |  round(list_sum(list_transform(string_split(text, ' '), w -> length(w)::DOUBLE))
+      |        / len(string_split(text, ' ')), 4) AS avg_token_len
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(tokenSet(col("text"))).cast("long").as("n_distinct_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_word_runs"),
+      round(
+        expr("aggregate(split(text, ' '), CAST(0 AS DOUBLE), (acc, w) -> acc + length(w))")
+          / size(tokens(col("text"))), 4).as("avg_token_len"))
+  }
+
+  /** t2: quality scoring — stopword ratio, type/token ratio, length bucket.
+    * The stopword list is tiny and inlined; at scale it would be a broadcast
+    * set, the plan shape is identical.
+    */
+  val t2 = Q(
+    "t2_quality_score",
+    """SELECT doc_id,
+      |  round(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of'))
+      |        / len(string_split(text, ' '))::DOUBLE, 4) AS stopword_ratio,
+      |  round(len(list_distinct(string_split(text, ' ')))
+      |        / len(string_split(text, ' '))::DOUBLE, 4) AS type_token_ratio,
+      |  CASE WHEN n_chars < 200 THEN 'short'
+      |       WHEN n_chars < 350 THEN 'medium' ELSE 'long' END AS len_bucket
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      round(
+        size(expr("filter(split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of')"))
+          .cast("double") / size(tokens(col("text"))), 4).as("stopword_ratio"),
+      round(size(tokenSet(col("text"))).cast("double") / size(tokens(col("text"))), 4)
+        .as("type_token_ratio"),
+      when(col("n_chars") < 200, "short")
+        .when(col("n_chars") < 350, "medium")
+        .otherwise("long").as("len_bucket"))
+  }
+
+  /** t3: language-ID heuristic — marker-token scoring (the real-world n-gram
+    * profile method, reduced to deterministic marker counts so the oracle can
+    * replicate it), cross-tabulated against the stored label.
+    */
+  val t3 = Q(
+    "t3_langid_markers",
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text, ' '), w -> w = 'the')) AS n_the,
+      |    len(list_filter(string_split(text, ' '), w -> w = 'a'))   AS n_a,
+      |    len(list_filter(string_split(text, ' '), w -> w = 'data')) AS n_data
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN n_the >= n_a AND n_the >= n_data THEN 'the-heavy'
+      |       WHEN n_a >= n_data THEN 'a-heavy' ELSE 'data-heavy' END AS pred_class,
+      |  count(*) AS n
+      |FROM scored GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val scored = Tables.load(s, dir, "documents").select(
+      col("lang"),
+      size(expr("filter(split(text, ' '), w -> w = 'the')")).as("n_the"),
+      size(expr("filter(split(text, ' '), w -> w = 'a')")).as("n_a"),
+      size(expr("filter(split(text, ' '), w -> w = 'data')")).as("n_data"))
+    scored.select(
+      col("lang"),
+      when(col("n_the") >= col("n_a") && col("n_the") >= col("n_data"), "the-heavy")
+        .when(col("n_a") >= col("n_data"), "a-heavy")
+        .otherwise("data-heavy").as("pred_class"))
+      .groupBy("lang", "pred_class")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** t4: document fingerprinting — order-insensitive content fingerprint
+    * (md5 of the sorted distinct token set) + a prefix fingerprint. The
+    * sorted-set fingerprint is the canonical key for normalized dedup.
+    */
+  val t4 = Q(
+    "t4_fingerprint",
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_fp,
+      |  md5(substring(text, 1, 64)) AS prefix_fp
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(tokenSet(col("text"))))).as("set_fp"),
+      md5(substring(col("text"), 1, 64)).as("prefix_fp"))
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4)
+}

@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Multimodal-column plumbing (builder brief): media is carried as an opaque
+  * `binary` payload column plus a typed metadata struct; decode /
+  * feature-extract runs as a typed mapPartitions stage (the Scala analogue
+  * of a batched Pandas-UDF pipeline: one iterator per partition, no
+  * per-row closure dispatch).
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * container — see [[StubDecoder]]); the Spark-side plumbing — binary
+  * schema, partition-wise batching, feature schema — is real and verified:
+  * the stub features are deterministic byte statistics the DuckDB oracle
+  * recomputes from the source text.
+  */
+object MultimodalOps {
+
+  /** Decoded-media feature record produced per payload. */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, feat_raw: Double, n_frames: Long)
+
+  /** Placeholder for a real media decoder (libjpeg/ffmpeg/... not present).
+    * Deterministic fake: "decodes" the payload into per-byte samples and
+    * derives features from the first 8 bytes. A real deployment swaps ONLY
+    * this object; the pipeline around it is unchanged.
+    */
+  object StubDecoder {
+    val FrameBytes = 64
+
+    def decode(payload: Array[Byte]): MediaFeatures0 = {
+      // real impl would be e.g. ImageIO.read(new ByteArrayInputStream(payload))
+      val head = payload.take(8).map(b => (b & 0xff).toDouble)
+      MediaFeatures0(
+        nBytes = payload.length.toLong,
+        featRaw = if (head.isEmpty) 0.0 else head.sum / head.length,
+        nFrames = (payload.length + FrameBytes - 1) / FrameBytes)
+    }
+  }
+  final case class MediaFeatures0(nBytes: Long, featRaw: Double, nFrames: Long)
+
+  /** m1: binary payload -> partition-batched stub decode -> feature table.
+    * Scale shape: pure map stage (no shuffle); payload bytes never leave
+    * the executor; output is a narrow feature row per media item.
+    */
+  val m1 = Q(
+    "m1_multimodal_features",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  round(list_sum(list_transform(generate_series(1, 8), i -> ascii(substring(text, i, 1))::DOUBLE)) / 8, 2) AS feat,
+      |  ((octet_length(encode(text)) + 63) // 64) AS n_frames
+      |FROM documents""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val payloads = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val f = StubDecoder.decode(payload)
+        MediaFeatures(id, f.nBytes, f.featRaw, f.nFrames)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        round(col("feat_raw"), 2).as("feat"), col("n_frames"))
+  }
+
+  val all: Seq[Q] = Seq(m1)
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Deduplication operators over `documents` (builder brief: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Design for 100 TB:
+  *   - exact + normalized dedup are hash-groupBys — partial aggregation
+  *     makes the shuffle carry one row per distinct hash;
+  *   - MinHash signatures are computed per-row with higher-order array
+  *     expressions (shuffle-free map stage), then LSH banding turns the
+  *     quadratic all-pairs problem into a groupBy on (band, band_key) — only
+  *     docs sharing a band bucket are ever paired (SURVEY §7.4: salt bands
+  *     if a bucket grows pathological; cf. PAPERS.md ICDE 2020);
+  *   - the pair-verify stage (n-gram Jaccard) joins inside buckets only.
+  *
+  * The word hash is the first 8 hex chars of md5 — portable, so the DuckDB
+  * oracle replicates signatures bit-for-bit (all arithmetic is int64).
+  */
+object DedupOps {
+
+  /** 16 fixed (a, b) linear-permutation constants for MinHash; primes, all
+    * small enough that a * h < 2^63 for h < 2^32.
+    */
+  private val A = Seq(1299721L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L,
+    104395301L, 122949823L, 141650939L, 160481183L, 179424673L, 198491317L,
+    217645177L, 236887691L, 256203161L, 275604541L)
+  private val B = Seq(7L, 13L, 31L, 59L, 89L, 101L, 151L, 197L,
+    263L, 311L, 373L, 433L, 499L, 569L, 631L, 701L)
+  private val P = 2147483647L
+
+  private def arr(xs: Seq[Long]) = xs.mkString("array(", ", ", ")")
+  private def lst(xs: Seq[Long]) = xs.mkString("[", ", ", "]")
+
+  /** Spark SQL expression: 16-element MinHash signature of the text column. */
+  val sigExprSpark: String =
+    s"""transform(sequence(0, 15), j ->
+       |  array_min(transform(array_distinct(split(text, ' ')),
+       |    w -> (element_at(${arr(A)}, j + 1)
+       |          * CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)
+       |          + element_at(${arr(B)}, j + 1)) % $P)))""".stripMargin
+
+  /** Same signature in DuckDB SQL. */
+  val sigExprDuck: String =
+    s"""list_transform(generate_series(0, 15), j ->
+       |  list_min(list_transform(list_distinct(string_split(text, ' ')),
+       |    w -> (${lst(A)}[j + 1]
+       |          * (('0x' || substring(md5(w), 1, 8))::BIGINT)
+       |          + ${lst(B)}[j + 1]) % $P)))""".stripMargin
+
+  /** d1: exact + normalized dedup census in one pass: total docs, distinct
+    * raw sha256 hashes, distinct order-insensitive token-set fingerprints.
+    */
+  val d1 = Q(
+    "d1_exact_dedup_census",
+    """SELECT count(*) AS n_docs,
+      |  count(DISTINCT sha256(text)) AS n_unique_raw,
+      |  count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')))
+      |    AS n_unique_norm
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(sha2(col("text"), 256)).as("n_unique_raw"),
+      countDistinct(md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+        .as("n_unique_norm"))
+  }
+
+  /** d2: normalized-dedup group-size histogram (how many docs share a
+    * token-set fingerprint). The canonical-keeper rule would be
+    * min(doc_id) per group; the histogram is the census view of it.
+    */
+  val d2 = Q(
+    "d2_normalized_dedup_groups",
+    """SELECT group_size, count(*) AS n_groups FROM (
+      |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+      |         count(*) AS group_size
+      |  FROM documents GROUP BY 1) t
+      |GROUP BY group_size""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy(md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+  }
+
+  /** d3: MinHash-LSH banding census: per band (4 bands x 4 rows), bucket
+    * count, docs in colliding buckets, and 2x candidate-pair count
+    * (c*(c-1) summed — kept integral to avoid division-dialect drift).
+    */
+  val d3 = Q(
+    "d3_minhash_lsh_bands",
+    s"""WITH sig AS (SELECT doc_id, $sigExprDuck AS sig FROM documents),
+       |bands AS (
+       |  SELECT doc_id, j AS band_idx,
+       |    md5(concat_ws('-', sig[4*j + 1], sig[4*j + 2], sig[4*j + 3], sig[4*j + 4])) AS band_key
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) t),
+       |buckets AS (
+       |  SELECT band_idx, band_key, count(*) AS c FROM bands GROUP BY 1, 2)
+       |SELECT band_idx, count(*) AS n_buckets,
+       |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_colliding_docs,
+       |  sum(c * (c - 1))::BIGINT AS n_pairs_x2
+       |FROM buckets GROUP BY band_idx""".stripMargin) { (s, dir) =>
+    val sig = Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", s"$sigExprSpark AS sig")
+    val bands = sig
+      .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("band_idx"))
+      .selectExpr("doc_id", "band_idx",
+        """md5(concat_ws('-', element_at(sig, 4*band_idx + 1), element_at(sig, 4*band_idx + 2),
+          |                   element_at(sig, 4*band_idx + 3), element_at(sig, 4*band_idx + 4))) AS band_key""".stripMargin)
+    bands.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band_idx"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_colliding_docs"),
+        sum(col("c") * (col("c") - 1)).as("n_pairs_x2"))
+  }
+
+  /** d4: LSH candidates verified with exact token-set Jaccard, reported as a
+    * similarity histogram (floor(jaccard * 20) buckets). Pairing happens
+    * only inside LSH buckets — the 100 TB-safe shape.
+    */
+  val d4 = Q(
+    "d4_lsh_jaccard_verify",
+    s"""WITH sig AS (SELECT doc_id, $sigExprDuck AS sig FROM documents),
+       |bands AS (
+       |  SELECT doc_id, j AS band_idx,
+       |    md5(concat_ws('-', sig[4*j + 1], sig[4*j + 2], sig[4*j + 3], sig[4*j + 4])) AS band_key
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) t),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+       |jac AS (
+       |  SELECT a, b,
+       |    len(list_intersect(sa.ws, sb.ws))::DOUBLE
+       |      / len(list_distinct(list_concat(sa.ws, sb.ws))) AS j
+       |  FROM cand JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b)
+       |SELECT floor(j * 20)::BIGINT AS sim_bucket, count(*) AS n_pairs
+       |FROM jac GROUP BY 1""".stripMargin) { (s, dir) =>
+    val sig = Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", s"$sigExprSpark AS sig")
+    val bands = sig
+      .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("band_idx"))
+      .selectExpr("doc_id", "band_idx",
+        """md5(concat_ws('-', element_at(sig, 4*band_idx + 1), element_at(sig, 4*band_idx + 2),
+          |                   element_at(sig, 4*band_idx + 3), element_at(sig, 4*band_idx + 4))) AS band_key""".stripMargin)
+    val x = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
+    val y = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
+    val cand = x.join(y, Seq("band_idx", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sets = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("ws").as("wsa")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("ws").as("wsb")), Seq("b"))
+      .select(
+        floor(size(array_intersect(col("wsa"), col("wsb"))).cast("double")
+          / size(array_union(col("wsa"), col("wsb"))) * 20).as("sim_bucket"),
+        lit(1).as("one"))
+      .groupBy(col("sim_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** d5: 32-bit SimHash per document (sign of per-bit vote over word
+    * hashes). Pure per-row expression work — shuffle-free.
+    */
+  val d5 = Q(
+    "d5_simhash",
+    """SELECT doc_id,
+      |  array_to_string(list_transform(generate_series(31, 0, -1), j ->
+      |    CASE WHEN list_sum(list_transform(list_distinct(string_split(text, ' ')),
+      |        w -> CASE WHEN ((('0x' || substring(md5(w), 1, 8))::BIGINT >> j) % 2) = 1
+      |             THEN 1 ELSE -1 END)) > 0
+      |    THEN '1' ELSE '0' END), '') AS simhash
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").selectExpr(
+      "doc_id",
+      """concat_ws('', transform(sequence(31, 0, -1), j ->
+        |  CASE WHEN aggregate(array_distinct(split(text, ' ')), CAST(0 AS BIGINT),
+        |      (acc, w) -> acc + CASE WHEN (shiftright(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), j) % 2) = 1
+        |                        THEN 1 ELSE -1 END) > 0
+        |  THEN '1' ELSE '0' END)) AS simhash""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5)
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Similarity search over `embeddings` (builder brief: brute-force cosine
+  * top-k baseline + a bucketed/IVF variant as the scale path, plus
+  * embedding-cosine near-dup pairs).
+  *
+  * All dot products are computed in double after widening each float element
+  * — same sequential fold order as the DuckDB oracle, so values match
+  * bit-for-bit in practice; displayed cosines are rounded to 4 places and
+  * ranking ties break on neighbor id.
+  *
+  * Scale notes:
+  *   - brute force broadcasts the (small) query set against the full vector
+  *     table: a map-side cross product + per-query top-k via window — fine
+  *     for Q ~ 10^2; the IVF variant is the path when N is huge because each
+  *     query only scans its probed cells;
+  *   - IVF: centroids are broadcast (k rows), assignment is a map stage,
+  *     candidate generation is a shuffle join on cell id — never all-pairs.
+  */
+object SimilarityOps {
+
+  /** Spark SQL: L2 norm of an array<float> column (double). */
+  private def normExpr(c: String) =
+    s"sqrt(aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  /** Spark SQL: dot product of two array<float> columns (double). */
+  private def dotExpr(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB: dot product via indexed list fold (sequential, double). */
+  private val duckDot =
+    "list_sum(list_transform(generate_series(1, 64), i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))"
+
+  private val duckNorm =
+    "sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE))))"
+
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm")
+
+  /** s1: exact brute-force cosine top-5 for each query vector (vec_id < 5).
+    */
+  val s1 = Q(
+    "s1_knn_bruteforce",
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 5),
+       |p AS (SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+       |        $duckDot / (q.nrm * e.nrm) AS cos
+       |      FROM q JOIN e ON e.vec_id <> q.vec_id)
+       |SELECT qid, neighbor, round(cos, 4) AS cosine, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, neighbor) AS rnk
+       |  FROM p) t
+       |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+    val e = withNorm(s, dir)
+    val q = e.selectExpr("vec_id AS qid", "embedding AS qemb", "nrm AS qnrm")
+      .filter(col("qid") < 5)
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id AS neighbor",
+        s"${dotExpr("qemb", "embedding")} / (qnrm * nrm) AS cos")
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("cos"), 4).desc, col("neighbor"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("neighbor"), round(col("cos"), 4).as("cosine"), col("rnk"))
+  }
+
+  /** s2: IVF-style approximate top-5 — coarse centroids (every 100th
+    * vector), nearest-cell assignment, 2-cell probe per query, exact
+    * re-rank within candidates. Deterministic, so the oracle replays it.
+    */
+  val s2 = Q(
+    "s2_knn_ivf",
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, embedding, nrm FROM e WHERE vec_id % 100 = 0),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cents.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_sum(list_transform(generate_series(1, 64),
+       |                   i -> cents.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |                 / (cents.nrm * e.nrm) DESC, cents.cid) AS rn
+       |    FROM e, cents) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT e.vec_id AS qid, cents.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_sum(list_transform(generate_series(1, 64),
+       |                   i -> cents.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |                 / (cents.nrm * e.nrm) DESC, cents.cid) AS rn
+       |    FROM e, cents WHERE e.vec_id < 5) t WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS neighbor
+       |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT c.qid, c.neighbor,
+       |    $duckDot / (q.nrm * e.nrm) AS cos
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.qid
+       |  JOIN e   ON e.vec_id = c.neighbor)
+       |SELECT qid, neighbor, round(cos, 4) AS cosine, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, neighbor) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+    val e = withNorm(s, dir)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .selectExpr("vec_id AS cid", "embedding AS cemb", "nrm AS cnrm")
+    def nearestCells(src: DataFrame, keep: Int): DataFrame = {
+      val scored = src.join(broadcast(cents), col("vec_id") =!= lit(-1))
+        .selectExpr("vec_id", "cid", s"${dotExpr("cemb", "embedding")} / (cnrm * nrm) AS ccos")
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
+        .select("vec_id", "cid")
+    }
+    val assign = nearestCells(e, 1)
+    val probes = nearestCells(e.filter(col("vec_id") < 5), 2)
+      .withColumnRenamed("vec_id", "qid")
+    val cand = probes.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor"))
+    val scored = cand
+      .join(e.selectExpr("vec_id AS qid", "embedding AS qemb", "nrm AS qnrm"), Seq("qid"))
+      .join(e.selectExpr("vec_id AS neighbor", "embedding AS nemb", "nrm AS nnrm"), Seq("neighbor"))
+      .selectExpr("qid", "neighbor", s"${dotExpr("qemb", "nemb")} / (qnrm * nnrm) AS cos")
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("cos"), 4).desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("neighbor"), round(col("cos"), 4).as("cosine"), col("rnk"))
+  }
+
+  /** e1: embedding-cosine near-duplicate pairs (cos >= 0.4). Brute all-pairs
+    * here (correctness baseline); the IVF/LSH bucketing above is the scale
+    * path — at 100 TB you'd run s2-style cell assignment and only pair
+    * within cells.
+    */
+  val e1 = Q(
+    "e1_embedding_neardup",
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings)
+       |SELECT q.vec_id AS a, e.vec_id AS b, round($duckDot / (q.nrm * e.nrm), 4) AS cosine
+       |FROM e q JOIN e ON q.vec_id < e.vec_id
+       |WHERE $duckDot / (q.nrm * e.nrm) >= 0.4""".stripMargin) { (s, dir) =>
+    val e = withNorm(s, dir)
+    val x = e.selectExpr("vec_id AS a", "embedding AS aemb", "nrm AS anrm")
+    val y = e.selectExpr("vec_id AS b", "embedding AS bemb", "nrm AS bnrm")
+    x.join(y, col("a") < col("b"))
+      .selectExpr("a", "b", s"${dotExpr("aemb", "bemb")} / (anrm * bnrm) AS cos")
+      .filter(col("cos") >= 0.4)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, e1)
+}
