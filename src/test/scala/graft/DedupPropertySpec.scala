@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupOps
+
+/** Property-style checks on the dedup primitives (SURVEY §5.2): signature
+  * determinism, permutation-invariance of the normalized fingerprint, and
+  * MinHash similarity ordering on fixed inputs.
+  */
+class DedupPropertySpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+
+  private def sigOf(texts: Seq[String]): Map[String, Seq[Long]] = {
+    import spark.implicits._
+    texts.toDF("text")
+      .selectExpr("text", s"${DedupOps.sigExprSpark} AS sig")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+  }
+
+  test("identical texts yield identical MinHash signatures") {
+    val s = sigOf(Seq("spark scan table join", "spark scan table join"))
+    assert(s.size === 1) // map collapses equal keys; one distinct text
+    assert(s.values.head.length === 16)
+  }
+
+  test("word order does not change the signature (set semantics)") {
+    val s = sigOf(Seq("join table scan spark", "spark scan table join x".replace(" x", "")))
+    assert(s("join table scan spark") === s("spark scan table join"))
+  }
+
+  test("near-identical docs agree on more hash slots than disjoint docs") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = a + " iota" // jaccard 8/9
+    val c = "one two three four five six seven eight"
+    val s = sigOf(Seq(a, b, c))
+    def agree(x: Seq[Long], y: Seq[Long]) = x.zip(y).count { case (p, q) => p == q }
+    assert(agree(s(a), s(b)) > agree(s(a), s(c)))
+  }
+
+  test("simhash of identical texts is identical and 32 bits") {
+    import spark.implicits._
+    val rows = Seq("a b c", "a b c", "x y z").toDF("text")
+      .selectExpr("""concat_ws('', transform(sequence(31, 0, -1), j ->
+        |  CASE WHEN aggregate(array_distinct(split(text, ' ')), CAST(0 AS BIGINT),
+        |      (acc, w) -> acc + CASE WHEN (shiftright(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), j) % 2) = 1
+        |                        THEN 1 ELSE -1 END) > 0
+        |  THEN '1' ELSE '0' END)) AS simhash""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows(0) === rows(1))
+    assert(rows(0).length === 32 && rows(0).forall(c => c == '0' || c == '1'))
+    assert(rows(0) !== rows(2))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.Event
+
+/** Structured Streaming semantics: watermarked windows (late-data
+  * finalization), stateful dedup, stream-stream interval join, arbitrary
+  * keyed state. All driven synchronously with processAllAvailable
+  * (SURVEY §7.4: never sleeps).
+  */
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def startStream() = {
+    implicit val ctx: SQLContext = spark.sqlContext
+    import spark.implicits._
+    MemoryStream[Event]
+  }
+
+  test("watermarked tumbling windows finalize in append mode") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.windowedCounts(ms.toDF())
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    ms.addData(
+      Event(1, ts("2024-01-01 01:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 02:00:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 07:00:00"), 2, "view", 3.0))
+    q.processAllAvailable()
+    // watermark now 06:50 (max ts - 10m): the 00:00 window may finalize, the
+    // 06:00 window (end 12:00) must NOT yet
+    val early = spark.sql("SELECT * FROM win_out").count()
+    // advance event time far past the windows + watermark horizon
+    ms.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM win_out ORDER BY window_start").collect()
+    q.stop()
+    assert(early <= 1)
+    assert(rows.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("2024-01-01 00:00:00.0", "click", 2L), ("2024-01-01 06:00:00.0", "view", 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark drops dupes within horizon") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    val e = Event(42, ts("2024-01-01 01:00:00"), 1, "click", 1.0)
+    ms.addData(e, e) // duplicate inside one batch
+    q.processAllAvailable()
+    ms.addData(e.copy(value = 9.9)) // duplicate id across batches, still within horizon
+    q.processAllAvailable()
+    val n = spark.sql("SELECT * FROM dedup_out").count()
+    q.stop()
+    assert(n === 1)
+  }
+
+  test("stream-stream interval join matches clicks to later errors") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.clickErrorJoin(ms.toDF())
+      .writeStream.format("memory").queryName("join_out").outputMode("append").start()
+    ms.addData(
+      Event(1, ts("2024-01-01 01:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 01:30:00"), 7, "error", 0.0),  // within 1h of click 1
+      Event(3, ts("2024-01-01 03:30:00"), 7, "error", 0.0),  // too late for click 1
+      Event(4, ts("2024-01-01 01:10:00"), 8, "error", 0.0))  // other user, no click
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT error_id, click_id FROM join_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(rows === Set((2L, 1L)))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.runningUserTotals(ms.toDS())
+      .writeStream.format("memory").queryName("state_out").outputMode("update").start()
+    ms.addData(
+      Event(1, ts("2024-01-01 01:00:00"), 1, "click", 1.5),
+      Event(2, ts("2024-01-01 01:01:00"), 1, "click", 2.5))
+    q.processAllAvailable()
+    ms.addData(Event(3, ts("2024-01-01 01:02:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    val last = spark.sql("SELECT * FROM state_out WHERE n_events = 3").collect()
+    q.stop()
+    assert(last.length === 1)
+    assert(last.head.getAs[Double]("total_value") === 5.0)
+  }
+}
