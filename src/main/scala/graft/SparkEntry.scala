@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Q
-import graft.functions.TextOps
+import graft.functions.{AggregatorOps, TextOps}
 import graft.multimodal.MultimodalOps
 import graft.operators.{DedupOps, RelationalQueries, ScalarFunctionQueries, SimilarityOps}
 import graft.streaming.WindowQueries
@@ -18,7 +18,8 @@ object SparkEntry {
   /** Every registered query across all operator modules. */
   def registry: Seq[Q] =
     RelationalQueries.all ++ ScalarFunctionQueries.all ++ TextOps.all ++
-      DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all ++ WindowQueries.all
+      DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all ++
+      WindowQueries.all ++ AggregatorOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

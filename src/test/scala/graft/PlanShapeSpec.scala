@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RelationalQueries
+
+/** Physical-plan regression guards (builder brief: ".explain the plan and
+  * iterate until it's the plan you'd want"). These assert the scale-critical
+  * plan properties survive refactors: filters/projections reach the parquet
+  * scan, fixed-size dims broadcast, aggregation is partial+final, top-k
+  * never global-sorts, and hot paths stay inside whole-stage codegen.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private val sf = GraftTestSpark.sf
+
+  private def plan(q: graft.core.Q): String =
+    q.fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2: predicate and projection are pushed into the parquet scan") {
+    val p = plan(RelationalQueries.q2)
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThan(l_quantity"), "quantity filter must reach the scan")
+    // 4-column read schema, not the 11-column table
+    assert(!p.contains("l_returnflag"), "unused columns must be pruned from the scan")
+  }
+
+  test("q8: star joins through nation/region are broadcast, not shuffled") {
+    val p = plan(RelationalQueries.q8)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "fixed-cardinality dims must never SMJ")
+  }
+
+  test("q1: aggregation splits into partial + final") {
+    val p = plan(RelationalQueries.q1)
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "map-side partial aggregation must precede the exchange")
+  }
+
+  test("q3: top-10 plans as TakeOrderedAndProject, no global sort") {
+    val p = plan(RelationalQueries.q3)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q4: EXISTS plans as a semi join") {
+    val p = plan(RelationalQueries.q4)
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("q5: NOT EXISTS plans as an anti join") {
+    val p = plan(RelationalQueries.q5)
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("q9: tiny band table plans as broadcast nested loop, fact not shuffled") {
+    val p = plan(RelationalQueries.q9)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q1: hot path is whole-stage codegen") {
+    // AQE hides codegen spans until the final plan exists -> execute first
+    val df = RelationalQueries.q1.fn(spark, sf)
+    df.collect()
+    // codegen stages render as "*(n) Node" in the final plan string
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("vec_dot participates in whole-stage codegen (no CodegenFallback)") {
+    import graft.functions.VectorDot
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[VectorDot]))
+  }
+}
