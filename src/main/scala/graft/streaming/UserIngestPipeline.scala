@@ -102,4 +102,25 @@ object UserIngestPipeline {
     */
   def registerUsersTable(spark: SparkSession, outDir: String): Unit =
     spark.read.parquet(outDir).createOrReplaceTempView("users")
+
+  /** DDL analogue of the reference's Cassandra keyspace/table setup
+    * (create_keyspace spark-streaming.py:50-66, create_table :70-101):
+    * session-catalog database + managed table, idempotent.
+    */
+  def ensureCatalog(spark: SparkSession): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS profiles")
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS profiles.users (
+        |  full_name STRING, gender STRING, address STRING,
+        |  postcode BIGINT, email STRING, phone STRING, user_id STRING)
+        |USING parquet""".stripMargin)
+  }
+
+  /** Keyed append into the catalog table — the Cassandra-append analogue
+    * (spark-streaming.py:193-197) against the session catalog.
+    */
+  def appendToCatalog(parsed: DataFrame): Unit =
+    cleanRecords(parsed)
+      .select("full_name", "gender", "address", "postcode", "email", "phone", "user_id")
+      .write.mode("append").insertInto("profiles.users")
 }

@@ -53,6 +53,19 @@ class UserPipelineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT full_name FROM users WHERE postcode IS NOT NULL").count() === 1)
   }
 
+  test("catalog DDL + keyed append (reference R13/R14 analogue)") {
+    import spark.implicits._
+    UserIngestPipeline.ensureCatalog(spark)
+    val parsed = UserIngestPipeline.parse(Seq(good, ukPostcode).toDF("value"))
+    UserIngestPipeline.appendToCatalog(parsed)
+    val n = spark.sql("SELECT count(*) FROM profiles.users").head().getLong(0)
+    assert(n >= 2)
+    // idempotent DDL, append semantics
+    UserIngestPipeline.ensureCatalog(spark)
+    UserIngestPipeline.appendToCatalog(parsed)
+    assert(spark.sql("SELECT count(*) FROM profiles.users").head().getLong(0) === n + 2)
+  }
+
   test("corrupt records are quarantined, not fatal") {
     import spark.implicits._
     val parsed = UserIngestPipeline.parse(Seq(good, truncated).toDF("value"))
