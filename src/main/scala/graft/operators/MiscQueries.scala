@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.core.{Q, Tables}
+
+/** Remaining SURVEY §2.2 coverage: map functions, full-outer join,
+  * null-handling conditionals.
+  */
+object MiscQueries {
+
+  /** q29: schema-on-read into MAP<STRING,STRING> + map functions (the
+    * `props` payload pattern from FIXTURES.md). Oracle reads the same facts
+    * through DuckDB's JSON functions.
+    */
+  val q29 = Q(
+    "q29_map_functions",
+    """SELECT len(json_keys(props))::BIGINT AS n_keys,
+      |  json_extract_string(props, '$.k')::BIGINT % 2 AS k_parity,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .withColumn("pmap", from_json(col("props"), MapType(StringType, StringType)))
+      .groupBy(
+        size(map_keys(col("pmap"))).cast("long").as("n_keys"),
+        (element_at(col("pmap"), "k").cast("long") % 2).as("k_parity"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** q30: full outer join — row provenance census over rich customers vs
+    * 1995 orders. Both null-sides are populated by construction.
+    */
+  val q30 = Q(
+    "q30_full_outer_join",
+    """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+      |            WHEN o_orderkey IS NULL THEN 'cust_only'
+      |            ELSE 'both' END AS side,
+      |  count(*) AS n
+      |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) c
+      |FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+      |                 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |                   AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00') o
+      |  ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000).select("c_custkey")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1996-01-01"))
+      .select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_orderkey").isNull, "cust_only")
+          .otherwise("both").as("side"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** q31: null-handling conditionals — nullif/coalesce/CASE interplay. */
+  val q31 = Q(
+    "q31_null_conditionals",
+    """SELECT coalesce(nullif(l_discount, 0.0), -1.0) AS discount_bucket,
+      |  count(*) AS n,
+      |  sum(CASE WHEN l_tax > l_discount THEN 1 ELSE 0 END)::BIGINT AS tax_gt_disc
+      |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("discount_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_tax") > col("l_discount"), 1L).otherwise(0L)).as("tax_gt_disc"))
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31)
+}

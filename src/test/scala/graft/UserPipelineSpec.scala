@@ -53,8 +53,36 @@ class UserPipelineSpec extends AnyFunSuite {
     assert(spark.sql("SELECT full_name FROM users WHERE postcode IS NOT NULL").count() === 1)
   }
 
+  test("checkpoint restart resumes offsets without duplicating batches") {
+    implicit val ctx: SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val parsed = UserIngestPipeline.parse(ms.toDF())
+    val outDir = GraftTestSpark.tmpDir("ck-out")
+    val ckDir = GraftTestSpark.tmpDir("ck-ck")
+    val q1 = UserIngestPipeline.writer(parsed, outDir, ckDir).start()
+    ms.addData(good, ukPostcode)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).count() === 2)
+    // restart against the SAME checkpoint: committed batch must not replay
+    ms.addData(good)
+    val q2 = UserIngestPipeline.writer(parsed, outDir, ckDir).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(outDir).count() === 3)
+  }
+
   test("catalog DDL + keyed append (reference R13/R14 analogue)") {
     import spark.implicits._
+    // the on-disk warehouse outlives the in-memory catalog across test JVMs;
+    // clear any orphan location before the idempotent DDL
+    spark.sql("DROP TABLE IF EXISTS profiles.users")
+    val orphan = new java.io.File("spark-warehouse/profiles.db/users")
+    if (orphan.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(orphan).deleteRecursively()
+    }
     UserIngestPipeline.ensureCatalog(spark)
     val parsed = UserIngestPipeline.parse(Seq(good, ukPostcode).toDF("value"))
     UserIngestPipeline.appendToCatalog(parsed)
