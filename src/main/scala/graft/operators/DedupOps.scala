@@ -156,13 +156,14 @@ object DedupOps {
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws,
-       |                len(list_distinct(string_split(text, ' '))) AS sz
+       |sets AS (SELECT doc_id,
+       |                list_distinct(list_transform(list_distinct(string_split(text, ' ')),
+       |                  w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)) AS ws
        |         FROM documents),
        |jac AS (
        |  SELECT a, b,
        |    len(list_intersect(sa.ws, sb.ws))::DOUBLE
-       |      / (sa.sz + sb.sz - len(list_intersect(sa.ws, sb.ws))) AS j
+       |      / (len(sa.ws) + len(sb.ws) - len(list_intersect(sa.ws, sb.ws))) AS j
        |  FROM cand JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b)
        |SELECT floor(j * 20)::BIGINT AS sim_bucket, count(*) AS n_pairs
        |FROM jac GROUP BY 1""".stripMargin) { (s, dir) =>
@@ -172,8 +173,11 @@ object DedupOps {
     val cand = x.join(y, Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+    // Jaccard over the hashed word sets (the standard hashing trick): long
+    // comparisons instead of string comparisons in the per-pair intersect,
+    // identical results on both engines since the hash is shared.
     val sets = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+      .selectExpr("doc_id", s"array_distinct($wordHashesSpark) AS ws")
       .withColumn("sz", size(col("ws")))
     // |A union B| = |A| + |B| - |A intersect B|: one intersect per pair,
     // no union-array materialization (2x less per-pair work)

@@ -55,6 +55,44 @@ object StatefulOps {
       .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
   }
 
+  /** transformWithState (Spark 4 arbitrary-state API, successor of
+    * flatMapGroupsWithState): per-user event counter held in ValueState.
+    * Requires the RocksDB state store provider — set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * RocksDBStateStoreProvider on the writeStream session.
+    */
+  class UserCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var countState: org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      countState = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      val prev = Option(countState.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserRunning(key, n, math.rint(total * 100) / 100)
+      countState.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** transformWithState wiring for [[UserCountProcessor]]. */
+  def runningTotalsTWS(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Arbitrary keyed state: running per-user event count + value sum,
     * emitted on every update (flatMapGroupsWithState, update mode).
     */

@@ -80,6 +80,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows === Set((2L, 1L)))
   }
 
+  test("transformWithState keeps per-user ValueState across batches (RocksDB)") {
+    import spark.implicits._
+    val ms = startStream()
+    // transformWithState requires the RocksDB state store (session conf, not
+    // a sink option)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StatefulOps.runningTotalsTWS(ms.toDS())
+      .writeStream.format("memory").queryName("tws_out").outputMode("update")
+      .start()
+    ms.addData(Event(1, ts("2024-01-01 01:00:00"), 5, "click", 2.0))
+    q.processAllAvailable()
+    ms.addData(Event(2, ts("2024-01-01 01:01:00"), 5, "view", 3.0))
+    q.processAllAvailable()
+    val last = spark.sql("SELECT * FROM tws_out WHERE n_events = 2").collect()
+    q.stop()
+    assert(last.length === 1)
+    assert(last.head.getAs[Double]("total_value") === 5.0)
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     val ms = startStream()
