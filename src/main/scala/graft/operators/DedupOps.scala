@@ -215,5 +215,37 @@ object DedupOps {
           |  THEN '1' ELSE '0' END)) AS simhash""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5)
+  /** d6: 3-word shingle Jaccard between consecutive documents — the true
+    * n-gram (n>1) variant of the dedup family. Shingles keep word ORDER
+    * information that the unigram sets in d1-d4 discard. The adjacent-pair
+    * framing keeps the output linear in corpus size; the LSH machinery of
+    * d3/d4 is how arbitrary pairs would be found at scale.
+    */
+  val d6 = Q(
+    "d6_ngram_shingle_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> array_to_string(string_split(text, ' ')[i : i + 2], ' '))) AS sg
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    len(list_intersect(a.sg, b.sg))::DOUBLE
+      |      / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+      |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+      |SELECT a, b, floor(j * 20)::BIGINT AS sim_bucket FROM pairs""".stripMargin) { (s, dir) =>
+    val sh = Tables.load(s, dir, "documents")
+      .selectExpr("doc_id",
+        """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) AS sg""".stripMargin)
+    val a = sh.select(col("doc_id").as("a"), col("sg").as("sga"))
+    val b = sh.select(col("doc_id").as("b"), col("sg").as("sgb"))
+    a.join(b, col("b") === col("a") + 1)
+      .withColumn("isz", size(array_intersect(col("sga"), col("sgb"))))
+      .select(col("a"), col("b"),
+        floor(col("isz").cast("double")
+          / (size(col("sga")) + size(col("sgb")) - col("isz")) * 20).as("sim_bucket"))
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6)
 }
