@@ -173,18 +173,17 @@ object DedupOps {
     val cand = x.join(y, Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // Jaccard over the hashed word sets (the standard hashing trick): long
-    // comparisons instead of string comparisons in the per-pair intersect,
-    // identical results on both engines since the hash is shared.
+    // Jaccard over the hashed word sets (the standard hashing trick), sorted
+    // ONCE per document so the per-pair intersect is a two-pointer merge
+    // (custom codegen'd sorted_intersect_count) instead of array_intersect's
+    // per-pair hash build. |A u B| = |A| + |B| - |A n B| avoids union arrays.
     val sets = Tables.load(s, dir, "documents")
-      .selectExpr("doc_id", s"array_distinct($wordHashesSpark) AS ws")
+      .selectExpr("doc_id", s"array_sort(array_distinct($wordHashesSpark)) AS ws")
       .withColumn("sz", size(col("ws")))
-    // |A union B| = |A| + |B| - |A intersect B|: one intersect per pair,
-    // no union-array materialization (2x less per-pair work)
     cand
       .join(sets.select(col("doc_id").as("a"), col("ws").as("wsa"), col("sz").as("sza")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("ws").as("wsb"), col("sz").as("szb")), Seq("b"))
-      .withColumn("isz", size(array_intersect(col("wsa"), col("wsb"))))
+      .withColumn("isz", expr("sorted_intersect_count(wsa, wsb)").cast("int"))
       .select(
         floor(col("isz").cast("double")
           / (col("sza") + col("szb") - col("isz")) * 20).as("sim_bucket"))

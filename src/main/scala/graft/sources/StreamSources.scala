@@ -50,4 +50,19 @@ object StreamSources {
     */
   def parquetDir(spark: SparkSession, schema: org.apache.spark.sql.types.StructType, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** Kafka producer sink, 1:1 with the reference's value-only send
+    * (kafka-streamer.py:45): a `value` column serialized as JSON bytes.
+    * Same availability guard as the source.
+    */
+  def kafkaWriter(df: DataFrame, bootstrap: String, topic: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(kafkaAvailable(df.sparkSession),
+      "spark-sql-kafka is not on the classpath; use memory/parquet sinks offline")
+    import org.apache.spark.sql.functions.{struct, to_json, col}
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).cast("binary").as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+  }
 }

@@ -47,5 +47,21 @@ class SourceFormatsSpec extends AnyFunSuite {
       StreamSources.kafka(spark, "localhost:9092", "users_queue")
     }
     assert(e.getMessage.contains("MemoryStream/rate/file"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamSources.kafkaWriter(
+        StreamSources.rate(spark, 1), "localhost:9092", "users_queue")
+    }
+    assert(e2.getMessage.contains("memory/parquet"))
+  }
+
+  test("scala UDF surface works (builtins remain preferred in hot paths)") {
+    import org.apache.spark.sql.functions._
+    val up = udf((s: String) => if (s == null) null else s.toUpperCase)
+    spark.udf.register("graft_upper", up)
+    val got = Tables.load(spark, GraftTestSpark.sf, "nation")
+      .select(up(col("n_name")).as("a"), upper(col("n_name")).as("b"),
+        expr("graft_upper(n_name)").as("c"))
+      .collect()
+    assert(got.forall(r => r.getString(0) == r.getString(1) && r.getString(1) == r.getString(2)))
   }
 }

@@ -48,6 +48,24 @@ class StreamingOpsSpec extends AnyFunSuite {
       Seq(("2024-01-01 00:00:00.0", "click", 2L), ("2024-01-01 06:00:00.0", "view", 1L)))
   }
 
+  test("complete output mode re-emits the full aggregate each batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ms = startStream()
+    val q = ms.toDF().groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("complete_out").outputMode("complete").start()
+    ms.addData(Event(1, ts("2024-01-01 01:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    val n1 = spark.sql("SELECT n FROM complete_out WHERE event_type = 'click'")
+      .head().getLong(0)
+    ms.addData(Event(2, ts("2024-01-01 01:01:00"), 2, "click", 1.0))
+    q.processAllAvailable()
+    val n2 = spark.sql("SELECT n FROM complete_out WHERE event_type = 'click'")
+      .head().getLong(0)
+    q.stop()
+    assert(n1 === 1 && n2 === 2)
+  }
+
   test("dropDuplicatesWithinWatermark drops dupes within horizon") {
     import spark.implicits._
     val ms = startStream()
