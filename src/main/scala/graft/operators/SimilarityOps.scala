@@ -157,5 +157,59 @@ object SimilarityOps {
       .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
   }
 
-  val all: Seq[Q] = Seq(s1, s2, e1)
+  /** Number of random hyperplanes for s3 (2^6 = 64 buckets: ~N/64 vectors
+    * per bucket — the probe cost knob).
+    */
+  private val NPlanes = 6
+
+  /** Spark SQL: deterministic pseudo-random hyperplanes — component (j, i)
+    * derives from the portable md5 hash, uniform in [-1, 1]. Identical
+    * arithmetic in the DuckDB oracle -> identical buckets.
+    */
+  private val planesSpark =
+    s"""transform(sequence(0, ${NPlanes - 1}), j ->
+       |  transform(sequence(0, 63), i ->
+       |    (CAST(conv(substring(md5(concat('p', j * 64 + i)), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0))""".stripMargin
+
+  private val planesDuck =
+    s"""list_transform(generate_series(0, ${NPlanes - 1}), j ->
+       |  list_transform(generate_series(0, 63), i ->
+       |    ((('0x' || substring(md5(concat('p', (j * 64 + i)::VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)))""".stripMargin
+
+  /** s3: random-hyperplane (SimHash-style) LSH ANN — the bucketed scale
+    * path for cosine search: each vector hashes to a sign-bit bucket, so
+    * candidate generation is a groupBy/join on the bucket key instead of
+    * all-pairs. Top-3 by exact cosine within the query's bucket.
+    */
+  val s3 = Q(
+    "s3_knn_lsh_hyperplane",
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm,
+       |  array_to_string(list_transform($planesDuck, p ->
+       |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |           i -> embedding[i]::DOUBLE * p[i])) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 5),
+       |p AS (SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+       |        $duckDot / (q.nrm * e.nrm) AS cos
+       |      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id)
+       |SELECT qid, neighbor, round(cos, 4) AS cosine, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, neighbor) AS rnk
+       |  FROM p) t
+       |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm",
+        s"""concat_ws('', transform($planesSpark, p ->
+           |  CASE WHEN aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * y),
+           |         CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END)) AS bucket""".stripMargin)
+    val q = e.selectExpr("vec_id AS qid", "embedding AS qemb", "nrm AS qnrm", "bucket AS qbucket")
+      .filter(col("qid") < 5)
+    val pairs = e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id AS neighbor", s"${dotExpr("qemb", "embedding")} / (qnrm * nrm) AS cos")
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("cos"), 4).desc, col("neighbor"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("neighbor"), round(col("cos"), 4).as("cosine"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1)
 }
