@@ -23,4 +23,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("registry names are unique (duplicates would vanish in toMap)") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.length === names.length,
+      s"duplicate query names: ${names.diff(names.distinct).distinct}")
+  }
 }
