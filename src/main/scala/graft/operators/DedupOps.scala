@@ -233,13 +233,19 @@ object DedupOps {
       |      / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
       |SELECT a, b, floor(j * 20)::BIGINT AS sim_bucket FROM pairs""".stripMargin) { (s, dir) =>
+    // split ONCE per row in its own projection: inlining the split inside
+    // the transform lambda re-tokenizes the text per shingle (O(words^2)),
+    // and if the planner ever defers this projection above the join it
+    // explodes per-pair. The materialized a+1 key also guarantees an
+    // equi-join plan (hash/SMJ), never a nested loop.
     val sh = Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
       .selectExpr("doc_id",
-        """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) AS sg""".stripMargin)
-    val a = sh.select(col("doc_id").as("a"), col("sg").as("sga"))
+        """array_distinct(transform(sequence(1, size(ws) - 2),
+          |  i -> concat_ws(' ', slice(ws, i, 3)))) AS sg""".stripMargin)
+    val a = sh.select(col("doc_id").as("a"), (col("doc_id") + 1).as("a1"), col("sg").as("sga"))
     val b = sh.select(col("doc_id").as("b"), col("sg").as("sgb"))
-    a.join(b, col("b") === col("a") + 1)
+    a.join(b, col("b") === col("a1")).drop("a1")
       .withColumn("isz", size(array_intersect(col("sga"), col("sgb"))))
       .select(col("a"), col("b"),
         floor(col("isz").cast("double")
