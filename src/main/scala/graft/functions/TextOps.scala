@@ -121,5 +121,22 @@ object TextOps {
       md5(substring(col("text"), 1, 64)).as("prefix_fp"))
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4)
+  /** t5: quality FILTER (not just scoring) — the pipeline op that actually
+    * drops documents: keep length >= 200 chars with a sane stopword rate.
+    * Pure predicate -> pushes to the scan, shuffle-free at any scale.
+    */
+  val t5 = Q(
+    "t5_quality_filter",
+    """SELECT doc_id FROM documents
+      |WHERE n_chars >= 200
+      |  AND len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of'))
+      |      / len(string_split(text, ' '))::DOUBLE BETWEEN 0.05 AND 0.5""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .filter(col("n_chars") >= 200 &&
+        (size(expr("filter(split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of')"))
+          .cast("double") / size(tokens(col("text")))).between(0.05, 0.5))
+      .select(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5)
 }

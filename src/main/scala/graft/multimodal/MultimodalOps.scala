@@ -65,5 +65,28 @@ object MultimodalOps {
         round(col("feat_raw"), 2).as("feat"), col("n_frames"))
   }
 
-  val all: Seq[Q] = Seq(m1)
+  /** m2: frame sampling — the video-ish access pattern: explode each
+    * payload into fixed 64-byte frames, keep every 4th frame, emit a
+    * per-frame stub feature (first-byte code). Generator over binary +
+    * per-frame map stage; at scale this is how frame-level features fan out
+    * of media blobs without the blob ever leaving the executor.
+    */
+  val m2 = Q(
+    "m2_frame_sample",
+    """SELECT doc_id, frame_no,
+      |  ascii(substring(text, frame_no * 64 + 1, 1)) AS frame_head
+      |FROM documents,
+      |  (SELECT unnest(generate_series(0, 20)) AS frame_no) f
+      |WHERE frame_no * 64 < octet_length(encode(text)) AND frame_no % 4 = 0""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .select(col("doc_id"), col("payload"), explode(expr("sequence(0, 20)")).as("frame_no"))
+      .filter(col("frame_no") * StubDecoder.FrameBytes < length(col("payload")) &&
+        col("frame_no") % 4 === 0)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        expr(s"CAST(ascii(substring(CAST(payload AS STRING), frame_no * ${StubDecoder.FrameBytes} + 1, 1)) AS BIGINT)")
+          .as("frame_head"))
+  }
+
+  val all: Seq[Q] = Seq(m1, m2)
 }

@@ -57,6 +57,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d6: adjacent-pair shingle join is an equi join, never a nested loop") {
+    val p = plan(graft.operators.DedupOps.d6)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "doc_id+1 must be a materialized equi key (nested loop re-evaluates shingles per pair)")
+  }
+
   test("q1: hot path is whole-stage codegen") {
     // AQE hides codegen spans until the final plan exists -> execute first
     val df = RelationalQueries.q1.fn(spark, sf)
