@@ -48,6 +48,26 @@ class StreamingOpsSpec extends AnyFunSuite {
       Seq(("2024-01-01 00:00:00.0", "click", 2L), ("2024-01-01 06:00:00.0", "view", 1L)))
   }
 
+  test("late events beyond the watermark are dropped, not re-aggregated") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.windowedCounts(ms.toDF())
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    ms.addData(Event(1, ts("2024-01-01 01:00:00"), 1, "click", 1.0))
+    ms.addData(Event(2, ts("2024-01-02 00:00:00"), 9, "flush", 0.0)) // watermark -> Jan 1 23:50
+    q.processAllAvailable()
+    val emitted = spark.sql("SELECT n FROM late_out WHERE event_type = 'click'").collect()
+    // a click 23h older than the watermark: its window already finalized
+    ms.addData(Event(3, ts("2024-01-01 01:30:00"), 1, "click", 1.0))
+    ms.addData(Event(4, ts("2024-01-03 00:00:00"), 9, "flush2", 0.0))
+    q.processAllAvailable()
+    val after = spark.sql("SELECT n FROM late_out WHERE event_type = 'click'").collect()
+    q.stop()
+    assert(emitted.map(_.getLong(0)).toSeq === Seq(1L))
+    // no second click row appended, and the finalized count is unchanged
+    assert(after.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("complete output mode re-emits the full aggregate each batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
