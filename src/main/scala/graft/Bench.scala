@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional arg: comma-separated query-name prefixes to run (iteration aid).
+    val filter: String => Boolean =
+      if (args.isEmpty) _ => true
+      else { val ps = args(0).split(','); n => ps.exists(n.startsWith) }
     val spark = graft.core.GraftSession.getOrCreate()
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -23,16 +27,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try {
-        runOnce(fn) // warmup
-        math.min(runOnce(fn), runOnce(fn))
-      } catch { case _: Throwable => -1.0 }
-      name -> t
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(p => filter(p._1)).map {
+      case (name, fn) =>
+        val t = try {
+          runOnce(fn) // warmup
+          math.min(runOnce(fn), runOnce(fn))
+        } catch { case _: Throwable => -1.0 }
+        // Inter-query hygiene: round 1's q24-q28 ran 13-54 s in the full bench
+        // but 0.3-0.9 s in isolation — heap/GC debris from the (then) 494 s d4
+        // poisoned later queries. A forced GC lets Spark's ContextCleaner drop
+        // dead broadcast/shuffle state so each query is measured cold-state.
+        System.gc()
+        System.err.println(f"[bench] $name%-28s ${t}%9.3f s")
+        name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt prefixes stdout with [info], which broke the driver's JSON parse in
+    // round 1 ("parsed": null) — also write the line to a file it can read.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

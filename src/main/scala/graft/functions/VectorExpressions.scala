@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -100,6 +100,73 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     copy(left = newLeft, right = newRight)
 }
 
+/** Custom Catalyst expression: 32-bit SimHash of an ARRAY<BIGINT> word-hash
+  * column, rendered as a 32-char '1'/'0' string (bit 31 first).
+  *
+  * Exists for a measured reason: the builtin formulation
+  * `transform(sequence(31,0,-1), j -> aggregate(whashes, ...))` makes 32
+  * interpreted passes over the word array per row — Spark's higher-order
+  * lambdas are CodegenFallback, and the round-1 bench paid 86 s for a
+  * shuffle-free map over 5,000 docs (17 ms/row). This expression is ONE
+  * fused pass with 32 int counters inside whole-stage codegen.
+  *
+  * Semantics identical to the lambda form and the DuckDB oracle: per word
+  * hash h (non-negative, < 2^32), bit j votes +1 if ((h >> j) & 1) == 1 else
+  * -1; output bit j is '1' iff the vote sum is > 0.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < a.numElements()) {
+      val h = a.getLong(i)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    val bytes = new Array[Byte](32)
+    var j = 0
+    while (j < 32) {
+      bytes(j) = if (votes(31 - j) > 0) '1' else '0'
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int[] $votes = new int[32];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < 32; $j++) {
+         |    $votes[$j] += (($h >> $j) & 1L) == 1L ? 1 : -1;
+         |  }
+         |}
+         |byte[] $bytes = new byte[32];
+         |for (int $j = 0; $j < 32; $j++) {
+         |  $bytes[$j] = $votes[31 - $j] > 0 ? (byte) '1' : (byte) '0';
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($bytes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the custom functions — the public Spark
   * plug-in point (`spark.sql.extensions` / `builder.withExtensions`), no
   * internal API access.
@@ -114,5 +181,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
   }
 }

@@ -144,17 +144,36 @@ object DedupOps {
         sum(col("c") * (col("c") - 1)).as("n_pairs_x2"))
   }
 
+  /** Band-bucket cap for d4. A bucket whose membership exceeds this carries
+    * no discriminative signal (the band-key collides with a large fraction
+    * of the corpus — here two degenerate buckets hold 1,779 and 1,571 of
+    * 5,000 docs and 2.8M of the 3.1M candidate pairs at sf0.1). Pairing
+    * inside such a bucket is quadratic spam concentrated on ONE shuffle key
+    * on BOTH sides of the self-join — the one skew AQE cannot split. We drop
+    * oversize buckets and REPORT the dropped pair-slot count as a
+    * `sim_bucket = -1` accounting row (SURVEY §7.4; PAPERS.md ICDE 2020).
+    * At 100 TB the cap is what bounds per-task work: kept buckets generate
+    * at most CAP^2/2 pairs each, spread across buckets.
+    */
+  val BucketCap = 256L
+
   /** d4: LSH candidates verified with exact token-set Jaccard, reported as a
-    * similarity histogram (floor(jaccard * 20) buckets). Pairing happens
-    * only inside LSH buckets — the 100 TB-safe shape.
+    * similarity histogram (floor(jaccard * 20) buckets), plus a -1 bucket
+    * counting pair-slots dropped by the [[BucketCap]]. Pairing happens only
+    * inside capped LSH buckets — the 100 TB-safe shape.
     */
   val d4 = Q(
     "d4_lsh_jaccard_verify",
     s"""WITH sig AS (SELECT doc_id, $sigExprDuck AS sig FROM documents),
        |$duckBands,
+       |bsz AS (SELECT band_idx, band_key, count(*) AS c FROM bands GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_key FROM bands b
+       |  JOIN bsz ON bsz.band_idx = b.band_idx AND bsz.band_key = b.band_key
+       |  WHERE bsz.c <= $BucketCap),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM bands x JOIN bands y
+       |  FROM kept x JOIN kept y
        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
        |sets AS (SELECT doc_id,
        |                list_distinct(list_transform(list_distinct(string_split(text, ' ')),
@@ -164,12 +183,25 @@ object DedupOps {
        |  SELECT a, b,
        |    len(list_intersect(sa.ws, sb.ws))::DOUBLE
        |      / (len(sa.ws) + len(sb.ws) - len(list_intersect(sa.ws, sb.ws))) AS j
-       |  FROM cand JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b)
-       |SELECT floor(j * 20)::BIGINT AS sim_bucket, count(*) AS n_pairs
-       |FROM jac GROUP BY 1""".stripMargin) { (s, dir) =>
+       |  FROM cand JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b),
+       |hist AS (
+       |  SELECT floor(j * 20)::BIGINT AS sim_bucket, count(*) AS n_pairs
+       |  FROM jac GROUP BY 1),
+       |dropped AS (
+       |  SELECT (-1)::BIGINT AS sim_bucket, (sum(c * (c - 1) // 2))::BIGINT AS n_pairs
+       |  FROM bsz WHERE c > $BucketCap)
+       |SELECT * FROM hist
+       |UNION ALL SELECT * FROM dropped WHERE n_pairs IS NOT NULL""".stripMargin) { (s, dir) =>
     val bands = sparkBands(s, dir)
-    val x = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
-    val y = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
+    // Bucket census first (plain count, partial-agg safe even on the hot
+    // keys), then an ANTI join against the oversize list — which is tiny by
+    // construction, so it broadcasts and the filter is map-side.
+    val sizes = bands.groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("c"))
+    val oversize = sizes.filter(col("c") > BucketCap)
+    val kept = bands.join(broadcast(oversize.select("band_idx", "band_key")),
+      Seq("band_idx", "band_key"), "left_anti")
+    val x = kept.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
+    val y = kept.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
     val cand = x.join(y, Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
@@ -177,22 +209,35 @@ object DedupOps {
     // ONCE per document so the per-pair intersect is a two-pointer merge
     // (custom codegen'd sorted_intersect_count) instead of array_intersect's
     // per-pair hash build. |A u B| = |A| + |B| - |A n B| avoids union arrays.
+    // The sets relation is one row per document (~5k rows x ~500 B at sf0.1)
+    // — BROADCAST it so the per-pair verify never shuffles word-hash arrays;
+    // round 1 shipped them through two shuffle joins and paid 494 s.
     val sets = Tables.load(s, dir, "documents")
       .selectExpr("doc_id", s"array_sort(array_distinct($wordHashesSpark)) AS ws")
       .withColumn("sz", size(col("ws")))
-    cand
-      .join(sets.select(col("doc_id").as("a"), col("ws").as("wsa"), col("sz").as("sza")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("ws").as("wsb"), col("sz").as("szb")), Seq("b"))
+    val hist = cand
+      .join(broadcast(sets.select(col("doc_id").as("a"), col("ws").as("wsa"), col("sz").as("sza"))), Seq("a"))
+      .join(broadcast(sets.select(col("doc_id").as("b"), col("ws").as("wsb"), col("sz").as("szb"))), Seq("b"))
       .withColumn("isz", expr("sorted_intersect_count(wsa, wsb)").cast("int"))
       .select(
         floor(col("isz").cast("double")
           / (col("sza") + col("szb") - col("isz")) * 20).as("sim_bucket"))
       .groupBy(col("sim_bucket"))
       .agg(count(lit(1)).as("n_pairs"))
+    val droppedRow = oversize
+      .agg(sum(expr(s"c * (c - 1) DIV 2")).as("n_pairs"))
+      .select(lit(-1L).as("sim_bucket"), col("n_pairs"))
+      .filter(col("n_pairs").isNotNull)
+    hist.union(droppedRow)
   }
 
   /** d5: 32-bit SimHash per document (sign of per-bit vote over word
-    * hashes). Pure per-row expression work — shuffle-free.
+    * hashes). Pure per-row expression work — shuffle-free. The hash itself
+    * is the custom codegen'd [[graft.functions.SimHash32]] expression: ONE
+    * fused pass with 32 counters. The equivalent higher-order-function
+    * formulation (`transform(sequence(31,0,-1), j -> aggregate(whashes,...))`)
+    * is CodegenFallback and made 32 interpreted passes per row — 17 ms/row
+    * in the round-1 bench. `DedupPropertySpec` pins expression == lambda.
     */
   val d5 = Q(
     "d5_simhash",
@@ -205,13 +250,7 @@ object DedupOps {
       |FROM documents""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
       .selectExpr("doc_id", s"$wordHashesSpark AS whashes")
-      .selectExpr(
-        "doc_id",
-        """concat_ws('', transform(sequence(31, 0, -1), j ->
-          |  CASE WHEN aggregate(whashes, CAST(0 AS BIGINT),
-          |      (acc, h) -> acc + CASE WHEN (shiftright(h, j) % 2) = 1
-          |                        THEN 1 ELSE -1 END) > 0
-          |  THEN '1' ELSE '0' END)) AS simhash""".stripMargin)
+      .selectExpr("doc_id", "simhash32(whashes) AS simhash")
   }
 
   /** d6: 3-word shingle Jaccard between consecutive documents — the true

@@ -41,6 +41,24 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(agree(s(a), s(b)) > agree(s(a), s(c)))
   }
 
+  test("codegen simhash32 expression equals the higher-order-function formulation") {
+    import spark.implicits._
+    // The lambda form is the executable spec (it also mirrors the DuckDB
+    // oracle); simhash32 is the fused one-pass codegen replacement d5 ships.
+    val rows = Seq("alpha beta gamma", "one one two", "x", "", "a b c d e f g h i j")
+      .toDF("text")
+      .selectExpr("text", s"${DedupOps.wordHashesSpark} AS whashes")
+      .selectExpr(
+        "simhash32(whashes) AS fast",
+        """concat_ws('', transform(sequence(31, 0, -1), j ->
+          |  CASE WHEN aggregate(whashes, CAST(0 AS BIGINT),
+          |      (acc, h) -> acc + CASE WHEN (shiftright(h, j) % 2) = 1
+          |                        THEN 1 ELSE -1 END) > 0
+          |  THEN '1' ELSE '0' END)) AS spec""".stripMargin)
+      .collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("simhash of identical texts is identical and 32 bits") {
     import spark.implicits._
     val rows = Seq("a b c", "a b c", "x y z").toDF("text")

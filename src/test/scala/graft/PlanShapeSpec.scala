@@ -76,4 +76,19 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[VectorDot]))
   }
+
+  test("simhash32 participates in whole-stage codegen (no CodegenFallback)") {
+    import graft.functions.SimHash32
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[SimHash32]))
+  }
+
+  test("d4: verify joins broadcast the per-doc word sets; no shuffle of arrays") {
+    val p = plan(graft.operators.DedupOps.d4)
+    // the two sets joins (on a and b) plus the oversize anti join must all be
+    // broadcast — round 1 shipped word-hash arrays through shuffle joins
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins (anti + 2 verify), got $nBroadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "verify stage must never sort-merge the word-set arrays")
+  }
 }
