@@ -137,28 +137,8 @@ object SimilarityOps {
       .select(col("qid"), col("neighbor"), round(col("cos"), 4).as("cosine"), col("rnk"))
   }
 
-  /** e1: embedding-cosine near-duplicate pairs (cos >= 0.4). Brute all-pairs
-    * here (correctness baseline); the IVF/LSH bucketing above is the scale
-    * path — at 100 TB you'd run s2-style cell assignment and only pair
-    * within cells.
-    */
-  val e1 = Q(
-    "e1_embedding_neardup",
-    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings)
-       |SELECT q.vec_id AS a, e.vec_id AS b, round($duckDot / (q.nrm * e.nrm), 4) AS cosine
-       |FROM e q JOIN e ON q.vec_id < e.vec_id
-       |WHERE $duckDot / (q.nrm * e.nrm) >= 0.4""".stripMargin) { (s, dir) =>
-    val e = withNorm(s, dir)
-    val x = e.selectExpr("vec_id AS a", "embedding AS aemb", "nrm AS anrm")
-    val y = e.selectExpr("vec_id AS b", "embedding AS bemb", "nrm AS bnrm")
-    x.join(y, col("a") < col("b"))
-      .selectExpr("a", "b", s"${dotExpr("aemb", "bemb")} / (anrm * bnrm) AS cos")
-      .filter(col("cos") >= 0.4)
-      .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
-  }
-
-  /** Number of random hyperplanes for s3 (2^6 = 64 buckets: ~N/64 vectors
-    * per bucket — the probe cost knob).
+  /** Number of random hyperplanes for s3/e1 (2^6 = 64 buckets: ~N/64
+    * vectors per bucket — the probe cost knob).
     */
   private val NPlanes = 6
 
@@ -176,6 +156,24 @@ object SimilarityOps {
        |  list_transform(generate_series(0, 63), i ->
        |    ((('0x' || substring(md5(concat('p', (j * 64 + i)::VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)))""".stripMargin
 
+  /** Sign-bit bucket key of the `embedding` column, Spark + DuckDB flavors —
+    * identical arithmetic, so buckets match across engines.
+    */
+  private val bucketSpark =
+    s"""concat_ws('', transform($planesSpark, p ->
+       |  CASE WHEN aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * y),
+       |         CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END))""".stripMargin
+
+  private val bucketDuck =
+    s"""array_to_string(list_transform($planesDuck, p ->
+       |  CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |         i -> embedding[i]::DOUBLE * p[i])) >= 0 THEN '1' ELSE '0' END), '')""".stripMargin
+
+  private def withBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm",
+        s"$bucketSpark AS bucket")
+
   /** s3: random-hyperplane (SimHash-style) LSH ANN — the bucketed scale
     * path for cosine search: each vector hashes to a sign-bit bucket, so
     * candidate generation is a groupBy/join on the bucket key instead of
@@ -184,9 +182,7 @@ object SimilarityOps {
   val s3 = Q(
     "s3_knn_lsh_hyperplane",
     s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm,
-       |  array_to_string(list_transform($planesDuck, p ->
-       |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
-       |           i -> embedding[i]::DOUBLE * p[i])) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  $bucketDuck AS bucket
        |  FROM embeddings),
        |q AS (SELECT * FROM e WHERE vec_id < 5),
        |p AS (SELECT q.vec_id AS qid, e.vec_id AS neighbor,
@@ -196,11 +192,7 @@ object SimilarityOps {
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, neighbor) AS rnk
        |  FROM p) t
        |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
-    val e = Tables.load(s, dir, "embeddings")
-      .selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm",
-        s"""concat_ws('', transform($planesSpark, p ->
-           |  CASE WHEN aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * y),
-           |         CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END)) AS bucket""".stripMargin)
+    val e = withBucket(s, dir)
     val q = e.selectExpr("vec_id AS qid", "embedding AS qemb", "nrm AS qnrm", "bucket AS qbucket")
       .filter(col("qid") < 5)
     val pairs = e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
@@ -209,6 +201,54 @@ object SimilarityOps {
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("neighbor"), round(col("cos"), 4).as("cosine"), col("rnk"))
+  }
+
+  /** e1: embedding-cosine near-duplicate pairs (cos >= 0.4) among
+    * hyperplane-LSH band candidates — the 6 sign bits split into 2 bands of
+    * 3 planes; a pair is a candidate iff it agrees on ALL bits of SOME band
+    * (equi-join on the band key, never all-pairs; round 1's `a < b` cross
+    * join was the last all-pairs shape in the repo). Deterministic planes
+    * mean the DuckDB oracle replays the exact same candidate set.
+    *
+    * Geometry measured at sf0.01 (N=500): 2x3 banding scans 24% of all
+    * pairs and keeps 29 of the 59 cos>=0.4 pairs; a single 6-bit bucket
+    * scans 1.8% but keeps 1/59 — at the LOW 0.4 threshold recall costs
+    * candidates (near-dup thresholds >=0.9 recall far better). Scale knobs:
+    * planes-per-band bounds bucket population (candidates per band ~
+    * N^2/2^r), band count buys recall linearly.
+    */
+  val e1 = Q(
+    "e1_embedding_neardup",
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm,
+       |  $bucketDuck AS bucket
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, j AS band_idx, substring(bucket, 1 + 3*j, 3) AS band_key
+       |  FROM e, (SELECT unnest(generate_series(0, 1)) AS j) t),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.vec_id < y.vec_id)
+       |SELECT c.a, c.b, round($duckDot / (q.nrm * e.nrm), 4) AS cosine
+       |FROM cand c JOIN e q ON q.vec_id = c.a JOIN e ON e.vec_id = c.b
+       |WHERE $duckDot / (q.nrm * e.nrm) >= 0.4""".stripMargin) { (s, dir) =>
+    val e = withBucket(s, dir)
+    val bands = e
+      .select(col("vec_id"), explode(expr("sequence(0, 1)")).as("band_idx"), col("bucket"))
+      .selectExpr("vec_id", "band_idx", "substring(bucket, 1 + 3*band_idx, 3) AS band_key")
+    val cand = bands.select(col("band_idx"), col("band_key"), col("vec_id").as("a"))
+      .join(bands.select(col("band_idx"), col("band_key"), col("vec_id").as("b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // candidates carry only ids through the shuffle; embeddings re-attach via
+    // broadcast (N rows of 64 floats — same pattern as d4's verify stage)
+    cand
+      .join(broadcast(e.selectExpr("vec_id AS a", "embedding AS aemb", "nrm AS anrm")), Seq("a"))
+      .join(broadcast(e.selectExpr("vec_id AS b", "embedding AS bemb", "nrm AS bnrm")), Seq("b"))
+      .selectExpr("a", "b", s"${dotExpr("aemb", "bemb")} / (anrm * bnrm) AS cos")
+      .filter(col("cos") >= 0.4)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
   }
 
   val all: Seq[Q] = Seq(s1, s2, s3, e1)

@@ -83,6 +83,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[SimHash32]))
   }
 
+  test("e1: near-dup pairing is an equi join on the LSH bucket, never all-pairs") {
+    val p = plan(graft.operators.SimilarityOps.e1)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "e1 must pair only within hyperplane buckets (equi join on the bucket key)")
+  }
+
   test("d4: verify joins broadcast the per-doc word sets; no shuffle of arrays") {
     val p = plan(graft.operators.DedupOps.d4)
     // the two sets joins (on a and b) plus the oversize anti join must all be
