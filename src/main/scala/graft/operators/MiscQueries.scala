@@ -70,5 +70,27 @@ object MiscQueries {
         sum(when(col("l_tax") > col("l_discount"), 1L).otherwise(0L)).as("tax_gt_disc"))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31)
+  /** q33: right outer join — every customer kept, big-ticket orders
+    * attached where they exist (the preserved side is on the RIGHT; q7/q30
+    * cover left/full). Same broadcast rules as any outer join at scale: the
+    * preserved side streams, only the non-preserved side may broadcast.
+    */
+  val q33 = Q(
+    "q33_right_outer_join",
+    """SELECT CASE WHEN o_orderkey IS NULL THEN 'no_big_order' ELSE 'big_order' END AS side,
+      |  count(*) AS n,
+      |  count(DISTINCT c_custkey) AS n_customers
+      |FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 150000) o
+      |RIGHT JOIN customer ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 150000)
+      .select("o_orderkey", "o_custkey")
+    o.join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"), "right_outer")
+      .groupBy(
+        when(col("o_orderkey").isNull, "no_big_order").otherwise("big_order").as("side"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("n_customers"))
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q33)
 }

@@ -30,6 +30,32 @@ object StatefulOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Watermarked SLIDING-window aggregation: 6-hour windows every 3 hours —
+    * each event lands in window-length/slide windows (2 here); the state
+    * multiplier is the overlap factor, still bounded by the watermark.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Watermarked SESSION-window aggregation: per-user sessions close after a
+    * 30-minute event-time gap. Session state merges adjacent windows as rows
+    * arrive and finalizes (append mode) once the watermark passes the
+    * session end + gap.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"))
+
   /** Stateful dedup bounded by watermark: duplicate event_ids arriving
     * within the watermark horizon are dropped; state for old ids is evicted
     * as the watermark advances (vs. dropDuplicates whose state grows forever).
@@ -37,6 +63,14 @@ object StatefulOps {
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Plain unbounded streaming dedup (SURVEY §2.2 names both forms): no
+    * watermark, so a duplicate id is dropped no matter how late it arrives —
+    * at the cost of state that grows with distinct keys forever. Use the
+    * watermarked form whenever the dedup horizon is finite.
+    */
+  def dedupUnbounded(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
 
   /** Stream-stream interval join: each error joined to clicks of the same
     * user within the preceding hour. Both sides watermarked — Spark can

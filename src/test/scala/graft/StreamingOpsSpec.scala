@@ -86,6 +86,95 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(n1 === 1 && n2 === 2)
   }
 
+  test("sliding windows assign each event to window/slide overlapping windows") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.slidingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("slide_out").outputMode("append").start()
+    // 01:00 lands in the 6h/3h windows [21:00(prev), 03:00) and [00:00, 06:00)
+    ms.addData(Event(1, ts("2024-01-01 01:00:00"), 1, "click", 1.0))
+    ms.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT window_start, n FROM slide_out WHERE event_type = 'click' ORDER BY 1")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    q.stop()
+    assert(rows === Seq(("2023-12-31 21:00:00.0", 1L), ("2024-01-01 00:00:00.0", 1L)))
+  }
+
+  test("session windows merge within the gap, split across it, finalize on watermark") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    ms.addData(
+      Event(1, ts("2024-01-01 01:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 01:10:00"), 1, "view", 1.0),  // same session (gap < 30m)
+      Event(3, ts("2024-01-01 02:30:00"), 1, "click", 1.0)) // new session (gap > 30m)
+    q.processAllAvailable()
+    // watermark = 02:20: the first session (ends 01:40) finalizes, the open
+    // 02:30 session must NOT be emitted yet
+    val early = spark.sql("SELECT * FROM sess_out").count()
+    val earlyOpen = spark.sql(
+      "SELECT * FROM sess_out WHERE session_start = '2024-01-01 02:30:00'").count()
+    ms.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT session_start, session_end, n FROM sess_out WHERE user_id = 1 ORDER BY 1")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    q.stop()
+    assert(early === 1 && earlyOpen === 0)
+    assert(rows === Seq(
+      ("2024-01-01 01:00:00.0", "2024-01-01 01:40:00.0", 2L),
+      ("2024-01-01 02:30:00.0", "2024-01-01 03:00:00.0", 1L)))
+  }
+
+  test("late events past the watermark do not reopen a finalized session") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName("sess_late_out").outputMode("append").start()
+    ms.addData(Event(1, ts("2024-01-01 01:00:00"), 1, "click", 1.0))
+    ms.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0)) // watermark -> 23:50
+    q.processAllAvailable()
+    // 01:05 is 22h+ behind the watermark: the session already finalized at n=1
+    ms.addData(Event(2, ts("2024-01-01 01:05:00"), 1, "view", 1.0))
+    ms.addData(Event(100, ts("2024-01-03 00:00:00"), 9, "flush2", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT n FROM sess_late_out WHERE user_id = 1").collect()
+    q.stop()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("plain dropDuplicates dedups arbitrarily late duplicates (unbounded state)") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.dedupUnbounded(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_unb_out").outputMode("append").start()
+    ms.addData(Event(42, ts("2024-01-01 01:00:00"), 1, "click", 1.0))
+    ms.addData(Event(43, ts("2024-06-01 00:00:00"), 1, "click", 1.0)) // months later
+    q.processAllAvailable()
+    // same id reappearing months later in event time: still dropped, because
+    // without a watermark the dedup state is never evicted
+    ms.addData(Event(42, ts("2024-06-01 00:01:00"), 1, "click", 9.9))
+    q.processAllAvailable()
+    val n = spark.sql("SELECT * FROM dedup_unb_out").count()
+    q.stop()
+    assert(n === 2)
+  }
+
+  test("console sink runs a watermarked aggregation to completion") {
+    import spark.implicits._
+    val ms = startStream()
+    // smoke test for the console sink surface (§2.2 sinks row): it must
+    // accept a streaming aggregate in update mode and drain without error
+    val q = StatefulOps.windowedCounts(ms.toDF())
+      .writeStream.format("console").option("numRows", "5").outputMode("update").start()
+    ms.addData(Event(1, ts("2024-01-01 01:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark drops dupes within horizon") {
     import spark.implicits._
     val ms = startStream()
