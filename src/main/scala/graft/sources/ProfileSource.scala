@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -99,11 +99,12 @@ case class ProfileOffset(n: Long) extends Offset {
 }
 
 class ProfileMicroBatchStream(rowsPerBatch: Long, maxRecords: Long, numPartitions: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  // Highest offset this stream instance knows about. deserializeOffset keeps
-  // it in sync with the checkpoint log on restart, so latestOffset never
-  // plans a range that goes backwards.
+  // Highest offset this stream instance knows about — only used by the
+  // legacy no-arg latestOffset fallback; the admission-control path is
+  // stateless (the engine passes the committed start offset back in, which
+  // is what makes checkpoint restarts exact).
   @volatile private var highestSeen = 0L
 
   override def initialOffset(): Offset = ProfileOffset(0L)
@@ -112,6 +113,26 @@ class ProfileMicroBatchStream(rowsPerBatch: Long, maxRecords: Long, numPartition
     highestSeen = math.min(highestSeen + rowsPerBatch, maxRecords)
     ProfileOffset(highestSeen)
   }
+
+  // --- admission control (SupportsTriggerAvailableNow) -------------------
+  // Trigger.AvailableNow snapshots "everything available" at start and then
+  // drains it in rowsPerBatch steps — the exact Spark-native form of the
+  // reference's bounded burst loop (R5), now first-class on this source.
+
+  override def prepareForTriggerAvailableNow(): Unit = () // cap is already static
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val base = start.asInstanceOf[ProfileOffset].n
+    val step = limit match {
+      case r: ReadMaxRows => math.min(rowsPerBatch, r.maxRows())
+      case _ => rowsPerBatch
+    }
+    ProfileOffset(math.min(base + step, maxRecords))
+  }
+
+  override def reportLatestOffset(): Offset = ProfileOffset(maxRecords)
 
   override def deserializeOffset(json: String): Offset = {
     val n = json.trim.toLong

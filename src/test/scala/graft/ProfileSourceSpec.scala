@@ -42,6 +42,25 @@ class ProfileSourceSpec extends AnyFunSuite {
     assert(a.distinct.size === 30, "every record index must yield a distinct payload")
   }
 
+  test("Trigger.AvailableNow drains to maxRecords; checkpoint restart adds nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val outDir = GraftTestSpark.tmpDir("prof-an-out")
+    val ckDir = GraftTestSpark.tmpDir("prof-an-ck")
+    def drain(): Unit = {
+      val q = readProfiles(maxRecords = 40, rowsPerBatch = 10)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(outDir).count() === 40)
+    // second run against the same checkpoint: offsets resume at 40 == cap,
+    // admission control returns no new range, the query drains and stops
+    drain()
+    assert(spark.read.parquet(outDir).count() === 40)
+  }
+
   test("feeds UserIngestPipeline.parse: clean/corrupt split and postcode policy") {
     val parsed = UserIngestPipeline.parse(readProfiles(maxRecords = 62, rowsPerBatch = 31))
     val q = parsed.writeStream.format("memory").queryName("prof_parsed").outputMode("append").start()
