@@ -167,6 +167,72 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared one-pass MinHash kernel — called from both the interpreted and
+  * generated code paths of [[MinHash16]], so there is exactly one
+  * implementation of the arithmetic.
+  */
+object MinHashKernel {
+  /** The engine's fixed MinHash family: 16 linear permutations
+    * h -> (A(j)*h + B(j)) % P with prime constants, a*h < 2^63 for h < 2^32.
+    * Mirrored verbatim in the DuckDB oracle SQL (DedupOps.sigExprDuck).
+    */
+  val A: Array[Long] = Array(1299721L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L,
+    104395301L, 122949823L, 141650939L, 160481183L, 179424673L, 198491317L,
+    217645177L, 236887691L, 256203161L, 275604541L)
+  val B: Array[Long] = Array(7L, 13L, 31L, 59L, 89L, 101L, 151L, 197L,
+    263L, 311L, 373L, 433L, 499L, 569L, 631L, 701L)
+  val P = 2147483647L
+
+  /** One pass over the word hashes, 16 running minima. Empty input yields 16
+    * nulls — identical to `array_min` over an empty transform result.
+    */
+  def minhash16(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](16))
+    val mins = new Array[Long](16)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var j = 0
+      while (j < 16) {
+        val v = (A(j) * h + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+}
+
+/** Custom Catalyst expression: 16-element MinHash signature of an
+  * ARRAY<BIGINT> word-hash column in ONE fused pass.
+  *
+  * Exists for a measured reason: the builtin formulation
+  * `transform(sequence(0,15), j -> array_min(transform(whashes, ...)))`
+  * is CodegenFallback and walks the word array 16 times through two
+  * interpreted lambdas — it dominated d3/d4's map stage (~2 s per signature
+  * pass over 5,000 docs at sf0.1). Both eval and codegen delegate to
+  * [[MinHashKernel.minhash16]]: a single static call, no per-element virtual
+  * dispatch, inside whole-stage codegen.
+  */
+case class MinHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.minhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashKernel.minhash16($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the custom functions — the public Spark
   * plug-in point (`spark.sql.extensions` / `builder.withExtensions`), no
   * internal API access.
@@ -185,5 +251,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash16"),
+      new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
+      (exprs: Seq[Expression]) => MinHash16(exprs.head)))
   }
 }

@@ -24,14 +24,13 @@ import graft.core.{Q, Tables}
 object DedupOps {
 
   /** 16 fixed (a, b) linear-permutation constants for MinHash; primes, all
-    * small enough that a * h < 2^63 for h < 2^32.
+    * small enough that a * h < 2^63 for h < 2^32. Single source of truth in
+    * [[graft.functions.MinHashKernel]] — shared with the codegen'd
+    * `minhash16` expression.
     */
-  private val A = Seq(1299721L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L,
-    104395301L, 122949823L, 141650939L, 160481183L, 179424673L, 198491317L,
-    217645177L, 236887691L, 256203161L, 275604541L)
-  private val B = Seq(7L, 13L, 31L, 59L, 89L, 101L, 151L, 197L,
-    263L, 311L, 373L, 433L, 499L, 569L, 631L, 701L)
-  private val P = 2147483647L
+  private val A: Seq[Long] = graft.functions.MinHashKernel.A.toSeq
+  private val B: Seq[Long] = graft.functions.MinHashKernel.B.toSeq
+  private val P: Long = graft.functions.MinHashKernel.P
 
   private def arr(xs: Seq[Long]) = xs.mkString("array(", ", ", ")")
   private def lst(xs: Seq[Long]) = xs.mkString("[", ", ", "]")
@@ -45,7 +44,11 @@ object DedupOps {
       |  w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT))""".stripMargin
 
   /** Spark SQL expression: 16-element MinHash signature over a precomputed
-    * `whashes` array column.
+    * `whashes` array column — the higher-order-function formulation. This is
+    * the executable SPEC (it mirrors the DuckDB oracle text); the shipped
+    * query path uses the codegen'd one-pass `minhash16(whashes)` expression
+    * instead (16 interpreted array walks -> 1 fused walk;
+    * DedupPropertySpec pins expression == spec).
     */
   val sigExprSpark: String =
     s"""transform(sequence(0, 15), j ->
@@ -114,7 +117,7 @@ object DedupOps {
   def withSignature(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
       .selectExpr("doc_id", s"$wordHashesSpark AS whashes")
-      .selectExpr("doc_id", s"$sigExprSpark AS sig")
+      .selectExpr("doc_id", "minhash16(whashes) AS sig")
 
   private def sparkBands(s: SparkSession, dir: String) =
     withSignature(s, dir)

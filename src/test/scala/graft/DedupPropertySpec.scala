@@ -41,6 +41,18 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(agree(s(a), s(b)) > agree(s(a), s(c)))
   }
 
+  test("codegen minhash16 expression equals the higher-order-function spec") {
+    import spark.implicits._
+    val rows = Seq("alpha beta gamma", "one one two", "x", "", "a b c d e f g h i j")
+      .toDF("text")
+      .selectExpr("text", s"${DedupOps.wordHashesSpark} AS whashes")
+      .selectExpr(
+        "minhash16(whashes) AS fast",
+        s"${DedupOps.sigExprSpark} AS spec")
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("codegen simhash32 expression equals the higher-order-function formulation") {
     import spark.implicits._
     // The lambda form is the executable spec (it also mirrors the DuckDB

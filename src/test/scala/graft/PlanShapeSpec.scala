@@ -83,6 +83,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[SimHash32]))
   }
 
+  test("minhash16 participates in whole-stage codegen (no CodegenFallback)") {
+    import graft.functions.MinHash16
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[MinHash16]))
+  }
+
   test("e1: near-dup pairing is an equi join on the LSH bucket, never all-pairs") {
     val p = plan(graft.operators.SimilarityOps.e1)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
