@@ -233,6 +233,70 @@ case class MinHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared kernel for the random-hyperplane (sign-bit) bucket used by the
+  * s3/e1 similarity operators. The 6 x 64 plane matrix is DERIVED ONCE here
+  * (deterministic md5 arithmetic, identical to the SQL/DuckDB formulation
+  * that the oracle replays) instead of being re-derived per row by
+  * interpreted lambda expressions — that per-row rebuild was 6 x 64 md5
+  * calls per vector.
+  */
+object HyperplaneKernel {
+  val NPlanes = 6
+  val Dim = 64
+
+  /** plane(j)(i) = ((first-8-hex-chars-of md5("p"+(j*64+i)) as int) % 2001
+    * - 1000) / 1000.0 — exactly `planesSpark`/`planesDuck` in SimilarityOps.
+    */
+  val planes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NPlanes, Dim) { (j, i) =>
+      md.reset()
+      val hex = md.digest(s"p${j * Dim + i}".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+    }
+  }
+
+  /** Sign-bit bucket of an ARRAY<FLOAT> embedding: per plane, the
+    * left-to-right double fold of element products (same accumulation order
+    * as `aggregate(zip_with(...))` and DuckDB's list_sum, so the sign — and
+    * therefore the bucket — matches the oracle bit-for-bit).
+    */
+  def bucket(a: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = math.min(a.numElements(), Dim)
+    val bytes = new Array[Byte](NPlanes)
+    var j = 0
+    while (j < NPlanes) {
+      val p = planes(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getFloat(i).toDouble * p(i); i += 1 }
+      bytes(j) = if (acc >= 0) '1' else '0'
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)
+  }
+}
+
+/** Custom Catalyst expression: the s3/e1 hyperplane-LSH bucket key in one
+  * fused pass (see [[HyperplaneKernel]]). The lambda formulation it replaces
+  * is CodegenFallback AND re-derives the constant plane matrix per row.
+  */
+case class HyperplaneBucket(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneKernel.bucket(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HyperplaneKernel.bucket($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the custom functions — the public Spark
   * plug-in point (`spark.sql.extensions` / `builder.withExtensions`), no
   * internal API access.
@@ -255,5 +319,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash16"),
       new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
       (exprs: Seq[Expression]) => MinHash16(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (exprs: Seq[Expression]) => HyperplaneBucket(exprs.head)))
   }
 }

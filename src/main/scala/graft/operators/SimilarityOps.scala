@@ -157,9 +157,13 @@ object SimilarityOps {
        |    ((('0x' || substring(md5(concat('p', (j * 64 + i)::VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)))""".stripMargin
 
   /** Sign-bit bucket key of the `embedding` column, Spark + DuckDB flavors —
-    * identical arithmetic, so buckets match across engines.
+    * identical arithmetic, so buckets match across engines. The Spark side
+    * ships the codegen'd [[graft.functions.HyperplaneBucket]] expression
+    * (the lambda formulation kept in [[bucketSparkSpec]] as the executable
+    * spec re-derived the CONSTANT plane matrix per row — 6 x 64 md5 calls
+    * per vector — and was CodegenFallback on top).
     */
-  private val bucketSpark =
+  val bucketSparkSpec: String =
     s"""concat_ws('', transform($planesSpark, p ->
        |  CASE WHEN aggregate(zip_with(embedding, p, (x, y) -> CAST(x AS DOUBLE) * y),
        |         CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END))""".stripMargin
@@ -172,7 +176,7 @@ object SimilarityOps {
   private def withBucket(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm",
-        s"$bucketSpark AS bucket")
+        "hyperplane_bucket(embedding) AS bucket")
 
   /** s3: random-hyperplane (SimHash-style) LSH ANN — the bucketed scale
     * path for cosine search: each vector hashes to a sign-bit bucket, so
