@@ -233,6 +233,60 @@ case class MinHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared kernel for the portable word-hash array that seeds MinHash /
+  * SimHash / Jaccard in DedupOps: distinct whitespace tokens in first-
+  * occurrence order, each hashed to the first 4 md5 bytes as an unsigned
+  * 32-bit value — bit-identical to the SQL formulation
+  * `transform(array_distinct(split(text,' ')), w -> conv(substring(md5(w),1,8),16,10))`
+  * that the DuckDB oracle mirrors. The SQL form walks the token array
+  * through interpreted lambdas (CodegenFallback) and was recomputed by
+  * every consumer; the kernel is one fused pass.
+  */
+object WordHashKernel {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def wordHashes(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    // Spark split(text, ' ') semantics: Java regex split, limit -1 (keeps
+    // trailing empties; "" yields [""])
+    val words = text.toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < words.length) { seen.add(words(i)); i += 1 }
+    val out = new Array[Long](seen.size())
+    val md = digest.get()
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes("UTF-8"))
+      out(k) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Custom Catalyst expression wrapper over [[WordHashKernel.wordHashes]]. */
+case class WordHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordHashKernel.wordHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordHashKernel.wordHashes($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Shared kernel for the random-hyperplane (sign-bit) bucket used by the
   * s3/e1 similarity operators. The 6 x 64 plane matrix is DERIVED ONCE here
   * (deterministic md5 arithmetic, identical to the SQL/DuckDB formulation
@@ -323,5 +377,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
       (exprs: Seq[Expression]) => HyperplaneBucket(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("word_hashes"),
+      new ExpressionInfo(classOf[WordHashes].getName, "word_hashes"),
+      (exprs: Seq[Expression]) => WordHashes(exprs.head)))
   }
 }

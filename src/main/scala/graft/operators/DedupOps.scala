@@ -37,7 +37,10 @@ object DedupOps {
 
   /** Spark SQL: distinct word hashes of the text column. Materialized as its
     * own projection so md5 runs ONCE per word, not once per (word x hash-fn)
-    * — 16x less hashing for MinHash, 32x for SimHash.
+    * — 16x less hashing for MinHash, 32x for SimHash. This lambda form is
+    * the executable SPEC (mirroring the oracle text); query paths ship the
+    * fused codegen `word_hashes(text)` expression, pinned equal by
+    * DedupPropertySpec.
     */
   val wordHashesSpark: String =
     """transform(array_distinct(split(text, ' ')),
@@ -116,7 +119,7 @@ object DedupOps {
   /** documents -> (doc_id, sig) with the word-hash array materialized once. */
   def withSignature(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
-      .selectExpr("doc_id", s"$wordHashesSpark AS whashes")
+      .selectExpr("doc_id", "word_hashes(text) AS whashes")
       .selectExpr("doc_id", "minhash16(whashes) AS sig")
 
   private def sparkBands(s: SparkSession, dir: String) =
@@ -203,11 +206,17 @@ object DedupOps {
     val oversize = sizes.filter(col("c") > BucketCap)
     val kept = bands.join(broadcast(oversize.select("band_idx", "band_key")),
       Seq("band_idx", "band_key"), "left_anti")
-    val x = kept.select(col("band_idx"), col("band_key"), col("doc_id").as("a"))
-    val y = kept.select(col("band_idx"), col("band_key"), col("doc_id").as("b"))
-    val cand = x.join(y, Seq("band_idx", "band_key"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // Self-join via aliases over the SAME plan object: both join children
+    // canonicalize identically, so the (band_idx, band_key) shuffle is
+    // planned once and the second side becomes a ReusedExchange — the
+    // signature subtree (scan -> word_hashes -> minhash16 -> bands) runs
+    // once for the pairing instead of twice (guarded by PlanShapeSpec).
+    val cand = kept.as("x").join(kept.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
     // Jaccard over the hashed word sets (the standard hashing trick), sorted
     // ONCE per document so the per-pair intersect is a two-pointer merge
     // (custom codegen'd sorted_intersect_count) instead of array_intersect's
@@ -216,7 +225,7 @@ object DedupOps {
     // — BROADCAST it so the per-pair verify never shuffles word-hash arrays;
     // round 1 shipped them through two shuffle joins and paid 494 s.
     val sets = Tables.load(s, dir, "documents")
-      .selectExpr("doc_id", s"array_sort(array_distinct($wordHashesSpark)) AS ws")
+      .selectExpr("doc_id", "array_sort(array_distinct(word_hashes(text))) AS ws")
       .withColumn("sz", size(col("ws")))
     val hist = cand
       .join(broadcast(sets.select(col("doc_id").as("a"), col("ws").as("wsa"), col("sz").as("sza"))), Seq("a"))
@@ -252,7 +261,7 @@ object DedupOps {
       |    THEN '1' ELSE '0' END), '') AS simhash
       |FROM documents""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
-      .selectExpr("doc_id", s"$wordHashesSpark AS whashes")
+      .selectExpr("doc_id", "word_hashes(text) AS whashes")
       .selectExpr("doc_id", "simhash32(whashes) AS simhash")
   }
 

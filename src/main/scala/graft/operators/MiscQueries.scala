@@ -92,5 +92,28 @@ object MiscQueries {
       .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("n_customers"))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q33)
+  /** q34: exact percentiles per group — the sort-based aggregation surface
+    * (percentile plans as SortAggregate/ObjectHashAggregate, not hash-agg;
+    * every other agg in the registry is hash-based). Exact percentile
+    * buffers per-group values, so at 100 TB the drop-in is
+    * `approx_percentile` (t-digest sketch, mergeable partial agg — same
+    * family as q28's HLL); the exact form is what the oracle can replay
+    * deterministically (linear interpolation matches DuckDB quantile_cont).
+    */
+  val q34 = Q(
+    "q34_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
+        count(lit(1)).as("n"))
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34)
 }

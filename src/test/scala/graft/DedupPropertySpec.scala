@@ -41,6 +41,18 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(agree(s(a), s(b)) > agree(s(a), s(c)))
   }
 
+  test("codegen word_hashes expression equals the lambda spec on fixture documents") {
+    // exact sequence equality (order and duplicates included) on real corpus
+    // text, plus edge cases
+    val docs = graft.core.Tables.load(spark, GraftTestSpark.sf, "documents").select("text")
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "a a b", "x  y").toDF("text")
+    docs.union(edge)
+      .selectExpr("word_hashes(text) AS fast", s"${DedupOps.wordHashesSpark} AS spec")
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("codegen minhash16 expression equals the higher-order-function spec") {
     import spark.implicits._
     val rows = Seq("alpha beta gamma", "one one two", "x", "", "a b c d e f g h i j")

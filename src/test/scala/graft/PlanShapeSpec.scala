@@ -103,4 +103,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nBroadcast >= 3, s"expected >=3 broadcast joins (anti + 2 verify), got $nBroadcast in:\n$p")
     assert(!p.contains("SortMergeJoin"), "verify stage must never sort-merge the word-set arrays")
   }
+
+  test("d4: band self-join reuses one exchange (signature subtree not duplicated)") {
+    // aliased self-join over the same plan object: the second side must plan
+    // as ReusedExchange after execution (AQE finalizes reuse at runtime)
+    val df = graft.operators.DedupOps.d4.fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"expected the pairing self-join to reuse the bands exchange in:\n$p")
+  }
 }
