@@ -270,6 +270,53 @@ object WordHashKernel {
   }
 }
 
+/** Shared kernel for d6's 3-word shingle set: distinct space-joined 3-grams
+  * in first-occurrence order. Equals the SQL formulation
+  * `array_distinct(transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3))))`
+  * wherever that form is defined (>= 3 tokens; the lambda form ERRORS on
+  * shorter inputs because `sequence(1, n)` runs descending for n < 1 and
+  * `slice` rejects start 0 — the kernel is total and returns an empty set
+  * there instead).
+  */
+object ShingleKernel {
+  def shingles3(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val ws = text.toString.split(" ", -1)
+    if (ws.length < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 2 < ws.length) {
+      seen.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Custom Catalyst expression wrapper over [[ShingleKernel.shingles3]]. */
+case class Shingles3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingles3(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleKernel.shingles3($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Custom Catalyst expression wrapper over [[WordHashKernel.wordHashes]]. */
 case class WordHashes(child: Expression) extends UnaryExpression {
 
@@ -381,5 +428,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_hashes"),
       new ExpressionInfo(classOf[WordHashes].getName, "word_hashes"),
       (exprs: Seq[Expression]) => WordHashes(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+      (exprs: Seq[Expression]) => Shingles3(exprs.head)))
   }
 }

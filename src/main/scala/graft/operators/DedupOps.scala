@@ -284,16 +284,14 @@ object DedupOps {
       |      / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
       |SELECT a, b, floor(j * 20)::BIGINT AS sim_bucket FROM pairs""".stripMargin) { (s, dir) =>
-    // split ONCE per row in its own projection: inlining the split inside
-    // the transform lambda re-tokenizes the text per shingle (O(words^2)),
-    // and if the planner ever defers this projection above the join it
-    // explodes per-pair. The materialized a+1 key also guarantees an
-    // equi-join plan (hash/SMJ), never a nested loop.
+    // shingles3 is the fused codegen form of
+    //   array_distinct(transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3))))
+    // — one tokenize + one pass instead of an interpreted lambda that
+    // re-slices per shingle (DedupPropertySpec pins expression == spec).
+    // Materializing sg in its own projection before the join also keeps the
+    // planner from ever deferring shingle work above the join (per-pair).
     val sh = Tables.load(s, dir, "documents")
-      .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .selectExpr("doc_id",
-        """array_distinct(transform(sequence(1, size(ws) - 2),
-          |  i -> concat_ws(' ', slice(ws, i, 3)))) AS sg""".stripMargin)
+      .selectExpr("doc_id", "shingles3(text) AS sg")
     val a = sh.select(col("doc_id").as("a"), (col("doc_id") + 1).as("a1"), col("sg").as("sga"))
     val b = sh.select(col("doc_id").as("b"), col("sg").as("sgb"))
     a.join(b, col("b") === col("a1")).drop("a1")

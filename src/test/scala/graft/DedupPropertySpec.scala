@@ -53,6 +53,24 @@ class DedupPropertySpec extends AnyFunSuite {
       .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("codegen shingles3 expression equals the lambda spec on fixture documents") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, GraftTestSpark.sf, "documents").select("text")
+    // lambda spec is only defined for >= 3 tokens (sequence runs descending
+    // below that and slice(ws, 0, _) throws); kernel is total: edge cases
+    // checked separately below
+    docs
+      .selectExpr(
+        "shingles3(text) AS fast",
+        """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) AS spec""".stripMargin)
+      .collect()
+      .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    val edges = Seq("", "a", "a b").toDF("text")
+      .selectExpr("shingles3(text) AS sg").collect()
+    edges.foreach(r => assert(r.getSeq[String](0) === Seq.empty))
+  }
+
   test("codegen minhash16 expression equals the higher-order-function spec") {
     import spark.implicits._
     val rows = Seq("alpha beta gamma", "one one two", "x", "", "a b c d e f g h i j")
