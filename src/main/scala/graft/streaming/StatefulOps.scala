@@ -89,6 +89,18 @@ object StatefulOps {
       .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
   }
 
+  /** Stream-static enrichment join: each streaming event picks up
+    * attributes from a static (batch) dimension on user_id. The static side
+    * is broadcast per micro-batch — no state store involved (unlike
+    * stream-stream joins), no watermark needed, and the dim is re-read each
+    * batch so slowly-changing dimensions stay fresh. The 100 TB/day shape
+    * for enriching an event firehose against reference data.
+    */
+  def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(broadcast(users), Seq("user_id"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"), col("value"))
+
   /** transformWithState (Spark 4 arbitrary-state API, successor of
     * flatMapGroupsWithState): per-user event counter held in ValueState.
     * Requires the RocksDB state store provider — set

@@ -190,6 +190,23 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(n === 1)
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    val ms = startStream()
+    val users = Seq((7L, "gold"), (8L, "bronze")).toDF("user_id", "segment")
+    val q = StatefulOps.enrichWithUsers(ms.toDF(), users)
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    ms.addData(
+      Event(1, ts("2024-01-01 01:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 01:01:00"), 9, "click", 2.0)) // no dim row
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_id, segment FROM enrich_out ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    q.stop()
+    // left outer: unmatched users keep the event with a null segment
+    assert(rows === Seq((1L, Some("gold")), (2L, None)))
+  }
+
   test("stream-stream interval join matches clicks to later errors") {
     import spark.implicits._
     val ms = startStream()
