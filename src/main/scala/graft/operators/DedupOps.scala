@@ -265,6 +265,82 @@ object DedupOps {
       .selectExpr("doc_id", "simhash32(whashes) AS simhash")
   }
 
+  /** DuckDB: the 32-bit SimHash as an INTEGER (bit j set iff the d5 vote sum
+    * is positive) — integer form so Hamming distance is bit_count(xor(...)).
+    */
+  private val simIntDuck =
+    """list_sum(list_transform(generate_series(0, 31), j ->
+      |    CASE WHEN list_sum(list_transform(list_distinct(string_split(text, ' ')),
+      |        w -> CASE WHEN (((('0x' || substring(md5(w), 1, 8))::BIGINT) >> j) % 2) = 1
+      |             THEN 1 ELSE -1 END)) > 0
+      |    THEN (1::BIGINT << j) ELSE 0 END))::BIGINT""".stripMargin
+
+  /** d7: SimHash near-dup census — pairs within Hamming distance 3, found by
+    * 8-bit band LSH over the 32-bit signature. Pigeonhole guarantee: any
+    * pair with Hamming <= 3 differs in at most 3 of the 4 bytes, so at least
+    * one byte matches exactly -> candidate generation on (band_idx, byte) is
+    * COMPLETE for the <=3 regime, never all-pairs. Completes the SimHash
+    * family: d5 computes signatures, d7 pairs on them.
+    *
+    * Same skew defense as d4: this corpus's signatures cluster (50% of all
+    * pairs share a byte at sf0.01), so bands whose bucket exceeds
+    * [[BucketCap]] are dropped and reported as a ham = -1 pair-slot row —
+    * a degenerate byte value carries no signal, exactly like a degenerate
+    * MinHash band. Verify is integer-only (bit_count of xor), and the
+    * pairing self-join reuses one exchange via aliases over the same plan.
+    */
+  val d7 = Q(
+    "d7_simhash_hamming_neardup",
+    s"""WITH sims AS (SELECT doc_id, $simIntDuck AS sim FROM documents),
+       |bands AS (
+       |  SELECT doc_id, sim, j AS band_idx, (sim >> (8*j)) & 255 AS band_key
+       |  FROM sims, (SELECT unnest(generate_series(0, 3)) AS j) t),
+       |bsz AS (SELECT band_idx, band_key, count(*) AS c FROM bands GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT b.* FROM bands b
+       |  JOIN bsz ON bsz.band_idx = b.band_idx AND bsz.band_key = b.band_key
+       |  WHERE bsz.c <= $BucketCap),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, x.sim AS sa, y.doc_id AS b, y.sim AS sb
+       |  FROM kept x JOIN kept y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |hist AS (
+       |  SELECT bit_count(xor(sa, sb))::BIGINT AS ham, count(*) AS n_pairs
+       |  FROM cand WHERE bit_count(xor(sa, sb)) <= 3 GROUP BY 1),
+       |dropped AS (
+       |  SELECT (-1)::BIGINT AS ham, (sum(c * (c - 1) // 2))::BIGINT AS n_pairs
+       |  FROM bsz WHERE c > $BucketCap)
+       |SELECT * FROM hist
+       |UNION ALL SELECT * FROM dropped WHERE n_pairs IS NOT NULL""".stripMargin) { (s, dir) =>
+    val sims = Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(conv(simhash32(word_hashes(text)), 2, 10) AS BIGINT) AS sim")
+    val bands = sims
+      .select(col("doc_id"), col("sim"), explode(expr("sequence(0, 3)")).as("band_idx"))
+      .selectExpr("doc_id", "sim", "band_idx",
+        "CAST(shiftright(sim, 8 * band_idx) & 255 AS BIGINT) AS band_key")
+    val sizes = bands.groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("c"))
+    val oversize = sizes.filter(col("c") > BucketCap)
+    val kept = bands.join(broadcast(oversize.select("band_idx", "band_key")),
+      Seq("band_idx", "band_key"), "left_anti")
+    val cand = kept.as("x").join(kept.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.sim").as("sa"),
+        col("y.doc_id").as("b"), col("y.sim").as("sb"))
+      .distinct()
+    val hist = cand
+      .withColumn("ham", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("ham") <= 3)
+      .groupBy(col("ham"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val droppedRow = oversize
+      .agg(sum(expr("c * (c - 1) DIV 2")).as("n_pairs"))
+      .select(lit(-1L).as("ham"), col("n_pairs"))
+      .filter(col("n_pairs").isNotNull)
+    hist.union(droppedRow)
+  }
+
   /** d6: 3-word shingle Jaccard between consecutive documents — the true
     * n-gram (n>1) variant of the dedup family. Shingles keep word ORDER
     * information that the unigram sets in d1-d4 discard. The adjacent-pair
@@ -301,5 +377,5 @@ object DedupOps {
           / (size(col("sga")) + size(col("sgb")) - col("isz")) * 20).as("sim_bucket"))
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6)
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7)
 }
