@@ -138,5 +138,47 @@ object TextOps {
       .select(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5)
+  /** t6: TF-IDF top terms per document — the classic salient-term scoring
+    * op for training-data curation. Term frequency per (doc, term), document
+    * frequency per term, weight = tf * ln(N / df), top-3 terms per doc.
+    *
+    * Scale shape: both aggs are partial+final hash aggs; the df relation is
+    * vocabulary-sized (<< corpus) so it BROADCASTS into the tf side — no
+    * fact-fact shuffle; the global doc count rides the same broadcast as a
+    * cross-joined literal row; top-k per doc is a bounded window. ln() is
+    * IEEE-identical across engines; weights rounded to 4 places for the
+    * hash compare.
+    */
+  val t6 = Q(
+    "t6_tfidf_topterms",
+    """WITH tf AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tfc.term, round(tf * ln(n.n::DOUBLE / df.df), 4) AS tfidf
+      |  FROM tfc JOIN df ON df.term = tfc.term, n)
+      |SELECT doc_id, term, tfidf, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6)
 }
