@@ -104,6 +104,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "verify stage must never sort-merge the word-set arrays")
   }
 
+  test("t6: document-frequency relation broadcasts into the tf side") {
+    val p = plan(graft.functions.TextOps.t6)
+    assert(p.contains("BroadcastHashJoin"),
+      "vocabulary-sized df must broadcast, never shuffle the tf fact side")
+  }
+
+  test("d7: simhash band self-join reuses one exchange") {
+    val df = graft.operators.DedupOps.d7.fn(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+  }
+
   test("d4: band self-join reuses one exchange (signature subtree not duplicated)") {
     // aliased self-join over the same plan object: the second side must plan
     // as ReusedExchange after execution (AQE finalizes reuse at runtime)
