@@ -41,6 +41,24 @@ class SourceFormatsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file stream source picks up new parquet drops incrementally") {
+    val dropDir = GraftTestSpark.tmpDir("drops")
+    val nation = Tables.load(spark, GraftTestSpark.sf, "nation")
+    // first drop BEFORE the stream starts (initial listing), second after
+    // (incremental discovery) — each new file is a new micro-batch input
+    nation.filter("n_nationkey < 10").write.parquet(s"$dropDir/d1.parquet")
+    val q = StreamSources.parquetDir(spark, nation.schema, s"$dropDir/*.parquet")
+      .writeStream.format("memory").queryName("drops_out").outputMode("append").start()
+    q.processAllAvailable()
+    val first = spark.sql("SELECT * FROM drops_out").count()
+    nation.filter("n_nationkey >= 10").write.parquet(s"$dropDir/d2.parquet")
+    q.processAllAvailable()
+    val total = spark.sql("SELECT * FROM drops_out").count()
+    q.stop()
+    assert(first === 10)
+    assert(total === nation.count())
+  }
+
   test("kafka source is unavailable offline and fails with a clear message") {
     assert(!StreamSources.kafkaAvailable(spark))
     val e = intercept[IllegalArgumentException] {
