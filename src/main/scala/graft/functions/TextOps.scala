@@ -142,12 +142,19 @@ object TextOps {
     * op for training-data curation. Term frequency per (doc, term), document
     * frequency per term, weight = tf * ln(N / df), top-3 terms per doc.
     *
-    * Scale shape: both aggs are partial+final hash aggs; the df relation is
-    * vocabulary-sized (<< corpus) so it BROADCASTS into the tf side — no
-    * fact-fact shuffle; the global doc count rides the same broadcast as a
-    * cross-joined literal row; top-k per doc is a bounded window. ln() is
-    * IEEE-identical across engines; weights rounded to 4 places for the
-    * hash compare.
+    * Scale shape: both aggs are partial+final hash aggs. The df relation's
+    * cardinality is the corpus VOCABULARY — small on this fixture but
+    * unbounded for 100 TB of web text (billions of unigrams) — so it is NOT
+    * force-broadcast: the tf-df join is a plain equi-join on the term key
+    * (df side has exactly one row per key, so hot terms cannot blow up the
+    * join; AQE's skew split levels the partition sizes) and AQE converts it
+    * to a broadcast join at runtime while the vocabulary measures small.
+    * The standard production noise cut — pre-prune `HAVING df >= k`, which
+    * also shrinks the vocabulary — is deliberately NOT applied here so the
+    * oracle semantics stay exact. The global doc count is a single-row
+    * aggregate (bounded at any scale) and rides a broadcast; top-k per doc
+    * is a bounded window. ln() is IEEE-identical across engines; weights
+    * rounded to 4 places for the hash compare.
     */
   val t6 = Q(
     "t6_tfidf_topterms",
@@ -170,7 +177,7 @@ object TextOps {
     val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val n = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n"))
     val scored = tf
-      .join(broadcast(df), Seq("term"))
+      .join(df, Seq("term"))
       .join(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))

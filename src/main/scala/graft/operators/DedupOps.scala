@@ -158,6 +158,11 @@ object DedupOps {
     * on BOTH sides of the self-join — the one skew AQE cannot split. We drop
     * oversize buckets and REPORT the dropped pair-slot count as a
     * `sim_bucket = -1` accounting row (SURVEY §7.4; PAPERS.md ICDE 2020).
+    * NOTE the -1 row is an UPPER-BOUND tally of pair-slots summed per
+    * oversize (band, key) bucket: a pair sharing several oversize bands is
+    * counted once per band, and a pair also co-located in a kept band is
+    * still found — so it is a conservative audit figure, not a count of
+    * distinct lost pairs.
     * At 100 TB the cap is what bounds per-task work: kept buckets generate
     * at most CAP^2/2 pairs each, spread across buckets.
     */
@@ -200,8 +205,11 @@ object DedupOps {
        |UNION ALL SELECT * FROM dropped WHERE n_pairs IS NOT NULL""".stripMargin) { (s, dir) =>
     val bands = sparkBands(s, dir)
     // Bucket census first (plain count, partial-agg safe even on the hot
-    // keys), then an ANTI join against the oversize list — which is tiny by
-    // construction, so it broadcasts and the filter is map-side.
+    // keys), then an ANTI join against the oversize list. Unlike the verify
+    // relation below, this hint is scale-safe: oversize rows are (band_idx,
+    // band_key) pairs whose bucket EXCEEDS the cap, so cardinality is
+    // bounded by N*bands/CAP in theory and by the handful of degenerate
+    // band keys in practice — broadcasting keeps the cap filter map-side.
     val sizes = bands.groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("c"))
     val oversize = sizes.filter(col("c") > BucketCap)
     val kept = bands.join(broadcast(oversize.select("band_idx", "band_key")),
@@ -221,15 +229,22 @@ object DedupOps {
     // ONCE per document so the per-pair intersect is a two-pointer merge
     // (custom codegen'd sorted_intersect_count) instead of array_intersect's
     // per-pair hash build. |A u B| = |A| + |B| - |A n B| avoids union arrays.
-    // The sets relation is one row per document (~5k rows x ~500 B at sf0.1)
-    // — BROADCAST it so the per-pair verify never shuffles word-hash arrays;
-    // round 1 shipped them through two shuffle joins and paid 494 s.
+    // The sets relation is one row per DOCUMENT — corpus cardinality — so it
+    // must NOT be force-broadcast (~2.5 MB at sf0.1, an executor OOM at the
+    // 100 TB design point). Instead: a plain equi-join on the doc id, which
+    // is high-cardinality and skew-free (BucketCap bounds each doc's pair
+    // fan-out at <= 2*(CAP-1)); AQE converts it to a broadcast join at
+    // runtime whenever the relation measures small, so the sf0.1 plan is
+    // still the round-2 fast path. Round 1's actual mistake was shipping the
+    // word-hash arrays through the BAND-KEY shuffle (494 s): here the arrays
+    // move at most once, hashed by doc id, never through the band topology
+    // (guarded by PlanShapeSpec).
     val sets = Tables.load(s, dir, "documents")
       .selectExpr("doc_id", "array_sort(array_distinct(word_hashes(text))) AS ws")
       .withColumn("sz", size(col("ws")))
     val hist = cand
-      .join(broadcast(sets.select(col("doc_id").as("a"), col("ws").as("wsa"), col("sz").as("sza"))), Seq("a"))
-      .join(broadcast(sets.select(col("doc_id").as("b"), col("ws").as("wsb"), col("sz").as("szb"))), Seq("b"))
+      .join(sets.select(col("doc_id").as("a"), col("ws").as("wsa"), col("sz").as("sza")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("ws").as("wsb"), col("sz").as("szb")), Seq("b"))
       .withColumn("isz", expr("sorted_intersect_count(wsa, wsb)").cast("int"))
       .select(
         floor(col("isz").cast("double")

@@ -245,11 +245,17 @@ object SimilarityOps {
         Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // candidates carry only ids through the shuffle; embeddings re-attach via
-    // broadcast (N rows of 64 floats — same pattern as d4's verify stage)
+    // Candidates carry only ids through the band shuffle; embeddings
+    // re-attach afterwards. The embeddings relation is corpus-cardinality
+    // (one row per vector), so it is NOT force-broadcast: the re-attach is a
+    // plain equi-join on vec_id — high-cardinality, uniform — and AQE
+    // switches it to a broadcast join at runtime while the relation measures
+    // small. The scale invariant (guarded by PlanShapeSpec) is that the
+    // 64-float arrays never ship through the band-key shuffle, only keyed by
+    // vec_id — same discipline as d4's verify stage.
     cand
-      .join(broadcast(e.selectExpr("vec_id AS a", "embedding AS aemb", "nrm AS anrm")), Seq("a"))
-      .join(broadcast(e.selectExpr("vec_id AS b", "embedding AS bemb", "nrm AS bnrm")), Seq("b"))
+      .join(e.selectExpr("vec_id AS a", "embedding AS aemb", "nrm AS anrm"), Seq("a"))
+      .join(e.selectExpr("vec_id AS b", "embedding AS bemb", "nrm AS bnrm"), Seq("b"))
       .selectExpr("a", "b", s"${dotExpr("aemb", "bemb")} / (anrm * bnrm) AS cos")
       .filter(col("cos") >= 0.4)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
