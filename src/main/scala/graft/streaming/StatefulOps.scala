@@ -89,6 +89,29 @@ object StatefulOps {
       .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like [[clickErrorJoin]] but an
+    * error with no matching click still emits — with a null click_id — once
+    * the watermark proves no qualifying click can still arrive. The
+    * null-side emission is watermark-DRIVEN, not timer-driven: the row is
+    * held in the state store exactly until the global watermark passes the
+    * end of its join window, so state stays bounded the same way as the
+    * inner form. This is the shape for "every error must surface, matched
+    * or not" pipelines.
+    */
+  def clickErrorJoinOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("error_id"))
+      .withWatermark("e_ts", "10 minutes")
+    errors.join(clicks,
+      col("c_user") === col("e_user") &&
+        col("c_ts") <= col("e_ts") && col("c_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
+  }
+
   /** Stream-static enrichment join: each streaming event picks up
     * attributes from a static (batch) dimension on user_id. The static side
     * is broadcast per micro-batch — no state store involved (unlike
@@ -107,7 +130,9 @@ object StatefulOps {
     * `spark.sql.streaming.stateStore.providerClass` to
     * RocksDBStateStoreProvider on the writeStream session.
     */
-  class UserCountProcessor
+  class UserCountProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunning] {
     @transient private var countState: org.apache.spark.sql.streaming.ValueState[UserRunning] = _
 
@@ -115,8 +140,7 @@ object StatefulOps {
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       import org.apache.spark.sql.Encoders
       countState = getHandle.getValueState[UserRunning](
-        "running", Encoders.product[UserRunning],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        "running", Encoders.product[UserRunning], ttl)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
@@ -137,6 +161,57 @@ object StatefulOps {
     events.groupByKey(_.user_id)
       .transformWithState(new UserCountProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** transformWithState with state TTL: each user's ValueState expires
+    * `ttl` of PROCESSING time after its last write and the counter restarts
+    * from zero. At 100 TB/day the eviction path IS the feature — without a
+    * TTL (or timeout) every key ever seen stays in the store forever; with
+    * it, state size is bounded by the active-key working set. TTL requires
+    * TimeMode.ProcessingTime.
+    */
+  def runningTotalsTWSWithTTL(events: Dataset[Event], ttl: java.time.Duration): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new UserCountProcessor(org.apache.spark.sql.streaming.TTLConfig(ttl)),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  final case class UserSession(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
+
+  /** Arbitrary state with EVENT-TIME TIMEOUT eviction: per-user idle-session
+    * summary. Events accumulate silently in state; when the watermark passes
+    * last-event-time + 30 minutes the timeout callback fires ONCE, emits the
+    * session summary, and REMOVES the state — so a key's state lives exactly
+    * one idle gap past its last event, never forever. This is the manual
+    * (flatMapGroupsWithState) twin of session_window + watermark, and the
+    * state-lifecycle discipline any 100 TB/day keyed aggregation needs.
+    */
+  def idleSessionSummaries(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_ts + gap: finalize and EVICT
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val prev = state.getOption.getOrElse(
+              UserSession(userId, 0L, new java.sql.Timestamp(0L)))
+            var n = prev.n_events
+            var last = prev.last_ts
+            batch.foreach { e => n += 1; if (e.ts.after(last)) last = e.ts }
+            state.update(UserSession(userId, n, last))
+            // fire once the watermark passes a 30-minute idle gap
+            state.setTimeoutTimestamp(last.getTime + 30L * 60 * 1000)
+            Iterator.empty
+          }
+      }
   }
 
   /** Arbitrary keyed state: running per-user event count + value sum,

@@ -224,6 +224,106 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows === Set((2L, 1L)))
   }
 
+  test("stream-stream LEFT-OUTER join emits unmatched errors with null click_id after watermark") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.clickErrorJoinOuter(ms.toDF())
+      .writeStream.format("memory").queryName("ojoin_out").outputMode("append").start()
+    ms.addData(
+      Event(1, ts("2024-01-01 01:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 01:30:00"), 7, "error", 0.0),  // matches click 1
+      Event(4, ts("2024-01-01 01:10:00"), 8, "error", 0.0))  // no click for user 8, ever
+    q.processAllAvailable()
+    // global watermark (min of both sides) is still behind error 4's window:
+    // the null-side row must NOT be emitted yet
+    val early = spark.sql("SELECT error_id, click_id FROM ojoin_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(early === Set((2L, Some(1L))),
+      s"unmatched error must be held until the watermark closes its window, got $early")
+    // advance BOTH side watermarks far past error 4's join window
+    ms.addData(
+      Event(5, ts("2024-01-01 05:00:00"), 9, "click", 0.0),
+      Event(6, ts("2024-01-01 05:00:00"), 9, "error", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT error_id, click_id FROM ojoin_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    q.stop()
+    // error 4 now emits with a NULL click side; matched rows unchanged
+    assert(rows === Set((2L, Some(1L)), (6L, Some(5L)), (4L, None)))
+  }
+
+  test("EventTimeTimeout fires the callback and evicts state once the watermark passes") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.idleSessionSummaries(ms.toDS())
+      .writeStream.format("memory").queryName("idle_out").outputMode("append").start()
+    ms.addData(
+      Event(1, ts("2024-01-01 01:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 01:05:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // nothing emits while the session is open (output only on timeout)
+    assert(spark.sql("SELECT * FROM idle_out").count() === 0)
+    // watermark -> 01:50, past the 01:05 + 30m timeout: callback fires
+    ms.addData(Event(99, ts("2024-01-01 02:00:00"), 9, "flush", 0.0))
+    q.processAllAvailable()
+    val first = spark.sql("SELECT n_events FROM idle_out WHERE user_id = 1").collect()
+    assert(first.map(_.getLong(0)).toSeq === Seq(2L), "timeout must emit the session summary")
+    // state was REMOVED on timeout: the next event starts a fresh session
+    // counting from zero, not from the evicted 2
+    ms.addData(Event(3, ts("2024-01-01 03:00:00"), 1, "click", 1.0))
+    ms.addData(Event(100, ts("2024-01-01 06:00:00"), 9, "flush2", 0.0))
+    q.processAllAvailable()
+    val all = spark.sql("SELECT n_events FROM idle_out WHERE user_id = 1 ORDER BY last_ts")
+      .collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(all === Seq(2L, 1L), s"evicted state must not leak into the next session, got $all")
+  }
+
+  test("transformWithState TTL expires idle ValueState (counter restarts)") {
+    import spark.implicits._
+    val ms = startStream()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TimeMode.ProcessingTime makes the engine schedule batches continuously
+    // (shouldRunAnotherBatch is always true, so both processAllAvailable and
+    // Trigger.AvailableNow spin on no-data batches) — so each incarnation is
+    // driven by polling the sink for its row and then stopped explicitly;
+    // the two incarnations share one checkpoint and the wall clock advances
+    // past the TTL between them, mirroring the production pattern of a
+    // periodically-resumed job whose idle keys age out between invocations.
+    val ckpt = GraftTestSpark.tmpDir("ttl_ckpt")
+    // foreachBatch sink: the only always-recoverable sink for update mode
+    // (the memory sink refuses to resume from an existing checkpoint)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runUntilRow(): Unit = {
+      val before = emitted.size
+      val q = StatefulOps.runningTotalsTWSWithTTL(ms.toDS(), java.time.Duration.ofMillis(500))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StatefulOps.UserRunning], _: Long) =>
+          batch.collect().foreach(u => emitted.add(u.n_events))
+        }
+        .start()
+      val deadline = System.currentTimeMillis + 60000
+      while (emitted.size == before) {
+        q.exception.foreach(throw _)
+        assert(System.currentTimeMillis < deadline, "timed out waiting for foreachBatch output")
+        Thread.sleep(50)
+      }
+      q.stop()
+    }
+    ms.addData(Event(1, ts("2024-01-01 01:00:00"), 5, "click", 2.0))
+    runUntilRow()
+    assert(emitted.toArray.toSeq === Seq(1L))
+    Thread.sleep(1200) // let the 500 ms TTL lapse in wall-clock time
+    ms.addData(Event(2, ts("2024-01-01 01:01:00"), 5, "view", 3.0))
+    runUntilRow()
+    // the first write expired before the second arrived: the counter
+    // restarts at 1 instead of reaching 2
+    assert(emitted.toArray.toSeq === Seq(1L, 1L),
+      s"expected the TTL to evict the idle key's state between runs, got ${emitted.toArray.toSeq}")
+  }
+
   test("transformWithState keeps per-user ValueState across batches (RocksDB)") {
     import spark.implicits._
     val ms = startStream()
