@@ -362,15 +362,29 @@ object HyperplaneKernel {
     * left-to-right double fold of element products (same accumulation order
     * as `aggregate(zip_with(...))` and DuckDB's list_sum, so the sign — and
     * therefore the bucket — matches the oracle bit-for-bit).
+    *
+    * Inputs that are not exactly [[Dim]] elements, or contain a null
+    * element, reproduce the lambda spec's null semantics instead of being
+    * silently truncated: `zip_with` pads the shorter side with null, the
+    * null poisons every plane's fold, and `CASE WHEN null >= 0` falls to
+    * '0' — so the bucket is all zeros for ANY malformed vector, identically
+    * in the codegen kernel, the lambda spec, and the DuckDB oracle.
     */
   def bucket(a: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
-    val n = math.min(a.numElements(), Dim)
+    val n = a.numElements()
+    var malformed = n != Dim
+    var i = 0
+    while (!malformed && i < n) { malformed = a.isNullAt(i); i += 1 }
     val bytes = new Array[Byte](NPlanes)
+    if (malformed) {
+      java.util.Arrays.fill(bytes, '0'.toByte)
+      return org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)
+    }
     var j = 0
     while (j < NPlanes) {
       val p = planes(j)
       var acc = 0.0
-      var i = 0
+      i = 0
       while (i < n) { acc += a.getFloat(i).toDouble * p(i); i += 1 }
       bytes(j) = if (acc >= 0) '1' else '0'
       j += 1

@@ -140,7 +140,16 @@ object SimilarityOps {
   /** Number of random hyperplanes for s3/e1 (2^6 = 64 buckets: ~N/64
     * vectors per bucket — the probe cost knob).
     */
-  private val NPlanes = 6
+  val NPlanes = 6
+
+  /** Bands the e1 near-dup query splits the sign bits into. With r =
+    * NPlanes/bands planes per band, P(candidate) = 1 - (1 - p^r)^bands where
+    * p = 1 - theta/pi is the per-bit agreement probability — planes-per-band
+    * bounds bucket population (candidates per band ~ N^2 / 2^r), band count
+    * buys recall linearly. SimilarityPropertySpec pins recall >= 0.9 for
+    * planted cos >= 0.9 pairs under this banding.
+    */
+  val E1Bands = 2
 
   /** Spark SQL: deterministic pseudo-random hyperplanes — component (j, i)
     * derives from the portable md5 hash, uniform in [-1, 1]. Identical
@@ -174,9 +183,39 @@ object SimilarityOps {
        |         i -> embedding[i]::DOUBLE * p[i])) >= 0 THEN '1' ELSE '0' END), '')""".stripMargin
 
   private def withBucket(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm",
-        "hyperplane_bucket(embedding) AS bucket")
+    bucketed(Tables.load(s, dir, "embeddings"))
+
+  /** Attach norm + hyperplane sign-bit bucket to any (vec_id, embedding)
+    * relation — public so tests can bucket synthetic (planted near-dup)
+    * vector sets with the exact production geometry.
+    */
+  def bucketed(df: DataFrame): DataFrame =
+    df.selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm",
+      "hyperplane_bucket(embedding) AS bucket")
+
+  /** One row per (vector, band): the bucket string split into `bands` equal
+    * slices of NPlanes/bands sign bits.
+    */
+  def hyperplaneBands(e: DataFrame, bands: Int): DataFrame = {
+    require(NPlanes % bands == 0, s"bands=$bands must divide NPlanes=$NPlanes")
+    val r = NPlanes / bands
+    e.select(col("vec_id"), explode(expr(s"sequence(0, ${bands - 1})")).as("band_idx"),
+        col("bucket"))
+      .selectExpr("vec_id", "band_idx", s"substring(bucket, 1 + $r*band_idx, $r) AS band_key")
+  }
+
+  /** Distinct candidate pairs (a < b) that agree on all bits of at least one
+    * band — the scale-safe LSH candidate generator behind e1 (equi-join on
+    * the band key, never all-pairs).
+    */
+  def bandCandidatePairs(e: DataFrame, bands: Int): DataFrame = {
+    val b = hyperplaneBands(e, bands)
+    b.select(col("band_idx"), col("band_key"), col("vec_id").as("a"))
+      .join(b.select(col("band_idx"), col("band_key"), col("vec_id").as("b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
 
   /** s3: random-hyperplane (SimHash-style) LSH ANN — the bucketed scale
     * path for cosine search: each vector hashes to a sign-bit bucket, so
@@ -237,14 +276,7 @@ object SimilarityOps {
        |FROM cand c JOIN e q ON q.vec_id = c.a JOIN e ON e.vec_id = c.b
        |WHERE $duckDot / (q.nrm * e.nrm) >= 0.4""".stripMargin) { (s, dir) =>
     val e = withBucket(s, dir)
-    val bands = e
-      .select(col("vec_id"), explode(expr("sequence(0, 1)")).as("band_idx"), col("bucket"))
-      .selectExpr("vec_id", "band_idx", "substring(bucket, 1 + 3*band_idx, 3) AS band_key")
-    val cand = bands.select(col("band_idx"), col("band_key"), col("vec_id").as("a"))
-      .join(bands.select(col("band_idx"), col("band_key"), col("vec_id").as("b")),
-        Seq("band_idx", "band_key"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val cand = bandCandidatePairs(e, E1Bands)
     // Candidates carry only ids through the band shuffle; embeddings
     // re-attach afterwards. The embeddings relation is corpus-cardinality
     // (one row per vector), so it is NOT force-broadcast: the re-attach is a

@@ -101,18 +101,16 @@ case class ProfileOffset(n: Long) extends Offset {
 class ProfileMicroBatchStream(rowsPerBatch: Long, maxRecords: Long, numPartitions: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  // Highest offset this stream instance knows about — only used by the
-  // legacy no-arg latestOffset fallback; the admission-control path is
-  // stateless (the engine passes the committed start offset back in, which
-  // is what makes checkpoint restarts exact).
-  @volatile private var highestSeen = 0L
-
   override def initialOffset(): Offset = ProfileOffset(0L)
 
-  override def latestOffset(): Offset = {
-    highestSeen = math.min(highestSeen + rowsPerBatch, maxRecords)
-    ProfileOffset(highestSeen)
-  }
+  // Legacy no-arg form: PURE — "everything this bounded source will ever
+  // have". An engine path without admission control reads the cap in one
+  // batch; the rowsPerBatch cadence lives only in the stateless
+  // latestOffset(start, limit) overload below (the path the engine actually
+  // uses, since this source implements SupportsTriggerAvailableNow). A
+  // stateful implementation here would skip records if ever called twice in
+  // a batch.
+  override def latestOffset(): Offset = ProfileOffset(maxRecords)
 
   // --- admission control (SupportsTriggerAvailableNow) -------------------
   // Trigger.AvailableNow snapshots "everything available" at start and then
@@ -134,11 +132,7 @@ class ProfileMicroBatchStream(rowsPerBatch: Long, maxRecords: Long, numPartition
 
   override def reportLatestOffset(): Offset = ProfileOffset(maxRecords)
 
-  override def deserializeOffset(json: String): Offset = {
-    val n = json.trim.toLong
-    if (n > highestSeen) highestSeen = n
-    ProfileOffset(n)
-  }
+  override def deserializeOffset(json: String): Offset = ProfileOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ProfileOffset].n

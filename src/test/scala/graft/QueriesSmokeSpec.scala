@@ -24,6 +24,26 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("q28 approx distinct counts land within the HLL++ error envelope") {
+    // q28 is rows-only in the driver gate (sketches are engine-specific), so
+    // bound it here against the exact counts: approx_count_distinct
+    // documents rsd = 0.05 default / 0.01 for the parts column, and a
+    // 5*rsd envelope is ~5 sigma — a miss means the sketch is broken, not
+    // unlucky.
+    import org.apache.spark.sql.functions._
+    val approx = graft.functions.AggregatorOps.q28.fn(spark, GraftTestSpark.sf).head()
+    val exact = graft.core.Tables.load(spark, GraftTestSpark.sf, "lineitem")
+      .agg(countDistinct(col("l_orderkey")).as("orders"),
+        countDistinct(col("l_partkey")).as("parts")).head()
+    def within(approxV: Long, exactV: Long, rsd: Double): Unit = {
+      val rel = math.abs(approxV - exactV).toDouble / exactV
+      assert(rel <= 5 * rsd,
+        s"approx $approxV vs exact $exactV: relative error $rel exceeds 5*rsd=${5 * rsd}")
+    }
+    within(approx.getLong(0), exact.getLong(0), 0.05)
+    within(approx.getLong(1), exact.getLong(1), 0.01)
+  }
+
   test("registry names are unique (duplicates would vanish in toMap)") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.length === names.length,

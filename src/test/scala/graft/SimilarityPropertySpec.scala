@@ -28,4 +28,73 @@ class SimilarityPropertySpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[HyperplaneBucket]))
   }
+
+  test("hyperplane_bucket equals the lambda spec on malformed vectors (wrong dim, null element)") {
+    // the spec's zip_with pads with null and the null poisons every plane's
+    // fold to '0' — the kernel must reproduce that, not silently truncate
+    import spark.implicits._
+    val cases = Seq(
+      Array.fill(32)(0.5f),              // too short
+      Array.fill(100)(-0.25f),           // too long
+      Array.fill(64)(1.0f)               // well-formed control
+    ).map(Tuple1(_)).toDF("embedding")
+      .union(Seq(Tuple1(Array.fill(64)(0.5f))).toDF("embedding")
+        .selectExpr("transform(embedding, (x, i) -> CASE WHEN i = 3 THEN CAST(NULL AS FLOAT) ELSE x END) AS embedding"))
+    val rows = cases.selectExpr(
+      "hyperplane_bucket(embedding) AS fast",
+      s"${SimilarityOps.bucketSparkSpec} AS spec").collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+    assert(rows.map(_.getString(0)).count(_ == "000000") === 3,
+      "all three malformed vectors must bucket to the poisoned all-zero key")
+  }
+
+  test("e1 banding recalls >= 90% of planted cos >= 0.9 near-dup pairs") {
+    // The fixtures contain NO pairs above cos 0.8 (measured: max regime is
+    // 0.4-0.5, where 2x3 banding keeps 29/59 — documented in e1), so the
+    // near-dup regime the operator is FOR is tested by planting it: each of
+    // the first 100 fixture vectors gets a lightly-perturbed twin (~2% added
+    // noise -> cos ~0.997..0.999), and the banding must recall >= 90% of the
+    // planted pairs. Geometry: at cos >= 0.99 a sign bit flips with
+    // p = theta/pi <= 0.045, so P(some 3-bit band agrees) >= 1-(1-0.87)^2
+    // ~ 0.98 — the 0.9 bar leaves room for unlucky planes, not a weak op.
+    import spark.implicits._
+    val base = graft.core.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .take(100)
+    val rnd = new scala.util.Random(7)
+    val planted = base.map { case (id, v) =>
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val twin = v.map(x => (x + rnd.nextGaussian() * 0.02 * nrm / 8).toFloat)
+      (id + 1_000_000L, twin, id)
+    }
+    // planted pairs really are in the >= 0.9 regime (exact JVM cosine)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val byId = base.toMap
+    planted.foreach { case (_, twin, origId) =>
+      assert(cos(byId(origId), twin) >= 0.9, "planting must produce a cos >= 0.9 pair")
+    }
+    val all = (base.map { case (id, v) => (id, v) } ++
+      planted.map { case (id, v, _) => (id, v) }).toSeq.toDF("vec_id", "embedding")
+    val cands = SimilarityOps
+      .bandCandidatePairs(SimilarityOps.bucketed(all), SimilarityOps.E1Bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = planted.map { case (tid, _, origId) => (origId, tid) }
+    val recalled = truePairs.count(cands.contains)
+    val recall = recalled.toDouble / truePairs.length
+    info(f"planted-pair recall at ${SimilarityOps.E1Bands}x${SimilarityOps.NPlanes / SimilarityOps.E1Bands} banding: $recall%.3f ($recalled/${truePairs.length})")
+    assert(recall >= 0.9, s"near-dup recall $recall below 0.9")
+    // knob direction: collapsing to ONE 6-bit band (fewer, finer buckets)
+    // can only shrink the candidate set — recall must not increase
+    val oneBand = SimilarityOps
+      .bandCandidatePairs(SimilarityOps.bucketed(all), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.count(oneBand.contains) <= recalled)
+    assert(oneBand.subsetOf(cands), "a 1x6 candidate must always be a 2x3 candidate")
+  }
 }
