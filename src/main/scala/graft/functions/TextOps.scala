@@ -187,5 +187,31 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6)
+  /** t7: blocklist scrub — the REWRITE member of the text family (t1-t5
+    * score and filter; this one transforms): blocklisted tokens are replaced
+    * with a placeholder and the op reports the redaction count plus a
+    * fingerprint of the scrubbed text. Token-level replacement (not regex)
+    * keeps the semantics engine-portable and the whole op a shuffle-free,
+    * codegen-friendly map stage; at scale the blocklist would arrive as a
+    * broadcast set with the identical plan shape.
+    */
+  val t7 = Q(
+    "t7_blocklist_scrub",
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('key', 'hash', 'value'))) AS n_redacted,
+      |  md5(array_to_string(list_transform(string_split(text, ' '),
+      |      w -> CASE WHEN w IN ('key', 'hash', 'value') THEN '<TERM>' ELSE w END), ' '))
+      |    AS redacted_fp
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      size(expr("filter(split(text, ' '), w -> w IN ('key', 'hash', 'value'))"))
+        .cast("long").as("n_redacted"),
+      md5(concat_ws(" ",
+        expr("transform(split(text, ' '), w -> CASE WHEN w IN ('key', 'hash', 'value') THEN '<TERM>' ELSE w END)")))
+        .as("redacted_fp"))
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7)
 }

@@ -392,5 +392,30 @@ object DedupOps {
           / (size(col("sga")) + size(col("sgb")) - col("isz")) * 20).as("sim_bucket"))
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7)
+  /** d8: the dedup DROP LIST — for every document whose normalized
+    * fingerprint collides with an earlier one, the canonical keeper it
+    * duplicates (keeper = min doc_id per fingerprint group, the d2 census
+    * turned into the actionable output a curation pipeline consumes).
+    * One window-min over the fingerprint shuffle: same single-shuffle cost
+    * as the d2 histogram, and the fingerprint groups are bounded (dup
+    * cluster size), so no skew concern at 100 TB.
+    */
+  val d8 = Q(
+    "d8_dedup_keepers",
+    """SELECT doc_id, keeper FROM (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM (
+      |    SELECT doc_id,
+      |      md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |    FROM documents) f) g
+      |WHERE doc_id <> keeper""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(s, dir, "documents")
+      .withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id", "keeper")
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Round-3 coverage: relational reshaping (pivot/unpivot), the
+  * latest-record-per-key pattern, and deterministic hash splitting — the
+  * remaining table-shape operators a curation pipeline leans on.
+  */
+object ReshapeQueries {
+
+  /** q35: PIVOT — revenue matrix of order priority x order year. The pivot
+    * values are enumerated explicitly, which is also the 100 TB stance: an
+    * implicit pivot first runs a distinct over the pivot column (an extra
+    * corpus pass) and can explode the schema; explicit values make the plan
+    * a single partial+final hash agg with a fixed output width.
+    */
+  val q35 = Q(
+    "q35_pivot_revenue",
+    """SELECT o_orderpriority,
+      |  round(sum(o_totalprice) FILTER (year(o_orderdate) = 1995), 2) AS y1995,
+      |  round(sum(o_totalprice) FILTER (year(o_orderdate) = 1996), 2) AS y1996,
+      |  round(sum(o_totalprice) FILTER (year(o_orderdate) = 1997), 2) AS y1997,
+      |  round(sum(o_totalprice) FILTER (year(o_orderdate) = 1998), 2) AS y1998,
+      |  round(sum(o_totalprice) FILTER (year(o_orderdate) = 1999), 2) AS y1999,
+      |  round(sum(o_totalprice) FILTER (year(o_orderdate) = 2000), 2) AS y2000,
+      |  round(sum(o_totalprice) FILTER (year(o_orderdate) = 2001), 2) AS y2001
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .withColumn("yr", concat(lit("y"), year(col("o_orderdate"))))
+      .groupBy(col("o_orderpriority"))
+      .pivot("yr", Seq("y1995", "y1996", "y1997", "y1998", "y1999", "y2000", "y2001"))
+      .agg(round(sum(col("o_totalprice")), 2))
+  }
+
+  /** q36: UNPIVOT (melt) — wide per-flag aggregates back to long
+    * (flag, metric, value) form. Unpivot is a per-row expression expansion
+    * (a generator, no shuffle beyond the feeding agg), so it scales as a map
+    * stage over the already-aggregated relation.
+    */
+  val q36 = Q(
+    "q36_unpivot_metrics",
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    round(sum(l_quantity), 2) AS sum_qty,
+      |    round(sum(l_extendedprice), 2) AS sum_price,
+      |    round(avg(l_discount), 4) AS avg_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+      |UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM w""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "metric", "value")
+  }
+
+  /** q37: latest record per key — the CDC/compaction pattern ("current state
+    * of every user"), ROW_NUMBER() = 1 over (key, ts DESC). At scale this is
+    * one shuffle on the key with the window evaluated per partition; the
+    * event_id tiebreak makes it deterministic under equal timestamps.
+    */
+  val q37 = Q(
+    "q37_latest_event_per_user",
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+  }
+
+  /** q38: deterministic train/val/test split (8/1/1) — hash-mod bucketing on
+    * the row key, the standard reproducible dataset-split op. The hash is
+    * the portable md5-prefix (identical in the oracle), so the SAME rows
+    * land in the same split on every engine and every run; a `rand()` split
+    * would be neither reproducible nor oracle-checkable. Pure map stage +
+    * hash agg — shuffle carries 3 rows.
+    */
+  val q38 = Q(
+    "q38_hash_split",
+    """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+      |FROM (
+      |  SELECT l_extendedprice,
+      |    ('0x' || substring(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 8))::BIGINT % 10 AS b
+      |  FROM lineitem) t
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .withColumn("b",
+        expr("CAST(conv(substring(md5(concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10"))
+      .groupBy(
+        when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test").as("split"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q37, q38)
+}
