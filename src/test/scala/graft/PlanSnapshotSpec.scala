@@ -1,0 +1,56 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan snapshots for EVERY registered query, extending
+  * PlanShapeSpec's targeted guards to the whole registry: the initial
+  * physical plan (pre-AQE, deterministic) is normalized and compared to the
+  * committed snapshot under plans/. A failing diff means the plan shape
+  * changed — broadcast became shuffle, a pushdown stopped firing, an extra
+  * exchange appeared — which is exactly the class of regression a green
+  * row-level result would hide. Re-bless intentional changes with
+  * GRAFT_UPDATE_PLANS=1 sbt test and review the plans/ diff in the commit.
+  */
+class PlanSnapshotSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+  private val sf = GraftTestSpark.sf
+  private val snapDir = new File("plans")
+
+  /** Strip run-variant noise (expression ids, codegen stage ids, paths,
+    * stats) so the snapshot captures SHAPE: operators, join strategies,
+    * exchanges, pushed filters, read schemas.
+    */
+  private def normalize(plan: String): String = plan
+    .replaceAll("#\\d+L?", "#x")
+    .replaceAll("plan_id=\\d+", "plan_id=x")
+    .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
+    .replaceAll("@[0-9a-f]{6,}\\b", "@x")
+    .replaceAll("\\*\\(\\d+\\)", "*(n)")
+    .replaceAll("\\[id=#x\\]", "")
+    .replaceAll("file:[^\\s,\\]\\)]*", "file:x")
+    .replaceAll("Location: [^\\n]*", "Location: x")
+    .replaceAll("Location\\s+\\w+\\([^)]*\\)\\[[^\\]]*\\]", "Location x")
+    .replaceAll("InMemoryFileIndex\\([^)]*\\)", "InMemoryFileIndex(x)")
+    .replaceAll(", \\d+ entries", ", n entries")
+    .trim + "\n"
+
+  SparkEntry.registry.sortBy(_.name).foreach { q =>
+    test(s"plan snapshot: ${q.name}") {
+      val plan = normalize(q.fn(spark, sf).queryExecution.executedPlan.toString)
+      val f = new File(snapDir, s"${q.name}.txt")
+      if (sys.env.contains("GRAFT_UPDATE_PLANS") || !f.exists()) {
+        snapDir.mkdirs()
+        Files.write(Paths.get(f.getPath), plan.getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      } else {
+        val expected = new String(Files.readAllBytes(Paths.get(f.getPath)), "UTF-8")
+        assert(expected == plan,
+          s"physical plan for ${q.name} changed vs plans/${q.name}.txt — " +
+            "review the shape change; if intentional, re-bless with GRAFT_UPDATE_PLANS=1")
+      }
+    }
+  }
+}
