@@ -115,5 +115,24 @@ object MiscQueries {
         count(lit(1)).as("n"))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34)
+  /** q39: approx_percentile — q34's documented 100 TB drop-in as a
+    * first-class registered op. Greenwald-Khanna sketches are mergeable, so
+    * this is a partial+final (object-hash) aggregation with bounded state —
+    * no per-group value buffering like exact percentile. Sketch
+    * interpolation is engine-specific, so the driver records a rows-only
+    * check; QueriesSmokeSpec bounds it against the exact q34 values.
+    */
+  val q39 = Q.rowsOnly("q39_approx_percentiles") { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pcts"), 1), 2).as("median_price"),
+        round(element_at(col("pcts"), 2), 2).as("p95_price"),
+        col("n"))
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34, q39)
 }

@@ -293,5 +293,49 @@ object SimilarityOps {
       .select(col("a"), col("b"), round(col("cos"), 4).as("cosine"))
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1)
+  /** e2: the audit row for e1 (ADVICE: surface the approximation) —
+    * candidate count, kept count, and the scanned fraction of all C(N,2)
+    * pairs in basis points. Read together with e1 this states exactly what
+    * the LSH traded: "scanned X% of the corpus pairs, verified C candidates,
+    * kept K". Same deterministic candidate set as e1, so the oracle replays
+    * it; one extra row of output, no extra corpus pass at scale (count +
+    * verify share e1's shape).
+    */
+  val e2 = Q(
+    "e2_embedding_neardup_audit",
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm,
+       |  $bucketDuck AS bucket
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, j AS band_idx, substring(bucket, 1 + 3*j, 3) AS band_key
+       |  FROM e, (SELECT unnest(generate_series(0, 1)) AS j) t),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.vec_id < y.vec_id),
+       |n AS (SELECT count(*) AS n FROM e),
+       |scored AS (
+       |  SELECT CASE WHEN $duckDot / (q.nrm * e.nrm) >= 0.4 THEN 1 ELSE 0 END AS kept
+       |  FROM cand c JOIN e q ON q.vec_id = c.a JOIN e ON e.vec_id = c.b)
+       |SELECT count(*)::BIGINT AS n_candidates,
+       |  sum(kept)::BIGINT AS n_kept,
+       |  (count(*) * 10000 // (max(n.n) * (max(n.n) - 1) / 2))::BIGINT AS scanned_bps
+       |FROM scored, n""".stripMargin) { (s, dir) =>
+    val e = withBucket(s, dir)
+    val cand = bandCandidatePairs(e, E1Bands)
+    val n = e.agg(count(lit(1)).as("n"))
+    cand
+      .join(e.selectExpr("vec_id AS a", "embedding AS aemb", "nrm AS anrm"), Seq("a"))
+      .join(e.selectExpr("vec_id AS b", "embedding AS bemb", "nrm AS bnrm"), Seq("b"))
+      .select(when(expr(s"${dotExpr("aemb", "bemb")} / (anrm * bnrm)") >= 0.4, 1L)
+        .otherwise(0L).as("kept"))
+      .join(broadcast(n))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(col("kept")).as("n_kept"),
+        floor(count(lit(1)) * 10000 / (max(col("n")) * (max(col("n")) - 1) / 2))
+          .cast("long").as("scanned_bps"))
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2)
 }

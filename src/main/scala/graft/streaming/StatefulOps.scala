@@ -89,6 +89,21 @@ object StatefulOps {
       .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
   }
 
+  /** STREAMING normalized dedup — the reference's north-star dedup applied
+    * to a document stream: each doc is fingerprinted with the SAME
+    * order-insensitive token-set md5 the batch family uses (d2 census, d8
+    * drop list, t4 fingerprint), then `dropDuplicates` on the fingerprint
+    * keeps the first arrival of each content class. State is one fingerprint
+    * per distinct content — the streaming twin of d8's keeper rule (first
+    * arrival ~ min doc_id under ordered ingest). Pass a watermarked frame
+    * and swap in dropDuplicatesWithinWatermark when the dedup horizon is
+    * finite — same fingerprint, bounded state.
+    */
+  def dedupDocStream(docs: DataFrame): DataFrame =
+    docs.withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+      .dropDuplicates("fp")
+
   /** LEFT-OUTER stream-stream interval join: like [[clickErrorJoin]] but an
     * error with no matching click still emits — with a null click_id — once
     * the watermark proves no qualifying click can still arrive. The

@@ -37,7 +37,15 @@ class PlanSnapshotSpec extends AnyFunSuite {
     .replaceAll(", \\d+ entries", ", n entries")
     .trim + "\n"
 
-  SparkEntry.registry.sortBy(_.name).foreach { q =>
+  /** Queries whose plan STRING is not stable across JVMs: d1 computes two
+    * countDistincts, and RewriteDistinctAggregates' Expand assigns the gid
+    * per distinct-expression-set in hash order, which varies run to run.
+    * The shape (Expand -> 3x HashAggregate) is still guarded by the partial
+    * -agg PlanShapeSpec test; only the byte-exact snapshot is skipped.
+    */
+  private val unstable = Set("d1_exact_dedup_census")
+
+  SparkEntry.registry.sortBy(_.name).filterNot(q => unstable(q.name)).foreach { q =>
     test(s"plan snapshot: ${q.name}") {
       val plan = normalize(q.fn(spark, sf).queryExecution.executedPlan.toString)
       val f = new File(snapDir, s"${q.name}.txt")

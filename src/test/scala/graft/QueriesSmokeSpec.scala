@@ -44,6 +44,23 @@ class QueriesSmokeSpec extends AnyFunSuite {
     within(approx.getLong(1), exact.getLong(1), 0.01)
   }
 
+  test("q39 approx percentiles land within 2% of the exact q34 values") {
+    // q39 is rows-only in the driver gate (sketch interpolation is
+    // engine-specific); bound it against exact percentile here. At accuracy
+    // 10000 the GK rank error is n/10000 ranks — far inside 2% in value on
+    // this price distribution.
+    val approx = graft.operators.MiscQueries.q39.fn(spark, GraftTestSpark.sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.operators.MiscQueries.q34.fn(spark, GraftTestSpark.sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, (m, p95)) =>
+      val (am, ap95) = approx(flag)
+      assert(math.abs(am - m) / m <= 0.02, s"$flag median: approx $am vs exact $m")
+      assert(math.abs(ap95 - p95) / p95 <= 0.02, s"$flag p95: approx $ap95 vs exact $p95")
+    }
+  }
+
   test("registry names are unique (duplicates would vanish in toMap)") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.length === names.length,

@@ -190,6 +190,24 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(n === 1)
   }
 
+  test("streaming dedup drops token-permuted duplicates via the batch fingerprint") {
+    import spark.implicits._
+    implicit val ctx: SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StatefulOps.dedupDocStream(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("docdedup_out").outputMode("append").start()
+    ms.addData(1L -> "spark shuffles data fast")
+    q.processAllAvailable()
+    // a later doc with the SAME token set in a different order and with a
+    // repeated token is the same content class -> dropped across batches
+    ms.addData(2L -> "fast data shuffles spark spark", 3L -> "entirely new words here")
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM docdedup_out ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(kept === Seq(1L, 3L), s"permuted duplicate must be dropped, got $kept")
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     val ms = startStream()
