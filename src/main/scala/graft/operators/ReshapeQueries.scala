@@ -106,5 +106,29 @@ object ReshapeQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q37, q38)
+  /** q41: time-RANGE window frame — each event's trailing 1-hour sum of
+    * value for its user, framed on exact integer MICROSECONDS
+    * (unix_micros / epoch_us; the fixtures carry sub-second components, so
+    * second-granularity framing would disagree between engines at the
+    * boundary). RANGE frames are the time-series surface rows-between
+    * cannot express: the frame follows the clock, not the row count. One
+    * shuffle on the key; per-partition sort + sliding accumulator.
+    */
+  val q41 = Q(
+    "q41_time_range_window",
+    """SELECT user_id, event_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS trailing_1h,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_in_window
+      |FROM events""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 2).as("trailing_1h"),
+        count(lit(1)).over(w).as("n_in_window"))
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q37, q38, q41)
 }

@@ -135,5 +135,32 @@ object ScalarFunctionQueries {
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
   }
 
-  val all: Seq[Q] = Seq(q19, q20, q21, q22, q23)
+  /** q40: STRUCT functions — construct (named_struct), explode an array of
+    * structs built with a higher-order transform, and field-access the
+    * pieces back out. Completes the complex-type family (q22 arrays, q29
+    * maps, q23 JSON). Struct construction is pure projection — codegen'd,
+    * shuffle-free — and `explode` of a bounded 8-element array is a bounded
+    * generator, so the op is a map stage at any scale.
+    */
+  val q40 = Q(
+    "q40_struct_functions",
+    """SELECT vec_id, s.idx AS idx, round(s.val, 6) AS val,
+      |  round(s.val * s.idx, 6) AS weighted
+      |FROM (
+      |  SELECT vec_id,
+      |    unnest(list_transform(generate_series(1, 8),
+      |      i -> struct_pack(idx := i::BIGINT, val := embedding[i]::DOUBLE))) AS s
+      |  FROM embeddings WHERE vec_id < 50) t""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), explode(expr(
+        """transform(sequence(1, 8),
+          |  i -> named_struct('idx', CAST(i AS BIGINT), 'val', CAST(element_at(embedding, i) AS DOUBLE)))""".stripMargin))
+        .as("s"))
+      .select(col("vec_id"), col("s.idx").as("idx"),
+        round(col("s.val"), 6).as("val"),
+        round(col("s.val") * col("s.idx"), 6).as("weighted"))
+  }
+
+  val all: Seq[Q] = Seq(q19, q20, q21, q22, q23, q40)
 }
