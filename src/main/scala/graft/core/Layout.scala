@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Data-layout maintenance: small-file compaction and range clustering.
+  *
+  * At 100 TB the dominant failure mode of a long-lived table is not a wrong
+  * plan but a degraded LAYOUT: streaming sinks and over-parallel writers
+  * leave thousands of KB-sized files per partition, and every downstream
+  * scan pays per-file open/footer costs plus driver-side listing memory.
+  * Compaction is the standing maintenance job that rewrites a directory at
+  * a target file size; clustering additionally range-partitions and sorts
+  * by chosen columns so parquet row-group min/max stats prune reads for
+  * range predicates (the poor man's Z-order, and the right one for
+  * single-column locality).
+  */
+object Layout {
+
+  /** Total bytes of the parquet data files under `dir` (measured, not
+    * estimated — the compaction decision should follow the real layout).
+    */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile)
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
+
+  /** Rewrite the parquet directory `inDir` into `outDir` with file count
+    * chosen from the MEASURED input size and a target file size (default
+    * 128 MiB — one HDFS-ish block, the classic sweet spot between listing
+    * overhead and scan parallelism). Returns the file count written.
+    *
+    * With `clusterBy` columns, rows are range-partitioned and sorted within
+    * each file on those columns: files then hold disjoint key ranges and
+    * row-group stats make range scans skip whole files. A plain compaction
+    * (clusterBy empty) is one round-robin shuffle; clustering is one range
+    * shuffle + per-partition sort — either way a single pass over the data,
+    * which is the budget any 100 TB maintenance job must hold.
+    */
+  def compactParquet(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetFileBytes: Long = 128L << 20,
+      clusterBy: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val df = spark.read.parquet(inDir)
+    val total = dataBytes(spark, inDir)
+    val nFiles = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+    val shaped =
+      if (clusterBy.isEmpty) df.repartition(nFiles)
+      else {
+        val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+        df.repartitionByRange(nFiles, cols: _*).sortWithinPartitions(cols: _*)
+      }
+    shaped.write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+}
