@@ -134,5 +134,31 @@ object MiscQueries {
         col("n"))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34, q39)
+  /** q42: multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    * MULTIPLICITIES (q17 covers the distinct forms): a user who clicked 5
+    * times and errored twice contributes 2 to the intersection and 3 to the
+    * difference. Spark plans these as aggregate+generate over a count
+    * column — partial-agg friendly, one shuffle on the compared columns.
+    */
+  val q42 = Q(
+    "q42_setops_all",
+    """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+      |     e AS (SELECT user_id FROM events WHERE event_type = 'error')
+      |SELECT 'intersect_all' AS op, count(*) AS n
+      |  FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM e) t
+      |UNION ALL
+      |SELECT 'except_all', count(*) FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM e) t
+      |UNION ALL
+      |SELECT 'union_all', count(*) FROM (SELECT * FROM c UNION ALL SELECT * FROM e) t""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val c = ev.filter(col("event_type") === "click").select("user_id")
+    val e = ev.filter(col("event_type") === "error").select("user_id")
+    def counted(op: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    counted("intersect_all", c.intersectAll(e))
+      .union(counted("except_all", c.exceptAll(e)))
+      .union(counted("union_all", c.unionAll(e)))
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34, q39, q42)
 }

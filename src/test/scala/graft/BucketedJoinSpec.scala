@@ -11,7 +11,13 @@ import graft.core.Tables
   * local merge per bucket.
   */
 class BucketedJoinSpec extends AnyFunSuite {
-  private lazy val spark = GraftTestSpark.spark
+  // ISOLATED session (shared SparkContext, private SQLConf): this suite
+  // disables autoBroadcastJoinThreshold for its assertion, and sbt runs
+  // suites in parallel against one session — mutating the SHARED conf here
+  // raced PlanSnapshotSpec (a broadcast-shaped query planned during the
+  // window snapshotted as SortMergeJoin). Conf-mutating suites must never
+  // touch GraftTestSpark.spark's conf directly.
+  private lazy val spark = GraftTestSpark.spark.newSession()
 
   test("bucketed fact-fact join plans with no Exchange") {
     // clear any orphan warehouse leftovers from earlier test JVMs

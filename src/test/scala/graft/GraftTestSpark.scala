@@ -11,6 +11,12 @@ object GraftTestSpark {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // PlanSnapshotSpec: scan metadata (DataFilters/PushedFilters) is
+      // truncated at this many RAW chars — raw expression ids lengthen as
+      // the shared session ages (#123 vs #45231), so the default 100 made
+      // the post-normalization truncation point drift between runs. Large
+      // enough = never truncate = stable snapshots.
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

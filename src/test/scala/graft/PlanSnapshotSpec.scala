@@ -55,9 +55,18 @@ class PlanSnapshotSpec extends AnyFunSuite {
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       } else {
         val expected = new String(Files.readAllBytes(Paths.get(f.getPath)), "UTF-8")
+        if (expected != plan) {
+          // dump the offender for diffing (target/, not committed)
+          val failed = new File("target/failed-plans")
+          failed.mkdirs()
+          Files.write(Paths.get(s"target/failed-plans/${q.name}.txt"),
+            plan.getBytes("UTF-8"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        }
         assert(expected == plan,
-          s"physical plan for ${q.name} changed vs plans/${q.name}.txt — " +
-            "review the shape change; if intentional, re-bless with GRAFT_UPDATE_PLANS=1")
+          s"physical plan for ${q.name} changed vs plans/${q.name}.txt (actual dumped to " +
+            s"target/failed-plans/${q.name}.txt) — review the shape change; " +
+            "if intentional, re-bless with GRAFT_UPDATE_PLANS=1")
       }
     }
   }
