@@ -446,7 +446,28 @@ object RelationalQueries {
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin)
   }
 
+  /** CORRELATED scalar subquery — the same question as q24 (customers above
+    * their nation's average balance) but phrased as a per-row correlated
+    * aggregate, which exercises Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery): the subquery becomes a grouped
+    * aggregate joined back on the correlation key — one agg + one join, NOT
+    * a per-row re-scan. q24's window formulation must return the identical
+    * rows (cross-checked in the suite); which plan wins at scale depends on
+    * group count vs row width, so the engine supports both phrasings.
+    */
+  val q43 = Q(
+    "q43_correlated_scalar_subquery",
+    """SELECT c_custkey FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_custkey FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25)
+    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43)
 }

@@ -61,6 +61,16 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("q43 correlated subquery agrees with q24's window formulation") {
+    // two independent phrasings of "above nation average" — decorrelated
+    // aggregate+join vs window — must select the same customers
+    val sub = graft.operators.RelationalQueries.q43.fn(spark, GraftTestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    val win = graft.operators.RelationalQueries.q24.fn(spark, GraftTestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(sub.nonEmpty && sub === win)
+  }
+
   test("registry names are unique (duplicates would vanish in toMap)") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.length === names.length,
