@@ -25,6 +25,34 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    // Isolated session: skew detection thresholds are global conf, and this
+    // suite must not perturb parallel suites' plans (same discipline as
+    // BucketedJoinSpec). Thresholds are shrunk so the fixture-scale skew
+    // trips the same code path a 100 TB hot key would.
+    val s = GraftTestSpark.spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // one hot key holding ~90% of the left side
+    val left = s.range(0, 200000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = s.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("attr"))
+    val j = left.join(right, "k").groupBy().agg(count(lit(1)).as("n"), sum("attr").as("s"))
+    val n = j.collect().head.getLong(0)
+    assert(n === 200000L - (200000L / 10) + 100, s"join result wrong: $n") // hot key 7 matches + ids<1000 divisible by 10
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected AQE to mark the skewed join split in the final plan:\n$plan")
+  }
+
   test("saltedSum equals the plain aggregation") {
     val li = Tables.load(spark, sf, "lineitem")
     val plain = li.groupBy(col("l_returnflag")).agg(sum("l_quantity")).collect()
