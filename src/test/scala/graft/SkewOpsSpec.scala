@@ -53,6 +53,31 @@ class SkewOpsSpec extends AnyFunSuite {
       s"expected AQE to mark the skewed join split in the final plan:\n$plan")
   }
 
+  test("runtime Bloom filter is injected on the probe side of a selective join") {
+    // At 100 TB the optimizer's runtime row-level filtering is a major scan
+    // saver: a selective dimension filter becomes a Bloom filter evaluated
+    // on the fact side BEFORE the shuffle. Thresholds here are shrunk so
+    // fixture-sized relations take the same code path (isolated session).
+    val s = GraftTestSpark.spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join, the case that matters
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(s, sf, "lineitem")
+    val o = Tables.load(s, sf, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy().agg(count(lit(1)).as("n"))
+    val planned = j.queryExecution.executedPlan.toString
+    assert(planned.contains("might_contain"),
+      s"expected a runtime Bloom filter (might_contain) on the lineitem probe side:\n$planned")
+    // and it must not change the answer
+    val expected = li.join(Tables.load(s, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(j.collect().head.getLong(0) === expected)
+  }
+
   test("saltedSum equals the plain aggregation") {
     val li = Tables.load(spark, sf, "lineitem")
     val plain = li.groupBy(col("l_returnflag")).agg(sum("l_quantity")).collect()
