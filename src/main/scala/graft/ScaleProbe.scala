@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder probe for the three operators whose joins became
+  * size-adaptive in round 3 (d4 LSH verify, e1 embedding near-dup, t6
+  * TF-IDF): runs each on 1x/4x/16x synthetic multiples of the corpus and
+  * prints per-step wall times as one JSON line. The multiplied corpus gives
+  * every clone distinct ids (shifted doc_id/vec_id) and perturbed content
+  * (a suffix token per clone / one perturbed vector element), so candidate
+  * structures GROW with the corpus instead of collapsing onto duplicate
+  * keys.
+  *
+  * This is evidence, not proof: near-linear growth here means the shapes
+  * hold while relative relation sizes shift; the 100x claim rests on the
+  * plan invariants guarded in PlanShapeSpec (no corpus-sized broadcast
+  * hints, no arrays on the band-key shuffle).
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+
+  /** documents unioned `k` times: clone i shifts doc_id by i*10M and appends
+    * a clone-specific token so normalized fingerprints and word sets differ.
+    */
+  private def docsTimes(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val base = graft.core.Tables.load(spark, dir, "documents")
+    (0 until k).map { i =>
+      base.select(
+        (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+        concat(col("text"), lit(s" clonetok$i")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+  }
+
+  /** embeddings unioned `k` times with shifted vec_id and the first element
+    * nudged per clone (keeps vectors near their original — the LSH buckets
+    * stay populated — without exact duplicates).
+    */
+  private def vecsTimes(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val base = graft.core.Tables.load(spark, dir, "embeddings")
+    (0 until k).map { i =>
+      base.select(
+        (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, j) -> CASE WHEN j = 0 THEN CAST(x + ${i * 0.01}f AS FLOAT) ELSE x END)")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ union _)
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.getOrCreate()
+    val ladder = Seq(1, 4, 16)
+
+    val results = ladder.map { k =>
+      val docs = docsTimes(spark, dir, k).cache()
+      val vecs = vecsTimes(spark, dir, k).cache()
+      docs.count(); vecs.count() // materialize inputs outside the timings
+      docs.createOrReplaceTempView("probe_documents")
+      vecs.createOrReplaceTempView("probe_embeddings")
+
+      // d4 shape over the multiplied docs: signature -> capped bands ->
+      // paired candidates -> doc_id-keyed verify join (the size-adaptive one)
+      val d4t = time {
+        val sig = docs.selectExpr("doc_id", "word_hashes(text) AS whashes")
+          .selectExpr("doc_id", "minhash16(whashes) AS sig")
+        val bands = sig.select(col("doc_id"), col("sig"),
+            explode(expr("sequence(0, 1)")).as("band_idx"))
+          .selectExpr("doc_id", "band_idx",
+            "md5(array_join(transform(slice(sig, 8*band_idx + 1, 8), x -> CAST(x AS STRING)), '-')) AS band_key")
+        val sizes = bands.groupBy("band_idx", "band_key").agg(count(lit(1)).as("c"))
+        val oversize = sizes.filter(col("c") > graft.operators.DedupOps.BucketCap)
+        val kept = bands.join(broadcast(oversize.select("band_idx", "band_key")),
+          Seq("band_idx", "band_key"), "left_anti")
+        val cand = kept.as("x").join(kept.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        val sets = docs.selectExpr("doc_id", "array_sort(array_distinct(word_hashes(text))) AS ws")
+          .withColumn("sz", size(col("ws")))
+        cand
+          .join(sets.select(col("doc_id").as("a"), col("ws").as("wsa"), col("sz").as("sza")), Seq("a"))
+          .join(sets.select(col("doc_id").as("b"), col("ws").as("wsb"), col("sz").as("szb")), Seq("b"))
+          .select(floor(expr("sorted_intersect_count(wsa, wsb)").cast("double")
+            / (col("sza") + col("szb") - expr("sorted_intersect_count(wsa, wsb)")) * 20).as("sim_bucket"))
+          .groupBy("sim_bucket").agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+
+      // e1 shape over multiplied embeddings: banded candidates ->
+      // vec_id-keyed verify. Geometry SCALES with the corpus: planes-per-
+      // band r grows by log2(k) so band-bucket populations stay bounded
+      // (fixture k=1 keeps the production 2x3 key; 16x uses 2x7 = 128
+      // buckets/band). With the fixed 6-bit key this stage measured 68 s at
+      // 16x — quadratic in corpus size — vs near-linear with the widened key.
+      // r = 3 + log2(k) holds per-bucket population ~constant (N/2^r)
+      val r = 3 + (31 - Integer.numberOfLeadingZeros(k)) // 3, 5, 7 for k = 1, 4, 16
+      val e1t = time {
+        val sim = graft.operators.SimilarityOps
+        val e = if (k == 1) sim.bucketed(vecs) else sim.bucketedWith(vecs, 2 * r)
+        val cand = sim.bandCandidatePairs(e, sim.E1Bands, 2 * r)
+        cand
+          .join(e.selectExpr("vec_id AS a", "embedding AS aemb", "nrm AS anrm"), Seq("a"))
+          .join(e.selectExpr("vec_id AS b", "embedding AS bemb", "nrm AS bnrm"), Seq("b"))
+          .selectExpr("a", "b", "vec_dot(aemb, bemb) / (anrm * bnrm) AS cos")
+          .filter(col("cos") >= 0.4)
+          .write.format("noop").mode("overwrite").save()
+      }
+
+      // t6 shape: tf + df aggs, term-keyed join (vocabulary grows with clones)
+      val t6t = time {
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val scored = tf.join(df, Seq("term")).join(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+
+      docs.unpersist(); vecs.unpersist()
+      System.gc()
+      System.err.println(f"[scale] ${k}%2dx  d4=${d4t}%7.2f s  e1=${e1t}%7.2f s  t6=${t6t}%7.2f s")
+      k -> (d4t, e1t, t6t)
+    }
+
+    val json = results.map { case (k, (a, b, c)) =>
+      s""""${k}x":{"d4":$a,"e1":$b,"t6":$c}"""
+    }.mkString("{\"metric\":\"scale_ladder\",", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

@@ -345,12 +345,21 @@ object HyperplaneKernel {
   val NPlanes = 6
   val Dim = 64
 
+  /** Widest geometry the kernel pre-derives. The fixture operators use the
+    * first [[NPlanes]]; larger corpora need more sign bits — planes-per-band
+    * must grow ~log2(N) to keep band-bucket populations (and therefore
+    * candidate pairs) bounded, which is the e1 scale knob measured by
+    * [[graft.ScaleProbe]].
+    */
+  val MaxPlanes = 24
+
   /** plane(j)(i) = ((first-8-hex-chars-of md5("p"+(j*64+i)) as int) % 2001
-    * - 1000) / 1000.0 — exactly `planesSpark`/`planesDuck` in SimilarityOps.
+    * - 1000) / 1000.0 — exactly `planesSpark`/`planesDuck` in SimilarityOps
+    * for j < NPlanes, extended by the same formula beyond.
     */
   val planes: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NPlanes, Dim) { (j, i) =>
+    Array.tabulate(MaxPlanes, Dim) { (j, i) =>
       md.reset()
       val hex = md.digest(s"p${j * Dim + i}".getBytes("UTF-8"))
         .take(4).map(b => f"${b & 0xff}%02x").mkString
@@ -370,18 +379,22 @@ object HyperplaneKernel {
     * '0' — so the bucket is all zeros for ANY malformed vector, identically
     * in the codegen kernel, the lambda spec, and the DuckDB oracle.
     */
-  def bucket(a: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+  def bucket(a: ArrayData): org.apache.spark.unsafe.types.UTF8String =
+    bucket(a, NPlanes)
+
+  def bucket(a: ArrayData, nPlanes: Int): org.apache.spark.unsafe.types.UTF8String = {
+    require(nPlanes > 0 && nPlanes <= MaxPlanes, s"nPlanes must be in [1, $MaxPlanes]")
     val n = a.numElements()
     var malformed = n != Dim
     var i = 0
     while (!malformed && i < n) { malformed = a.isNullAt(i); i += 1 }
-    val bytes = new Array[Byte](NPlanes)
+    val bytes = new Array[Byte](nPlanes)
     if (malformed) {
       java.util.Arrays.fill(bytes, '0'.toByte)
       return org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)
     }
     var j = 0
-    while (j < NPlanes) {
+    while (j < nPlanes) {
       val p = planes(j)
       var acc = 0.0
       i = 0
@@ -407,6 +420,31 @@ case class HyperplaneBucket(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.HyperplaneKernel.bucket($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hyperplane_bucket_n(embedding, n)`: the [[HyperplaneBucket]] sign-bit
+  * key widened to `n` planes (a compile-time literal, up to
+  * [[HyperplaneKernel.MaxPlanes]]). The first 6 bits are identical to
+  * `hyperplane_bucket` — same deterministic plane formula — so widening is
+  * purely additive. This is the e1 scale knob made operable: a 16x corpus
+  * keeps band-bucket populations bounded by banding a wider key (e.g. 2x8
+  * instead of 2x3), which [[graft.ScaleProbe]] measures.
+  */
+case class HyperplaneBucketN(child: Expression, nPlanes: Int) extends UnaryExpression {
+  require(nPlanes > 0 && nPlanes <= HyperplaneKernel.MaxPlanes,
+    s"hyperplane_bucket_n: n must be in [1, ${HyperplaneKernel.MaxPlanes}]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneKernel.bucket(input.asInstanceOf[ArrayData], nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HyperplaneKernel.bucket($a, $nPlanes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -438,6 +476,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
       (exprs: Seq[Expression]) => HyperplaneBucket(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket_n"),
+      new ExpressionInfo(classOf[HyperplaneBucketN].getName, "hyperplane_bucket_n"),
+      (exprs: Seq[Expression]) => HyperplaneBucketN(exprs.head,
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_bucket_n: n must be an integer literal, got $other")
+        })))
     e.injectFunction((
       new FunctionIdentifier("word_hashes"),
       new ExpressionInfo(classOf[WordHashes].getName, "word_hashes"),

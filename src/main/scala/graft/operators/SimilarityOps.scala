@@ -193,12 +193,23 @@ object SimilarityOps {
     df.selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm",
       "hyperplane_bucket(embedding) AS bucket")
 
-  /** One row per (vector, band): the bucket string split into `bands` equal
-    * slices of NPlanes/bands sign bits.
+  /** [[bucketed]] with a WIDENED sign-bit key (`hyperplane_bucket_n`): the
+    * large-corpus geometry. Planes-per-band must grow ~log2(N) to keep
+    * band-bucket populations bounded — with the fixture's 6-bit key a 3-bit
+    * band has only 8 buckets, so candidate pairs grow quadratically with
+    * corpus size (measured in ScaleProbe: 16x corpus, 57x time). The first
+    * 6 bits equal the fixture key, so widening only ever SHRINKS buckets.
     */
-  def hyperplaneBands(e: DataFrame, bands: Int): DataFrame = {
-    require(NPlanes % bands == 0, s"bands=$bands must divide NPlanes=$NPlanes")
-    val r = NPlanes / bands
+  def bucketedWith(df: DataFrame, nPlanes: Int): DataFrame =
+    df.selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm",
+      s"hyperplane_bucket_n(embedding, $nPlanes) AS bucket")
+
+  /** One row per (vector, band): the bucket string split into `bands` equal
+    * slices of nPlanes/bands sign bits.
+    */
+  def hyperplaneBands(e: DataFrame, bands: Int, nPlanes: Int = NPlanes): DataFrame = {
+    require(nPlanes % bands == 0, s"bands=$bands must divide nPlanes=$nPlanes")
+    val r = nPlanes / bands
     e.select(col("vec_id"), explode(expr(s"sequence(0, ${bands - 1})")).as("band_idx"),
         col("bucket"))
       .selectExpr("vec_id", "band_idx", s"substring(bucket, 1 + $r*band_idx, $r) AS band_key")
@@ -206,10 +217,11 @@ object SimilarityOps {
 
   /** Distinct candidate pairs (a < b) that agree on all bits of at least one
     * band — the scale-safe LSH candidate generator behind e1 (equi-join on
-    * the band key, never all-pairs).
+    * the band key, never all-pairs). `nPlanes` must match the width of the
+    * bucket column in `e` ([[bucketed]] = 6, [[bucketedWith]] = caller's).
     */
-  def bandCandidatePairs(e: DataFrame, bands: Int): DataFrame = {
-    val b = hyperplaneBands(e, bands)
+  def bandCandidatePairs(e: DataFrame, bands: Int, nPlanes: Int = NPlanes): DataFrame = {
+    val b = hyperplaneBands(e, bands, nPlanes)
     b.select(col("band_idx"), col("band_key"), col("vec_id").as("a"))
       .join(b.select(col("band_idx"), col("band_key"), col("vec_id").as("b")),
         Seq("band_idx", "band_key"))

@@ -48,6 +48,22 @@ class SimilarityPropertySpec extends AnyFunSuite {
       "all three malformed vectors must bucket to the poisoned all-zero key")
   }
 
+  test("hyperplane_bucket_n widens the key additively (6-bit prefix identical)") {
+    // the widened key is the e1 scale knob: first 6 bits must equal the
+    // fixture key exactly (same plane formula), so widening only ever
+    // SPLITS buckets — never reshuffles vectors between them
+    val rows = graft.core.Tables.load(spark, sf, "embeddings")
+      .selectExpr(
+        "hyperplane_bucket(embedding) AS narrow",
+        "hyperplane_bucket_n(embedding, 14) AS wide")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1).length === 14)
+      assert(r.getString(1).startsWith(r.getString(0)))
+    }
+  }
+
   test("e1 banding recalls >= 90% of planted cos >= 0.9 near-dup pairs") {
     // The fixtures contain NO pairs above cos 0.8 (measured: max regime is
     // 0.4-0.5, where 2x3 banding keeps 29/59 — documented in e1), so the
