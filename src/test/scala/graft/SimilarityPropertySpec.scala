@@ -112,5 +112,16 @@ class SimilarityPropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truePairs.count(oneBand.contains) <= recalled)
     assert(oneBand.subsetOf(cands), "a 1x6 candidate must always be a 2x3 candidate")
+    // the SCALE geometry (widened 2x7 key, the 16x-corpus shape from
+    // ScaleProbe) must still recall true near-dups: per-bit agreement for
+    // cos ~0.997 is ~0.97, so P(some 7-bit band agrees) ~ 0.96 — the 0.85
+    // bar is ~8 sigma below the mean over 100 planted pairs. Widening
+    // bounds the buckets without giving up the near-dup regime.
+    val wide = SimilarityOps
+      .bandCandidatePairs(SimilarityOps.bucketedWith(all, 14), 2, 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wideRecall = truePairs.count(wide.contains).toDouble / truePairs.length
+    info(f"planted-pair recall at widened 2x7 banding: $wideRecall%.3f")
+    assert(wideRecall >= 0.85, s"widened-geometry recall $wideRecall below 0.85")
   }
 }
