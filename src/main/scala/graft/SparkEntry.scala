@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Q
 import graft.functions.{AggregatorOps, TextOps}
 import graft.multimodal.MultimodalOps
-import graft.operators.{DedupOps, MiscQueries, RelationalQueries, ReshapeQueries, ScalarFunctionQueries, SimilarityOps, SkewOps}
+import graft.operators.{ClusterOps, CurationOps, DedupOps, MiscQueries, RelationalQueries, ReshapeQueries, ScalarFunctionQueries, SimilarityOps, SkewOps}
 import graft.streaming.WindowQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,7 @@ object SparkEntry {
     RelationalQueries.all ++ ScalarFunctionQueries.all ++ TextOps.all ++
       DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all ++
       WindowQueries.all ++ AggregatorOps.all ++ MiscQueries.all ++ SkewOps.all ++
-      ReshapeQueries.all
+      ReshapeQueries.all ++ ClusterOps.all ++ CurationOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

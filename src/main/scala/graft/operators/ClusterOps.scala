@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Transitive near-duplicate clustering — the step a production dedup
+  * pipeline runs AFTER pair generation: near-dup pairs (d7's capped SimHash
+  * ham <= 3 LSH candidates) are closed into connected components, each
+  * component elects a canonical keeper (min doc_id), and the corpus is
+  * scrubbed down to keepers + singletons. d8 does this for EXACT duplicates
+  * with one window; near-dup similarity is not transitive, so the industry
+  * convention (and the reference point for MinHash dedup at scale) is the
+  * connected-component closure of the pair graph.
+  *
+  * Algorithm: iterative hash-min label propagation over the undirected pair
+  * graph. comp(v) starts at v; each round replaces it with the min over the
+  * closed neighborhood; the fixpoint labels every node with the smallest
+  * doc_id reachable from it. Each round is one equi-join keyed on the node
+  * id plus one partial+final min-aggregation — both shuffle on
+  * high-cardinality ids, so every round scales like any keyed agg; the
+  * frontier is localCheckpoint'ed each round so lineage (and the plan fed to
+  * each job) stays flat instead of growing with the iteration count.
+  * Each round ends with a path-halving pointer jump (comp(v) := comp(comp(v)))
+  * so label distance squares per round — O(log diameter) rounds total, the
+  * same round bound as the published large-star/small-star algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC '14) with a simpler per-round plan (join + min-agg + self-join).
+  *
+  * The per-round convergence probe (`isEmpty` of the improved-label
+  * frontier) and the checkpoint materializations are scalar driver-side
+  * control flow over distributed jobs — no row data is ever collected.
+  */
+object ClusterOps {
+
+  /** Fixpoint guard: hash-min needs one round per hop of graph diameter.
+    * 64 rounds covers any component whose diameter a dedup pipeline could
+    * plausibly produce (a 64-hop chain of pairwise near-dups); hitting the
+    * cap means the input graph is pathological and the labels would be
+    * WRONG, so that is an error, not a truncation.
+    */
+  val MaxRounds = 64
+
+  /** Connected components of the undirected graph given as (a, b) pairs.
+    * Returns (doc_id, component) for every node that appears in a pair,
+    * where component = min doc_id of the node's component.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    // round-0 fused into init: comp(v) = min(v, min neighbor) directly off
+    // the edge list — one agg instead of a distinct plus a full first round
+    var comp = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("comp"))
+      .localCheckpoint()
+    var round = 0
+    while (round < MaxRounds) {
+      // min label over the closed neighborhood: every node is its own
+      // neighbor via the comp join below (least(comp, nbrmin))
+      val nbrMin = edges
+        .join(comp.select(col("node").as("v"), col("comp").as("vcomp")), Seq("v"))
+        .groupBy(col("u"))
+        .agg(min(col("vcomp")).as("nbrmin"))
+      val prop = comp
+        .join(nbrMin.select(col("u").as("node"), col("nbrmin")), Seq("node"))
+        .select(col("node"), least(col("comp"), col("nbrmin")).as("comp"),
+          (col("nbrmin") < col("comp")).as("improved"))
+        .localCheckpoint()
+      // path halving (pointer jumping): comp(v) := comp(comp(v)). Labels are
+      // node ids, so the label's own fresher label is one self-join away —
+      // this squares the propagation distance per round, so convergence is
+      // O(log diameter) rounds instead of O(diameter). The join keys by the
+      // label value; labels skew toward component minima, but a component's
+      // label side has ONE row per label (prop is keyed by node), so the
+      // fan-out is bounded by component size — same bound as nbrMin's
+      // groupBy, and AQE's skew split applies to both.
+      val next = prop.as("a")
+        .join(prop.select(col("node").as("pnode"), col("comp").as("pcomp")).as("b"),
+          col("a.comp") === col("b.pnode"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("b.pcomp"), col("a.comp")).as("comp"),
+          (col("a.improved") ||
+            coalesce(col("b.pcomp"), col("a.comp")) < col("a.comp")).as("improved"))
+        .localCheckpoint()
+      val done = next.filter(col("improved")).isEmpty
+      comp = next.select(col("node"), col("comp"))
+      round += 1
+      System.err.println(s"[cluster] hash-min round $round done=$done")
+      if (done)
+        return comp.select(col("node").as("doc_id"), col("comp").as("component"))
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $MaxRounds rounds - graph diameter exceeds the guard")
+  }
+
+  /** DuckDB oracle for the same closure: min-label reachability as a
+    * recursive CTE (the UNION dedups (node, comp) states, so the walk
+    * terminates). Pair generation is [[DedupOps.duckSimhashCandCtes]]
+    * verbatim — oracle and engine agree on the exact input graph.
+    */
+  private val duckComponentCtes: String =
+    s"""${DedupOps.duckSimhashCandCtes},
+       |pairs AS (SELECT a, b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+       |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+       |walk(node, comp) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+       |  UNION
+       |  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node),
+       |comps AS (SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node)""".stripMargin
+
+  /** c1: near-dup components — every document that participates in a
+    * ham <= 3 SimHash pair, labeled with its component id (min doc_id in the
+    * component). On this corpus the closure is aggressive — SimHash-32 at
+    * ham <= 3 over a tiny shared vocabulary chains most paired docs into one
+    * giant component — which is exactly why a pipeline inspects the
+    * component census before scrubbing (c2 reports the impact).
+    */
+  val c1 = Q(
+    "c1_neardup_components",
+    s"""WITH RECURSIVE $duckComponentCtes
+       |SELECT doc_id, component FROM comps""".stripMargin) { (s, dir) =>
+    connectedComponents(DedupOps.simhashNearDupPairs(s, dir))
+  }
+
+  /** c2: transitive scrub census — drop every non-keeper (doc_id != its
+    * component min) and report corpus impact: total, dropped, kept. The
+    * kept count exercises the actionable path — an anti join of the corpus
+    * against the computed drop list (high-cardinality doc_id key; AQE
+    * broadcasts the drop list while it measures small).
+    */
+  val c2 = Q(
+    "c2_neardup_scrub",
+    s"""WITH RECURSIVE $duckComponentCtes,
+       |drops AS (SELECT doc_id FROM comps WHERE doc_id <> component)
+       |SELECT 'n_docs' AS metric, count(*) AS n FROM documents
+       |UNION ALL SELECT 'n_dropped', count(*) FROM drops
+       |UNION ALL SELECT 'n_kept', (SELECT count(*) FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id))""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val comps = connectedComponents(DedupOps.simhashNearDupPairs(s, dir))
+    val drops = comps.filter(col("doc_id") =!= col("component")).select("doc_id")
+    val kept = docs.select("doc_id").join(drops, Seq("doc_id"), "left_anti")
+    def counted(metric: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(metric).as("metric"), col("n"))
+    counted("n_docs", docs)
+      .union(counted("n_dropped", drops))
+      .union(counted("n_kept", kept))
+  }
+
+  val all: Seq[Q] = Seq(c1, c2)
+}

@@ -290,23 +290,13 @@ object DedupOps {
       |             THEN 1 ELSE -1 END)) > 0
       |    THEN (1::BIGINT << j) ELSE 0 END))::BIGINT""".stripMargin
 
-  /** d7: SimHash near-dup census — pairs within Hamming distance 3, found by
-    * 8-bit band LSH over the 32-bit signature. Pigeonhole guarantee: any
-    * pair with Hamming <= 3 differs in at most 3 of the 4 bytes, so at least
-    * one byte matches exactly -> candidate generation on (band_idx, byte) is
-    * COMPLETE for the <=3 regime, never all-pairs. Completes the SimHash
-    * family: d5 computes signatures, d7 pairs on them.
-    *
-    * Same skew defense as d4: this corpus's signatures cluster (50% of all
-    * pairs share a byte at sf0.01), so bands whose bucket exceeds
-    * [[BucketCap]] are dropped and reported as a ham = -1 pair-slot row —
-    * a degenerate byte value carries no signal, exactly like a degenerate
-    * MinHash band. Verify is integer-only (bit_count of xor), and the
-    * pairing self-join reuses one exchange via aliases over the same plan.
+  /** DuckDB CTE chain ending in `cand` — the capped SimHash ham-band
+    * candidate pairs. Shared verbatim by d7's histogram oracle and the
+    * [[ClusterOps]] c1/c2 connected-components oracles so all three check
+    * the IDENTICAL pair generation.
     */
-  val d7 = Q(
-    "d7_simhash_hamming_neardup",
-    s"""WITH sims AS (SELECT doc_id, $simIntDuck AS sim FROM documents),
+  val duckSimhashCandCtes: String =
+    s"""sims AS (SELECT doc_id, $simIntDuck AS sim FROM documents),
        |bands AS (
        |  SELECT doc_id, sim, j AS band_idx, (sim >> (8*j)) & 255 AS band_key
        |  FROM sims, (SELECT unnest(generate_series(0, 3)) AS j) t),
@@ -318,15 +308,15 @@ object DedupOps {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, x.sim AS sa, y.doc_id AS b, y.sim AS sb
        |  FROM kept x JOIN kept y
-       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-       |hist AS (
-       |  SELECT bit_count(xor(sa, sb))::BIGINT AS ham, count(*) AS n_pairs
-       |  FROM cand WHERE bit_count(xor(sa, sb)) <= 3 GROUP BY 1),
-       |dropped AS (
-       |  SELECT (-1)::BIGINT AS ham, (sum(c * (c - 1) // 2))::BIGINT AS n_pairs
-       |  FROM bsz WHERE c > $BucketCap)
-       |SELECT * FROM hist
-       |UNION ALL SELECT * FROM dropped WHERE n_pairs IS NOT NULL""".stripMargin) { (s, dir) =>
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Spark side of [[duckSimhashCandCtes]]: (candidate pairs with both
+    * signatures, oversize-bucket relation for drop accounting). The pairing
+    * self-join aliases the SAME plan object so the band shuffle plans once
+    * and the second side becomes a ReusedExchange (guarded by PlanShapeSpec).
+    */
+  private[operators] def simhashStages(
+      s: SparkSession, dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val sims = Tables.load(s, dir, "documents")
       .selectExpr("doc_id", "CAST(conv(simhash32(word_hashes(text)), 2, 10) AS BIGINT) AS sim")
     val bands = sims
@@ -344,6 +334,44 @@ object DedupOps {
       .select(col("x.doc_id").as("a"), col("x.sim").as("sa"),
         col("y.doc_id").as("b"), col("y.sim").as("sb"))
       .distinct()
+    (cand, oversize)
+  }
+
+  /** The ham <= 3 near-dup pair list — d7's candidates after the integer
+    * verify, as a reusable relation. [[ClusterOps]] closes these into
+    * connected components.
+    */
+  def simhashNearDupPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    simhashStages(s, dir)._1
+      .filter(expr("bit_count(sa ^ sb) <= 3"))
+      .select(col("a"), col("b"))
+
+  /** d7: SimHash near-dup census — pairs within Hamming distance 3, found by
+    * 8-bit band LSH over the 32-bit signature. Pigeonhole guarantee: any
+    * pair with Hamming <= 3 differs in at most 3 of the 4 bytes, so at least
+    * one byte matches exactly -> candidate generation on (band_idx, byte) is
+    * COMPLETE for the <=3 regime, never all-pairs. Completes the SimHash
+    * family: d5 computes signatures, d7 pairs on them.
+    *
+    * Same skew defense as d4: this corpus's signatures cluster (50% of all
+    * pairs share a byte at sf0.01), so bands whose bucket exceeds
+    * [[BucketCap]] are dropped and reported as a ham = -1 pair-slot row —
+    * a degenerate byte value carries no signal, exactly like a degenerate
+    * MinHash band. Verify is integer-only (bit_count of xor), and the
+    * pairing self-join reuses one exchange via aliases over the same plan.
+    */
+  val d7 = Q(
+    "d7_simhash_hamming_neardup",
+    s"""WITH $duckSimhashCandCtes,
+       |hist AS (
+       |  SELECT bit_count(xor(sa, sb))::BIGINT AS ham, count(*) AS n_pairs
+       |  FROM cand WHERE bit_count(xor(sa, sb)) <= 3 GROUP BY 1),
+       |dropped AS (
+       |  SELECT (-1)::BIGINT AS ham, (sum(c * (c - 1) // 2))::BIGINT AS n_pairs
+       |  FROM bsz WHERE c > $BucketCap)
+       |SELECT * FROM hist
+       |UNION ALL SELECT * FROM dropped WHERE n_pairs IS NOT NULL""".stripMargin) { (s, dir) =>
+    val (cand, oversize) = simhashStages(s, dir)
     val hist = cand
       .withColumn("ham", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter(col("ham") <= 3)
