@@ -213,5 +213,35 @@ object TextOps {
         .as("redacted_fp"))
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7)
+  /** t8: bigram vocabulary — the n-gram (n=2) extension of t6's unigram
+    * vocabulary: top-20 bigrams by total count among those appearing in at
+    * least 5 documents. The df >= 5 cut is the standard vocabulary noise
+    * floor (and the pre-pruning that keeps an n-gram vocab bounded at scale
+    * — n-gram counts grow super-linearly in corpus size without it). Plan:
+    * per-row bigram expansion (one pass over the token array, codegen
+    * generator), partial+final hash agg on the bigram key, and top-k via
+    * TakeOrderedAndProject — never a global sort. Ties broken by bigram
+    * text so the top-20 is deterministic.
+    */
+  val t8 = Q(
+    "t8_bigram_vocab",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i + 1])) AS bigram FROM toks)
+      |SELECT bigram, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+      |FROM bg GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5
+      |ORDER BY n_total DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(
+        expr("transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', element_at(t, i + 2)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 5)
+      .orderBy(col("n_total").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
 }

@@ -160,5 +160,114 @@ object MiscQueries {
       .union(counted("union_all", c.unionAll(e)))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34, q39, q42)
+  /** q44: conversion funnel — signup -> first click within 6h -> first
+    * purchase within 12h of that click, reported as users reaching each
+    * stage (150 -> 14 -> 6 on this corpus). The sequential-pattern op of
+    * event analytics: each stage is a per-user min-aggregation joined to the
+    * previous stage's anchor time, so the whole funnel is K keyed
+    * shuffles for a K-stage funnel — never a per-user sort of the full
+    * history — and each stage's anchor relation shrinks, so AQE broadcasts
+    * the later joins. All comparisons in integer microseconds.
+    */
+  val q44 = Q(
+    "q44_funnel_conversion",
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS st FROM events
+      |           WHERE event_type = 'signup' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ct FROM events e
+      |      JOIN s ON s.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.st
+      |        AND epoch_us(e.ts) <= s.st + 21600000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS pt FROM events e
+      |      JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.ct
+      |        AND epoch_us(e.ts) <= c.ct + 43200000000 GROUP BY 1)
+      |SELECT 'signup' AS stage, count(*) AS n_users FROM s
+      |UNION ALL SELECT 'click_within_6h', count(*) FROM c
+      |UNION ALL SELECT 'purchase_within_12h', count(*) FROM p""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val us = unix_micros(col("ts"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(us).as("st"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(signup, Seq("user_id"))
+      .filter(us > col("st") && us <= col("st") + lit(21600000000L))
+      .groupBy(col("user_id")).agg(min(us).as("ct"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, Seq("user_id"))
+      .filter(us > col("ct") && us <= col("ct") + lit(43200000000L))
+      .groupBy(col("user_id")).agg(min(us).as("pt"))
+    def counted(stage: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"), col("n_users"))
+    counted("signup", signup)
+      .union(counted("click_within_6h", click))
+      .union(counted("purchase_within_12h", purchase))
+  }
+
+  /** q45: interval join at scale — clicks within 1h AFTER each error, per
+    * user. Written naively (oracle side) this is a theta join, which Spark
+    * can only execute as a broadcast nested loop — quadratic work per user
+    * and a non-starter at 100 TB. The engine side rewrites it as the
+    * standard bucketed interval join: quantize time into buckets equal to
+    * the window length, explode only the PROBE side to its two covering
+    * buckets, and equi-join on (user_id, bucket) with the exact interval as
+    * a residual filter. Each click lands in exactly one bucket, and an
+    * error's two bucket rows are distinct, so no pair is found twice — no
+    * dedup pass needed. Plan: one shuffle per side on a high-cardinality
+    * compound key, BNLJ impossible (guarded by PlanShapeSpec).
+    */
+  val q45 = Q(
+    "q45_interval_bucket_join",
+    """WITH err AS (SELECT event_id, user_id, epoch_us(ts) AS eus FROM events
+      |             WHERE event_type = 'error'),
+      |clk AS (SELECT event_id, user_id, epoch_us(ts) AS cus FROM events
+      |        WHERE event_type = 'click'),
+      |m AS (SELECT e.event_id, count(c.event_id) AS n_clicks
+      |      FROM err e LEFT JOIN clk c ON c.user_id = e.user_id
+      |        AND c.cus > e.eus AND c.cus <= e.eus + 3600000000
+      |      GROUP BY 1)
+      |SELECT n_clicks, count(*) AS n_errors FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+    val WindowUs = 3600000000L
+    val ev = Tables.load(s, dir, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("user_id"), unix_micros(col("ts")).as("eus"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), unix_micros(col("ts")).as("cus"))
+      .withColumn("bucket", expr(s"cus DIV $WindowUs"))
+    val probe = err.withColumn("bucket",
+      explode(array(expr(s"eus DIV $WindowUs"), expr(s"eus DIV $WindowUs + 1"))))
+    val counts = probe.join(clk, Seq("user_id", "bucket"))
+      .filter(col("cus") > col("eus") && col("cus") <= col("eus") + lit(WindowUs))
+      .groupBy(col("eid")).agg(count(lit(1)).as("nc"))
+    err.select(col("eid")).join(counts, Seq("eid"), "left")
+      .select(coalesce(col("nc"), lit(0L)).as("n_clicks"))
+      .groupBy(col("n_clicks")).agg(count(lit(1)).as("n_errors"))
+  }
+
+  /** q46: ntile — equi-depth quartiles of customer balance within each
+    * nation (completes the ranking-window family: row_number q11/q37,
+    * rank/dense via s-queries, ntile here). Partitioned by nation so the
+    * sort is per-group and parallel — a GLOBAL ntile would funnel the corpus
+    * through one partition; the partitioned form is the scale-correct one
+    * (a global variant at 100 TB would use approx_percentile cut points
+    * instead, q39's machinery). Tie-broken by c_custkey for determinism.
+    */
+  val q46 = Q(
+    "q46_ntile_quartiles",
+    """SELECT c_nationkey, q, count(*) AS n,
+      |  round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+      |FROM (SELECT c_nationkey, c_acctbal,
+      |        ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS q
+      |      FROM customer) t
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_acctbal"), ntile(4).over(w).as("q"))
+      .groupBy(col("c_nationkey"), col("q"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("lo"),
+        round(max(col("c_acctbal")), 2).as("hi"))
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34, q39, q42, q44, q45, q46)
 }

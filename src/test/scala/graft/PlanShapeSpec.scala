@@ -182,6 +182,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected AQE/statistics to choose broadcast for the small measured vocabulary")
   }
 
+  test("q45: interval join runs as bucket equi-join, never a nested loop") {
+    val df = graft.operators.MiscQueries.q45.fn(spark, sf)
+    df.collect()
+    val p = allNodes(df.queryExecution.executedPlan).mkString("\n")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the time-window theta join must be rewritten onto the (user, bucket) equi key")
+  }
+
+  test("t8: bigram top-20 plans as TakeOrderedAndProject, no global sort") {
+    val p = plan(graft.functions.TextOps.t8)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("d7: simhash band self-join reuses one exchange") {
     val df = graft.operators.DedupOps.d7.fn(spark, sf)
     df.collect()

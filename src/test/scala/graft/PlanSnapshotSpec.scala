@@ -27,7 +27,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
     .replaceAll("#\\d+L?", "#x")
     .replaceAll("plan_id=\\d+", "plan_id=x")
     .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
-    .replaceAll("@[0-9a-f]{6,}\\b", "@x")
+    // identity hashCodes print as 1-8 hex chars; {6,} let a 5-char hash
+    // (~1/16 of runs) through the normalizer — match any length
+    .replaceAll("@[0-9a-f]{1,8}\\b", "@x")
     .replaceAll("\\*\\(\\d+\\)", "*(n)")
     .replaceAll("\\[id=#x\\]", "")
     .replaceAll("file:[^\\s,\\]\\)]*", "file:x")
