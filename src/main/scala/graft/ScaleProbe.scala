@@ -129,14 +129,34 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
 
+      // c1 shape: connected components over a k-multiplied near-dup pair
+      // graph — the REAL 1x pair set cloned with disjoint id ranges, so the
+      // graph grows k-fold while its diameter stays fixed. That isolates the
+      // two scale axes of the iterative op: round COUNT is topology-bound
+      // (log diameter, constant here) and per-round cost is linear in edges
+      // — so wall time should grow sub-linearly in k (fixed per-round job
+      // overhead amortizes).
+      val pairs1 = graft.operators.DedupOps.simhashNearDupPairs(spark, dir).cache()
+      val nPairs = pairs1.count()
+      val pairsK = (0 until k).map { i =>
+        pairs1.select((col("a") + lit(i.toLong * 10_000_000L)).as("a"),
+          (col("b") + lit(i.toLong * 10_000_000L)).as("b"))
+      }.reduce(_ union _)
+      val c1t = time {
+        graft.operators.ClusterOps.connectedComponents(pairsK)
+          .write.format("noop").mode("overwrite").save()
+      }
+      pairs1.unpersist()
+
       docs.unpersist(); vecs.unpersist()
       System.gc()
-      System.err.println(f"[scale] ${k}%2dx  d4=${d4t}%7.2f s  e1=${e1t}%7.2f s  t6=${t6t}%7.2f s")
-      k -> (d4t, e1t, t6t)
+      System.err.println(
+        f"[scale] ${k}%2dx  d4=${d4t}%7.2f s  e1=${e1t}%7.2f s  t6=${t6t}%7.2f s  c1=${c1t}%7.2f s (${nPairs * k} edges)")
+      k -> (d4t, e1t, t6t, c1t)
     }
 
-    val json = results.map { case (k, (a, b, c)) =>
-      s""""${k}x":{"d4":$a,"e1":$b,"t6":$c}"""
+    val json = results.map { case (k, (a, b, c, d)) =>
+      s""""${k}x":{"d4":$a,"e1":$b,"t6":$c,"c1":$d}"""
     }.mkString("{\"metric\":\"scale_ladder\",", ",", "}")
     println(json)
     spark.stop()
