@@ -130,5 +130,82 @@ object ReshapeQueries {
         count(lit(1)).over(w).as("n_in_window"))
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q37, q38, q41)
+  /** q47: SCD2 validity intervals — each purchase event opens a version of
+    * the user's `value` attribute valid until the next purchase
+    * (half-open [valid_from, valid_to) in integer microseconds; the current
+    * version is closed with a Long.MaxValue sentinel, the warehouse
+    * convention that keeps range predicates sargable — a NULL end would
+    * need IS NULL branches in every as-of probe). One shuffle on the key;
+    * lead() is evaluated in the same per-partition sort as q37's
+    * compaction, so building history costs the same as keeping only the
+    * latest.
+    */
+  val q47 = Q(
+    "q47_scd2_intervals",
+    """SELECT user_id, event_id, value AS attr_value, epoch_us(ts) AS valid_from,
+      |  coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |           9223372036854775807) AS valid_to
+      |FROM events WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value").as("attr_value"),
+        unix_micros(col("ts")).as("valid_from"),
+        coalesce(lead(unix_micros(col("ts")), 1).over(w), lit(Long.MaxValue))
+          .as("valid_to"))
+  }
+
+  /** q48: MERGE/upsert census — reconcile a base snapshot (latest purchase
+    * per user in the first 3 days) with an update batch (latest in the last
+    * 3 days) and report the MERGE action mix: insert (new key), update
+    * (key in both), keep (base key untouched). The full-outer join on the
+    * key IS the merge: at scale the update batch is the small side (AQE
+    * broadcasts it) and the preserved base streams — the shape every
+    * compaction/upsert sink (Delta/Iceberg-style) executes underneath.
+    */
+  val q48 = Q(
+    "q48_merge_upsert",
+    """WITH base AS (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase'
+      |      AND ts < TIMESTAMP '2024-01-04 00:00:00') t WHERE rn = 1),
+      |upd AS (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase'
+      |      AND ts >= TIMESTAMP '2024-01-28 00:00:00') t WHERE rn = 1),
+      |m AS (SELECT CASE WHEN b.user_id IS NULL THEN 'insert'
+      |             WHEN u.user_id IS NULL THEN 'keep'
+      |             ELSE 'update' END AS action,
+      |        coalesce(u.value, b.value) AS final_value
+      |      FROM base b FULL OUTER JOIN upd u ON u.user_id = b.user_id)
+      |SELECT action, count(*) AS n, round(sum(final_value), 2) AS total_value
+      |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+    def latest(lo: Option[String], hi: Option[String]) = {
+      val ev = Tables.load(s, dir, "events").filter(col("event_type") === "purchase")
+      val ranged = (lo, hi) match {
+        case (Some(l), _) => ev.filter(col("ts") >= lit(l))
+        case (_, Some(h)) => ev.filter(col("ts") < lit(h))
+        case _            => ev
+      }
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      ranged.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("value"))
+    }
+    val base = latest(None, Some("2024-01-04"))
+    val upd = latest(Some("2024-01-28"), None)
+    base.as("b").join(upd.as("u"), col("b.user_id") === col("u.user_id"), "full_outer")
+      .select(
+        when(col("b.user_id").isNull, "insert")
+          .when(col("u.user_id").isNull, "keep")
+          .otherwise("update").as("action"),
+        coalesce(col("u.value"), col("b.value")).as("final_value"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"), round(sum(col("final_value")), 2).as("total_value"))
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q37, q38, q41, q47, q48)
 }

@@ -30,6 +30,24 @@ object StatefulOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** CHAINED time-window aggregation (Spark >= 3.4): 1-hour tumbling counts
+    * re-aggregated into 6-hour blocks by windowing ON the first level's
+    * window column — the multi-resolution rollup a metrics pipeline runs
+    * without a second pass over raw events. The window struct carries
+    * event-time semantics through the first aggregation, so the single
+    * upstream watermark governs finalization of BOTH levels, and the
+    * second agg's input is already one row per (hour, type) — state and
+    * shuffle shrink by the first level's reduction factor.
+    */
+  def chainedWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("window"), "6 hours"), col("event_type"))
+      .agg(sum(col("n")).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Watermarked SLIDING-window aggregation: 6-hour windows every 3 hours —
     * each event lands in window-length/slide windows (2 here); the state
     * multiplier is the overlap factor, still bounded by the watermark.

@@ -48,6 +48,26 @@ class StreamingOpsSpec extends AnyFunSuite {
       Seq(("2024-01-01 00:00:00.0", "click", 2L), ("2024-01-01 06:00:00.0", "view", 1L)))
   }
 
+  test("chained tumbling windows roll 1h counts into finalized 6h blocks") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.chainedWindowCounts(ms.toDF())
+      .writeStream.format("memory").queryName("chain_out").outputMode("append").start()
+    ms.addData(
+      Event(1, ts("2024-01-01 01:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 01:20:00"), 2, "click", 1.0),
+      Event(3, ts("2024-01-01 02:00:00"), 3, "click", 1.0),
+      Event(4, ts("2024-01-01 07:00:00"), 4, "view", 1.0))
+    // advance the single upstream watermark far past both window levels
+    ms.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "flush", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM chain_out ORDER BY window_start, event_type").collect()
+    q.stop()
+    // 3 clicks across two 1h windows fold into ONE 6h block of 3
+    assert(rows.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("2024-01-01 00:00:00.0", "click", 3L), ("2024-01-01 06:00:00.0", "view", 1L)))
+  }
+
   test("late events beyond the watermark are dropped, not re-aggregated") {
     import spark.implicits._
     val ms = startStream()
