@@ -207,5 +207,35 @@ object ReshapeQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("final_value")), 2).as("total_value"))
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q37, q38, q41, q47, q48)
+  /** q49: arg-max compaction — q37's latest-record-per-key computed as a
+    * partial+final AGGREGATION (max_by keyed on the event-time micros)
+    * instead of a ranking window. Same answer (QueriesSmokeSpec
+    * cross-checks the two), very different scale profile: the window form
+    * must shuffle EVERY raw row to its key partition before ranking;
+    * max_by reduces map-side first, so the exchange carries one row per
+    * (map partition, key) — the preferred compaction shape at 100 TB.
+    * Plan nuance worth knowing: with only fixed-width payloads this is a
+    * pure HashAggregate; a string payload (event_type here) makes the agg
+    * buffer variable-width, which Spark executes as SortAggregate — a
+    * per-partition sort on the GROUP key, but still with the map-side
+    * partial reduction that is the point (guarded by PlanShapeSpec: no
+    * Window, partial_max_by below the exchange). Deterministic because the
+    * fixture has no (user_id, ts) ties (asserted in the suite); with ties
+    * the window form's explicit tiebreak is the correct tool.
+    */
+  val q49 = Q(
+    "q49_argmax_compaction",
+    """SELECT user_id, max_by(event_id, epoch_us(ts)) AS event_id,
+      |  max_by(event_type, epoch_us(ts)) AS event_type,
+      |  max_by(value, epoch_us(ts)) AS value
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        expr("max_by(event_id, unix_micros(ts))").as("event_id"),
+        expr("max_by(event_type, unix_micros(ts))").as("event_type"),
+        expr("max_by(value, unix_micros(ts))").as("value"))
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q37, q38, q41, q47, q48, q49)
 }

@@ -190,6 +190,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "the time-window theta join must be rewritten onto the (user, bucket) equi key")
   }
 
+  test("q49: arg-max compaction is a partial+final agg, never a ranking window") {
+    val p = plan(graft.operators.ReshapeQueries.q49)
+    assert(!p.contains("Window"),
+      "max_by must compact via aggregation, not a ranking window")
+    // the scale property: map-side partial reduction BELOW the exchange, so
+    // the shuffle carries one row per (map partition, key), not every event.
+    // (The string payload makes this a SortAggregate — var-width buffer —
+    // but partial/final split is what bounds the shuffle.)
+    val exchangeAt = p.indexOf("Exchange")
+    val partialAt = p.indexOf("partial_max_by")
+    assert(partialAt > exchangeAt && exchangeAt >= 0,
+      "partial_max_by must sit below the exchange in the printed plan")
+  }
+
   test("t8: bigram top-20 plans as TakeOrderedAndProject, no global sort") {
     val p = plan(graft.functions.TextOps.t8)
     assert(p.contains("TakeOrderedAndProject"))

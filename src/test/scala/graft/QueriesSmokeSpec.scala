@@ -71,6 +71,18 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(sub.nonEmpty && sub === win)
   }
 
+  test("q49 arg-max compaction equals q37's window formulation") {
+    // same semantics, agg vs window plan — and the determinism precondition:
+    // max_by needs tie-free ordering keys
+    val ev = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+    assert(ev.count() === ev.select("user_id", "ts").distinct().count(),
+      "(user_id, ts) ties would make max_by nondeterministic")
+    def rows(q: graft.core.Q) = q.fn(spark, GraftTestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(rows(graft.operators.ReshapeQueries.q49) ===
+      rows(graft.operators.ReshapeQueries.q37))
+  }
+
   test("registry names are unique (duplicates would vanish in toMap)") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.length === names.length,
