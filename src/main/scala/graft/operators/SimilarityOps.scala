@@ -349,5 +349,33 @@ object SimilarityOps {
           .cast("long").as("scanned_bps"))
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2)
+  /** e3: int8 quantization — the 4x memory/bandwidth cut every
+    * billion-vector ANN deployment applies before indexing: per-vector
+    * symmetric scaling to [-127, 127] (scale = max |x|). Pure shuffle-free
+    * map stage over the embedding column, codegen higher-order functions
+    * only. Output is oracle-exact by construction: the quantized values are
+    * INTEGERS, so their checksums (sum and L1 mass) compare exactly where
+    * float sums would drift by accumulation order; the per-vector scale is
+    * an order-insensitive max. At scale the int8 arrays (not these audit
+    * sums) are what downstream s2/s3-style indexes would store.
+    */
+  val e3 = Q(
+    "e3_int8_quantize",
+    """SELECT vec_id,
+      |  round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 6) AS scale,
+      |  list_sum(list_transform(embedding,
+      |    x -> round(x::DOUBLE * 127.0 / list_max(list_transform(embedding, y -> abs(y::DOUBLE))))::BIGINT))::BIGINT AS q_sum,
+      |  list_sum(list_transform(embedding,
+      |    x -> abs(round(x::DOUBLE * 127.0 / list_max(list_transform(embedding, y -> abs(y::DOUBLE)))))::BIGINT))::BIGINT AS q_l1
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s")
+      .selectExpr("vec_id",
+        "round(s, 6) AS scale",
+        "aggregate(embedding, 0L, (a, x) -> a + CAST(round(CAST(x AS DOUBLE) * 127.0 / s) AS BIGINT)) AS q_sum",
+        "aggregate(embedding, 0L, (a, x) -> a + abs(CAST(round(CAST(x AS DOUBLE) * 127.0 / s) AS BIGINT))) AS q_l1")
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3)
 }
