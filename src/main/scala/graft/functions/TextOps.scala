@@ -243,5 +243,26 @@ object TextOps {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
+  /** t9: intra-document repetition score — the duplicate-3-gram ratio
+    * (1 - distinct/total shingles), the Gopher-family repetition signal for
+    * machine-generated or boilerplate text. This corpus tops out at ~0.07
+    * (clean synthetic prose), so t9 registers as a SCORE like t1/t2 rather
+    * than a filter; the production cut (drop > 0.2) is one predicate away.
+    * Shuffle-free map stage; distinct-shingle counting rides the fused
+    * codegen `shingles3`.
+    */
+  val t9 = Q(
+    "t9_repetition_score",
+    """SELECT doc_id,
+      |  round(1.0 - len(list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> array_to_string(string_split(text, ' ')[i : i + 2], ' '))))::DOUBLE
+      |    / (len(string_split(text, ' ')) - 2), 4) AS dup3_ratio
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      round(lit(1.0) - size(expr("shingles3(text)")).cast("double")
+        / (size(tokens(col("text"))) - 2), 4).as("dup3_ratio"))
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)
 }

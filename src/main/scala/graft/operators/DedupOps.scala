@@ -445,5 +445,78 @@ object DedupOps {
       .select("doc_id", "keeper")
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
+  /** Shingle-df cap for d9: a 5-gram appearing in more train documents than
+    * this is boilerplate, not contamination signal — and, operationally, a
+    * hot shuffle key. One knob serves both purposes, exactly like d4's
+    * BucketCap.
+    */
+  val ContamDfCap = 16L
+
+  /** d9: train/test DECONTAMINATION — the dedup family applied across the
+    * q38-style hash split: a test document is contaminated if it shares any
+    * discriminative 5-gram with any training document (the exact-overlap
+    * decontamination step an LLM data pipeline runs before evaluation;
+    * 5-gram + df cap is deliberately stricter than the 3-grams of d6/t9
+    * because short shingles saturate — at 3-grams every test doc here
+    * matches something).
+    *
+    * Scale shape: an inverted-index LEFT SEMI join. Shingles are hashed to
+    * int64 (portable md5 prefix, as everywhere in this engine) so the
+    * shuffle moves 8-byte keys, not strings; the train side reduces to one
+    * row per distinct kept shingle (partial-agg friendly); the df cap
+    * bounds the hottest key's fan-out AND removes boilerplate n-grams. The
+    * census output (test/contaminated/clean) is the pipeline gate metric.
+    */
+  val d9 = Q(
+    "d9_decontamination",
+    s"""WITH d AS (SELECT doc_id, text,
+       |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS b FROM documents),
+       |tr AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(
+       |    list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+       |      i -> array_to_string(string_split(text, ' ')[i : i + 4], ' ')),
+       |    g -> ('0x' || substring(md5(g), 1, 8))::BIGINT))) AS sg
+       |  FROM d WHERE b < 9),
+       |keep AS (SELECT sg FROM tr GROUP BY sg
+       |         HAVING count(DISTINCT doc_id) <= $ContamDfCap),
+       |te AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(
+       |    list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+       |      i -> array_to_string(string_split(text, ' ')[i : i + 4], ' ')),
+       |    g -> ('0x' || substring(md5(g), 1, 8))::BIGINT))) AS sg
+       |  FROM d WHERE b = 9),
+       |cont AS (SELECT DISTINCT doc_id FROM te WHERE sg IN (SELECT sg FROM keep))
+       |SELECT 'n_test' AS metric, count(*) AS n FROM d WHERE b = 9
+       |UNION ALL SELECT 'n_contaminated', count(*) FROM cont
+       |UNION ALL SELECT 'n_clean', (SELECT count(*) FROM d t
+       |  WHERE b = 9 AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = t.doc_id))""".stripMargin) { (s, dir) =>
+    // hashed distinct 5-gram shingles of the token array `t` (empty below 5
+    // tokens — Spark's sequence() would count DOWN through an empty range)
+    val sgExpr =
+      """IF(size(t) >= 5,
+        |  array_distinct(transform(
+        |    transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5))),
+        |    g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))),
+        |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("b",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10"))
+      .withColumn("t", split(col("text"), " "))
+    val tr = d.filter(col("b") < 9).select(col("doc_id"), explode(expr(sgExpr)).as("sg"))
+    val keep = tr.groupBy(col("sg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= ContamDfCap)
+      .select("sg")
+    val te = d.filter(col("b") === 9).select(col("doc_id"), explode(expr(sgExpr)).as("sg"))
+    val cont = te.join(keep, Seq("sg"), "left_semi").select("doc_id").distinct()
+    val test = d.filter(col("b") === 9).select("doc_id")
+    val clean = test.join(cont, Seq("doc_id"), "left_anti")
+    def counted(metric: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(metric).as("metric"), col("n"))
+    counted("n_test", test)
+      .union(counted("n_contaminated", cont))
+      .union(counted("n_clean", clean))
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
 }
