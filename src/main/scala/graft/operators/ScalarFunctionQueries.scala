@@ -100,24 +100,28 @@ object ScalarFunctionQueries {
     "q22_array_functions",
     """SELECT vec_id,
       |  len(embedding) AS dim,
-      |  round(embedding[1]::DOUBLE, 6) AS first_val,
-      |  round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_val,
+      |  round(embedding[1]::DOUBLE, 6) + 0.0 AS first_val,
+      |  round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) + 0.0 AS max_val,
       |  round(sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)))), 4) AS l2_norm,
-      |  round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 4) AS mean_val,
-      |  round(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 4) AS head_sum
+      |  round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 4) + 0.0 AS mean_val,
+      |  round(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 4) + 0.0 AS head_sum
       |FROM embeddings""".stripMargin) { (s, dir) =>
+    // `+ 0.0` on BOTH sides squashes IEEE negative zero: DuckDB's round
+    // keeps -0.0 where Spark's (BigDecimal) yields +0.0, and the driver
+    // compares rendered strings — first seen as a real mismatch on
+    // mean_val at sf0.1 (a mean rounding to zero from below)
     Tables.load(s, dir, "embeddings")
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
-        round(array_max(expr("transform(embedding, x -> CAST(x AS DOUBLE))")), 6).as("max_val"),
+        (round(element_at(col("embedding"), 1).cast("double"), 6) + 0.0).as("first_val"),
+        (round(array_max(expr("transform(embedding, x -> CAST(x AS DOUBLE))")), 6) + 0.0).as("max_val"),
         round(sqrt(expr(
           "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4).as("l2_norm"),
-        round(expr(
-          "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))") / size(col("embedding")), 4).as("mean_val"),
-        round(expr(
-          "aggregate(slice(embedding, 1, 8), CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4).as("head_sum"))
+        (round(expr(
+          "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))") / size(col("embedding")), 4) + 0.0).as("mean_val"),
+        (round(expr(
+          "aggregate(slice(embedding, 1, 8), CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4) + 0.0).as("head_sum"))
   }
 
   /** JSON functions over the events payload column: schema-on-read with
