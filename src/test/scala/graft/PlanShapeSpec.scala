@@ -204,6 +204,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "partial_max_by must sit below the exchange in the printed plan")
   }
 
+  test("d9: decontamination probes train shingles via a semi join, no nested loop") {
+    val df = graft.operators.DedupOps.d9.fn(spark, sf)
+    df.collect()
+    val p = allNodes(df.queryExecution.executedPlan).mkString("\n")
+    assert(p.contains("LeftSemi"), "the contamination probe must be a semi join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("t8: bigram top-20 plans as TakeOrderedAndProject, no global sort") {
     val p = plan(graft.functions.TextOps.t8)
     assert(p.contains("TakeOrderedAndProject"))
