@@ -145,6 +145,28 @@ object StatefulOps {
       .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
   }
 
+  /** Stream-stream FULL-outer interval join — completes the stream-stream
+    * join-type family (inner and left-outer above): unmatched errors AND
+    * unmatched clicks each emit with a null other side, in both cases only
+    * after the watermark passes the end of their join window (same bounded
+    * state as the inner form — the null-side emission is a state-eviction
+    * byproduct, not extra buffering).
+    */
+  def clickErrorJoinFull(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("error_id"))
+      .withWatermark("e_ts", "10 minutes")
+    errors.join(clicks,
+      col("c_user") === col("e_user") &&
+        col("c_ts") <= col("e_ts") && col("c_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(col("error_id"), col("click_id"),
+        coalesce(col("e_user"), col("c_user")).as("user_id"))
+  }
+
   /** Stream-static enrichment join: each streaming event picks up
     * attributes from a static (batch) dimension on user_id. The static side
     * is broadcast per micro-batch — no state store involved (unlike
