@@ -486,10 +486,11 @@ object DedupOps {
        |    g -> ('0x' || substring(md5(g), 1, 8))::BIGINT))) AS sg
        |  FROM d WHERE b = 9),
        |cont AS (SELECT DISTINCT doc_id FROM te WHERE sg IN (SELECT sg FROM keep))
-       |SELECT 'n_test' AS metric, count(*) AS n FROM d WHERE b = 9
-       |UNION ALL SELECT 'n_contaminated', count(*) FROM cont
-       |UNION ALL SELECT 'n_clean', (SELECT count(*) FROM d t
-       |  WHERE b = 9 AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = t.doc_id))""".stripMargin) { (s, dir) =>
+       |SELECT count(*) AS n_test,
+       |  coalesce(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 END), 0)::BIGINT AS n_contaminated,
+       |  (count(*) - coalesce(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 END), 0))::BIGINT AS n_clean
+       |FROM (SELECT doc_id FROM d WHERE b = 9) t
+       |LEFT JOIN cont c ON c.doc_id = t.doc_id""".stripMargin) { (s, dir) =>
     // hashed distinct 5-gram shingles of the token array `t` (empty below 5
     // tokens — Spark's sequence() would count DOWN through an empty range)
     val sgExpr =
@@ -509,13 +510,16 @@ object DedupOps {
       .select("sg")
     val te = d.filter(col("b") === 9).select(col("doc_id"), explode(expr(sgExpr)).as("sg"))
     val cont = te.join(keep, Seq("sg"), "left_semi").select("doc_id").distinct()
+    // single-pass census: flag test docs by one left join against the
+    // contaminated set and aggregate once — a metric-rows union here would
+    // re-run the whole shingle-index subtree per metric (the first cut did:
+    // 6 document scans, 2 df-index builds in the plan)
     val test = d.filter(col("b") === 9).select("doc_id")
-    val clean = test.join(cont, Seq("doc_id"), "left_anti")
-    def counted(metric: String, df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)).as("n")).select(lit(metric).as("metric"), col("n"))
-    counted("n_test", test)
-      .union(counted("n_contaminated", cont))
-      .union(counted("n_clean", clean))
+    test.join(cont.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_test"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"),
+        (count(lit(1)) - coalesce(sum(col("hit")), lit(0L))).as("n_clean"))
   }
 
   val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
