@@ -186,16 +186,26 @@ object MiscQueries {
       |UNION ALL SELECT 'purchase_within_12h', count(*) FROM p""".stripMargin) { (s, dir) =>
     val ev = Tables.load(s, dir, "events")
     val us = unix_micros(col("ts"))
+    // Each stage anchor is localCheckpoint'ed: it is referenced twice (next
+    // stage's join + its own census count) and AQE's runtime stage reuse
+    // only catches one of the duplicated subtrees — without the checkpoint
+    // the events scan re-runs ~6x across the union (measured). The anchors
+    // are per-user aggregates (bounded by the user population), so the
+    // materialization is tiny at any corpus scale, while each stage's
+    // events pass keeps its pushed-down event_type filter.
     val signup = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(us).as("st"))
+      .localCheckpoint()
     val click = ev.filter(col("event_type") === "click")
       .join(signup, Seq("user_id"))
       .filter(us > col("st") && us <= col("st") + lit(21600000000L))
       .groupBy(col("user_id")).agg(min(us).as("ct"))
+      .localCheckpoint()
     val purchase = ev.filter(col("event_type") === "purchase")
       .join(click, Seq("user_id"))
       .filter(us > col("ct") && us <= col("ct") + lit(43200000000L))
       .groupBy(col("user_id")).agg(min(us).as("pt"))
+      .localCheckpoint()
     def counted(stage: String, df: org.apache.spark.sql.DataFrame) =
       df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"), col("n_users"))
     counted("signup", signup)
