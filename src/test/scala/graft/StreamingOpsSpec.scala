@@ -379,7 +379,10 @@ class StreamingOpsSpec extends AnyFunSuite {
     ms.addData(Event(1, ts("2024-01-01 01:00:00"), 5, "click", 2.0))
     runUntilRow()
     assert(emitted.toArray.toSeq === Seq(1L))
-    Thread.sleep(1200) // let the 500 ms TTL lapse in wall-clock time
+    // let the 500 ms TTL lapse in wall-clock time — 5x margin because the
+    // TTL clock is the state-store commit time, which under parallel-suite
+    // load can land well after the sink row appears (observed flake at 2.4x)
+    Thread.sleep(2500)
     ms.addData(Event(2, ts("2024-01-01 01:01:00"), 5, "view", 3.0))
     runUntilRow()
     // the first write expired before the second arrived: the counter
