@@ -22,9 +22,10 @@ object TextOps {
 
   /** Portable 32-bit word hash shared with the DuckDB oracle:
     * first 8 hex chars of md5. Base of MinHash/SimHash in [[graft.operators.DedupOps]].
-    * SQL fragment form because it's used inside lambda bodies.
+    * SQL fragment form because it's used inside lambda bodies; the canonical
+    * idiom lives in [[graft.core.PortableHash]].
     */
-  val wordHashSql: String = "CAST(conv(substring(md5(%s), 1, 8), 16, 10) AS BIGINT)"
+  val wordHashSql: String = graft.core.PortableHash.spark("%s")
 
   /** t1: token statistics — whitespace tokens, distinct tokens, BPE-ish regex
     * tokens, average token length.

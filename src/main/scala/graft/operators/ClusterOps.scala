@@ -47,8 +47,13 @@ object ClusterOps {
     * where component = min doc_id of the node's component.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+    // materialize the pair relation BEFORE symmetrizing: for c1/c2 it is the
+    // whole LSH pair-generation pipeline, and the union below references it
+    // twice — single evaluation must be guaranteed, not left to the
+    // optimizer's exchange reuse
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("a").as("u"), col("b").as("v"))
+      .union(p.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
     // round-0 fused into init: comp(v) = min(v, min neighbor) directly off
     // the edge list — one agg instead of a distinct plus a full first round

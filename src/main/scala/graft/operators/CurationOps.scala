@@ -65,17 +65,17 @@ object CurationOps {
     */
   val p2 = Q(
     "p2_stratified_sample",
-    """SELECT lang, count(*) AS n_total,
-      |  sum(CASE WHEN pct < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
-      |      THEN 1 ELSE 0 END)::BIGINT AS n_sampled
-      |FROM (
-      |  SELECT lang,
-      |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS pct
-      |  FROM documents) t
-      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    s"""SELECT lang, count(*) AS n_total,
+       |  sum(CASE WHEN pct < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+       |FROM (
+       |  SELECT lang,
+       |    ${graft.core.PortableHash.duck("doc_id::VARCHAR")} % 100 AS pct
+       |  FROM documents) t
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
       .withColumn("pct",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        expr(graft.core.PortableHash.spark("CAST(doc_id AS STRING)") + " % 100"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_total"),

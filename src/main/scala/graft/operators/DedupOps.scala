@@ -470,12 +470,12 @@ object DedupOps {
   val d9 = Q(
     "d9_decontamination",
     s"""WITH d AS (SELECT doc_id, text,
-       |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 AS b FROM documents),
+       |  ${graft.core.PortableHash.duck("doc_id::VARCHAR")} % 10 AS b FROM documents),
        |tr AS (SELECT doc_id,
        |  unnest(list_distinct(list_transform(
        |    list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
        |      i -> array_to_string(string_split(text, ' ')[i : i + 4], ' ')),
-       |    g -> ('0x' || substring(md5(g), 1, 8))::BIGINT))) AS sg
+       |    g -> ${graft.core.PortableHash.duck("g")}))) AS sg
        |  FROM d WHERE b < 9),
        |keep AS (SELECT sg FROM tr GROUP BY sg
        |         HAVING count(DISTINCT doc_id) <= $ContamDfCap),
@@ -483,7 +483,7 @@ object DedupOps {
        |  unnest(list_distinct(list_transform(
        |    list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
        |      i -> array_to_string(string_split(text, ' ')[i : i + 4], ' ')),
-       |    g -> ('0x' || substring(md5(g), 1, 8))::BIGINT))) AS sg
+       |    g -> ${graft.core.PortableHash.duck("g")}))) AS sg
        |  FROM d WHERE b = 9),
        |cont AS (SELECT DISTINCT doc_id FROM te WHERE sg IN (SELECT sg FROM keep))
        |SELECT count(*) AS n_test,
@@ -494,14 +494,14 @@ object DedupOps {
     // hashed distinct 5-gram shingles of the token array `t` (empty below 5
     // tokens — Spark's sequence() would count DOWN through an empty range)
     val sgExpr =
-      """IF(size(t) >= 5,
-        |  array_distinct(transform(
-        |    transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5))),
-        |    g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))),
-        |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin
+      s"""IF(size(t) >= 5,
+         |  array_distinct(transform(
+         |    transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5))),
+         |    g -> ${graft.core.PortableHash.spark("g")})),
+         |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin
     val d = Tables.load(s, dir, "documents")
       .withColumn("b",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10"))
+        expr(graft.core.PortableHash.spark("CAST(doc_id AS STRING)") + " % 10"))
       .withColumn("t", split(col("text"), " "))
     val tr = d.filter(col("b") < 9).select(col("doc_id"), explode(expr(sgExpr)).as("sg"))
     val keep = tr.groupBy(col("sg"))

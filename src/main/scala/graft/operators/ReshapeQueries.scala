@@ -91,16 +91,17 @@ object ReshapeQueries {
     */
   val q38 = Q(
     "q38_hash_split",
-    """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
-      |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
-      |FROM (
-      |  SELECT l_extendedprice,
-      |    ('0x' || substring(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 8))::BIGINT % 10 AS b
-      |  FROM lineitem) t
-      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    s"""SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+       |FROM (
+       |  SELECT l_extendedprice,
+       |    ${graft.core.PortableHash.duck("l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR")} % 10 AS b
+       |  FROM lineitem) t
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .withColumn("b",
-        expr("CAST(conv(substring(md5(concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10"))
+        expr(graft.core.PortableHash.spark(
+          "concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING))") + " % 10"))
       .groupBy(
         when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test").as("split"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
@@ -184,19 +185,15 @@ object ReshapeQueries {
       |      FROM base b FULL OUTER JOIN upd u ON u.user_id = b.user_id)
       |SELECT action, count(*) AS n, round(sum(final_value), 2) AS total_value
       |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
-    def latest(lo: Option[String], hi: Option[String]) = {
-      val ev = Tables.load(s, dir, "events").filter(col("event_type") === "purchase")
-      val ranged = (lo, hi) match {
-        case (Some(l), _) => ev.filter(col("ts") >= lit(l))
-        case (_, Some(h)) => ev.filter(col("ts") < lit(h))
-        case _            => ev
-      }
+    def latest(range: org.apache.spark.sql.Column) = {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
-      ranged.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase" && range)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("user_id"), col("value"))
     }
-    val base = latest(None, Some("2024-01-04"))
-    val upd = latest(Some("2024-01-28"), None)
+    val base = latest(col("ts") < lit("2024-01-04"))
+    val upd = latest(col("ts") >= lit("2024-01-28"))
     base.as("b").join(upd.as("u"), col("b.user_id") === col("u.user_id"), "full_outer")
       .select(
         when(col("b.user_id").isNull, "insert")
