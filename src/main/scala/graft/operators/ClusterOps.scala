@@ -47,13 +47,14 @@ object ClusterOps {
     * where component = min doc_id of the node's component.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    // materialize the pair relation BEFORE symmetrizing: for c1/c2 it is the
-    // whole LSH pair-generation pipeline, and the union below references it
-    // twice — single evaluation must be guaranteed, not left to the
-    // optimizer's exchange reuse
-    val p = pairs.localCheckpoint()
-    val edges = p.select(col("a").as("u"), col("b").as("v"))
-      .union(p.select(col("b").as("u"), col("a").as("v")))
+    // symmetrize in ONE pass over the pair relation: for c1/c2 that relation
+    // is the whole LSH pair-generation pipeline, and a union of two
+    // projections would evaluate it twice (optimizer exchange reuse is not
+    // guaranteed). inline() emits both edge directions from a single
+    // evaluation, and the one checkpoint materializes the result for the
+    // iteration loop.
+    val edges = pairs
+      .selectExpr("inline(array(struct(a AS u, b AS v), struct(b AS u, a AS v)))")
       .localCheckpoint()
     // round-0 fused into init: comp(v) = min(v, min neighbor) directly off
     // the edge list — one agg instead of a distinct plus a full first round
