@@ -148,15 +148,25 @@ object ScaleProbe {
       }
       pairs1.unpersist()
 
+      // d9 shape over the multiplied docs. The df cap scales with the
+      // corpus multiple: boilerplate is a RELATIVE frequency notion, so a
+      // fixed absolute cap at 16x would reclassify every shared shingle as
+      // boilerplate and the probe would measure an empty join.
+      val d9t = time {
+        graft.operators.DedupOps
+          .decontaminationCensus(docs, graft.operators.DedupOps.ContamDfCap * k)
+          .write.format("noop").mode("overwrite").save()
+      }
+
       docs.unpersist(); vecs.unpersist()
       System.gc()
       System.err.println(
-        f"[scale] ${k}%2dx  d4=${d4t}%7.2f s  e1=${e1t}%7.2f s  t6=${t6t}%7.2f s  c1=${c1t}%7.2f s (${nPairs * k} edges)")
-      k -> (d4t, e1t, t6t, c1t)
+        f"[scale] ${k}%2dx  d4=${d4t}%7.2f s  e1=${e1t}%7.2f s  t6=${t6t}%7.2f s  c1=${c1t}%7.2f s (${nPairs * k} edges)  d9=${d9t}%7.2f s")
+      k -> (d4t, e1t, t6t, c1t, d9t)
     }
 
-    val json = results.map { case (k, (a, b, c, d)) =>
-      s""""${k}x":{"d4":$a,"e1":$b,"t6":$c,"c1":$d}"""
+    val json = results.map { case (k, (a, b, c, d, e)) =>
+      s""""${k}x":{"d4":$a,"e1":$b,"t6":$c,"c1":$d,"d9":$e}"""
     }.mkString("{\"metric\":\"scale_ladder\",", ",", "}")
     println(json)
     spark.stop()

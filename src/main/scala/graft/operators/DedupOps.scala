@@ -491,6 +491,14 @@ object DedupOps {
        |  (count(*) - coalesce(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 END), 0))::BIGINT AS n_clean
        |FROM (SELECT doc_id FROM d WHERE b = 9) t
        |LEFT JOIN cont c ON c.doc_id = t.doc_id""".stripMargin) { (s, dir) =>
+    decontaminationCensus(Tables.load(s, dir, "documents"), ContamDfCap)
+  }
+
+  /** d9's pipeline over any `documents`-shaped relation with an explicit df
+    * cap — the cap must SCALE with the corpus (boilerplate frequency is
+    * relative), which is what ScaleProbe's d9 rung exercises.
+    */
+  def decontaminationCensus(docs: org.apache.spark.sql.DataFrame, cap: Long): org.apache.spark.sql.DataFrame = {
     // hashed distinct 5-gram shingles of the token array `t` (empty below 5
     // tokens — Spark's sequence() would count DOWN through an empty range)
     val sgExpr =
@@ -499,14 +507,14 @@ object DedupOps {
          |    transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5))),
          |    g -> ${graft.core.PortableHash.spark("g")})),
          |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin
-    val d = Tables.load(s, dir, "documents")
+    val d = docs
       .withColumn("b",
         expr(graft.core.PortableHash.spark("CAST(doc_id AS STRING)") + " % 10"))
       .withColumn("t", split(col("text"), " "))
     val tr = d.filter(col("b") < 9).select(col("doc_id"), explode(expr(sgExpr)).as("sg"))
     val keep = tr.groupBy(col("sg"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= ContamDfCap)
+      .filter(col("df") <= cap)
       .select("sg")
     val te = d.filter(col("b") === 9).select(col("doc_id"), explode(expr(sgExpr)).as("sg"))
     val cont = te.join(keep, Seq("sg"), "left_semi").select("doc_id").distinct()
