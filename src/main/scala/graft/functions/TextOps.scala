@@ -265,5 +265,56 @@ object TextOps {
         / (size(tokens(col("text"))) - 2), 4).as("dup3_ratio"))
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9)
+  /** t10: unigram language-model log-probability scoring — the
+    * perplexity-style quality signal (CCNet-family): train an add-one
+    * smoothed unigram LM on the train split of the hash partition (q38/d9's
+    * portable md5 split, b < 9) and score each held-out document (b = 9) by
+    * its mean negative log-likelihood. High avg_nll = improbable text under
+    * the corpus distribution — the production cut drops the top tail.
+    *
+    * Scale shape: token explode + partial+final hash agg builds the LM
+    * (vocabulary-keyed, like t6's df); scoring is an equi-join on the term
+    * key — vocabulary-cardinality, NOT hint-broadcast, so AQE picks
+    * broadcast while the vocab measures small and degrades to a term-keyed
+    * shuffle join at web scale (t6's exact scale story). The (N, V)
+    * normalizer is a single-row aggregate and rides a broadcast. The final
+    * per-doc avg is rounded to 4 places: token order within a doc's sum is
+    * engine-dependent, and the ~1e-12 accumulation noise sits far inside
+    * the rounding grid.
+    */
+  val t10 = Q(
+    "t10_unigram_logprob",
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    ${graft.core.PortableHash.duck("doc_id::VARCHAR")} % 10 AS b
+       |  FROM documents),
+       |tr AS (SELECT unnest(string_split(text, ' ')) AS term FROM d WHERE b < 9),
+       |c AS (SELECT term, count(*) AS cnt FROM tr GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS v FROM c),
+       |te AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |       FROM d WHERE b = 9)
+       |SELECT te.doc_id, count(*)::BIGINT AS n_tokens,
+       |  round(avg(-ln((coalesce(c.cnt, 0) + 1)::DOUBLE / (tot.n + tot.v)::DOUBLE)), 4)
+       |    AS avg_nll
+       |FROM te LEFT JOIN c ON c.term = te.term, tot
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("b",
+        expr(graft.core.PortableHash.spark("CAST(doc_id AS STRING)") + " % 10"))
+    val counts = d.filter(col("b") < 9)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    d.filter(col("b") === 9)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(counts, Seq("term"), "left")
+      .join(broadcast(totals))
+      .select(col("doc_id"),
+        (-log((coalesce(col("cnt"), lit(0L)) + 1).cast("double")
+          / (col("n") + col("v")).cast("double"))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 4).as("avg_nll"))
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10)
 }

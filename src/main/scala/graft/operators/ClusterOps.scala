@@ -155,5 +155,93 @@ object ClusterOps {
       .union(counted("n_kept", kept))
   }
 
-  val all: Seq[Q] = Seq(c1, c2)
+  /** Cluster count for c3 (coarse semantic partitions of the corpus). */
+  val KMeansK = 8
+
+  /** DuckDB: sequential indexed double fold — same dot idiom as s1/s2. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  /** c3: k-means (Lloyd) semantic clustering over the embedding corpus —
+    * the partitioning step of SemDeDup-style semantic curation (cluster,
+    * then dedup/select within clusters) and the centroid-training step
+    * s2's IVF index consumes. Deterministic seeding (the k lowest vec_ids)
+    * plus one full Lloyd round unrolled — assign to seeds, recompute
+    * centroids, re-assign — so the oracle replays it CTE for CTE; the
+    * census keys on integer id checksums, pinning the exact assignment.
+    *
+    * Float portability: distances are double (`vec_dot` folds float
+    * elements in index order, exactly DuckDB's indexed list fold), but the
+    * recomputed centroid means are CAST TO FLOAT — the per-element mean is
+    * an unordered double sum whose ~1e-15 accumulation noise differs per
+    * engine, and the float rounding grid (2^-24 relative) absorbs it.
+    *
+    * Scale shape: centroids are k bounded rows — broadcast by
+    * construction (s2's pattern), never corpus-sized; assignment is a
+    * map-side scored join + per-vector top-1 window; the centroid update
+    * is a (cid, dim) partial+final hash agg, k*64 rows out. Every stage is
+    * linear in corpus size; more Lloyd rounds repeat the same two jobs.
+    */
+  val c3 = Q(
+    "c3_kmeans_semantic",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    ${duckDot("embedding", "embedding")} AS sq
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent,
+       |    ${duckDot("embedding", "embedding")} AS csq
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, s.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY e.sq + s.csq - 2 * ${duckDot("e.embedding", "s.cent")}, s.cid) AS rn
+       |    FROM e, seeds s) t WHERE rn = 1),
+       |upd AS (
+       |  SELECT cid, i, avg(e.embedding[i])::FLOAT AS m
+       |  FROM a1 JOIN e USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+       |  GROUP BY 1, 2),
+       |c2 AS (
+       |  SELECT cid, list(m ORDER BY i) AS cent,
+       |    list_sum(list_transform(list(m ORDER BY i), x -> x::DOUBLE * x::DOUBLE)) AS csq
+       |  FROM upd GROUP BY 1),
+       |a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY e.sq + c.csq - 2 * ${duckDot("e.embedding", "c.cent")}, c.cid) AS rn
+       |    FROM e, c2 c) t WHERE rn = 1)
+       |SELECT cid, count(*)::BIGINT AS n_vecs, sum(vec_id)::BIGINT AS id_checksum
+       |FROM a2 GROUP BY 1""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding", "vec_dot(embedding, embedding) AS sq")
+    val wSeed = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val seeds = e.orderBy(col("vec_id")).limit(KMeansK)
+      .select((row_number().over(wSeed) - 1).as("cid"), col("embedding").as("cent"))
+      .selectExpr("cid", "cent", "vec_dot(cent, cent) AS csq")
+
+    // per-vector nearest centroid: scored broadcast join + top-1 window
+    def assignTo(cents: DataFrame): DataFrame = {
+      val scored = e.join(broadcast(cents))
+        .selectExpr("vec_id", "cid", "sq + csq - 2 * vec_dot(embedding, cent) AS dist2")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "cid")
+    }
+
+    val a1 = assignTo(seeds)
+    val cents2 = a1.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i")).agg(avg(col("x")).cast("float").as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("cent"))
+      .selectExpr("cid", "cent", "vec_dot(cent, cent) AS csq")
+    assignTo(cents2)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(c1, c2, c3)
 }

@@ -83,5 +83,85 @@ object CurationOps {
           .otherwise(0L)).as("n_sampled"))
   }
 
-  val all: Seq[Q] = Seq(p1, p2)
+  /** Training shards for p3 (the number of output files/workers an epoch is
+    * striped across). */
+  val NShards = 8L
+
+  /** p3: deterministic global shuffle — assign every document a training
+    * shard and an intra-shard position from the portable md5 hash of its
+    * id. The hash IS the shuffle: it is uniform, reproducible across
+    * engines and runs (rand() is neither), and seedable by salting the
+    * hashed key. Consumers read shards in parallel and each shard in
+    * position order — a full random epoch order with no global sort.
+    *
+    * Scale shape: shard = hash % N is a pure map; position is a window
+    * PARTITIONED BY shard (one shuffle on the shard key, per-shard local
+    * sort) — the global total order is never materialized on one node,
+    * which is what makes this the 100 TB epoch-shuffle shape.
+    */
+  val p3 = Q(
+    "p3_shuffle_shard",
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${graft.core.PortableHash.duck("doc_id::VARCHAR")} AS hv
+       |  FROM documents)
+       |SELECT doc_id, (hv % $NShards)::BIGINT AS shard,
+       |  (row_number() OVER (PARTITION BY hv % $NShards ORDER BY hv, doc_id))::BIGINT
+       |    AS pos
+       |FROM h""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(graft.core.PortableHash.spark("CAST(doc_id AS STRING)")).as("hv"))
+      .withColumn("shard", expr(s"hv % $NShards"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))
+    h.select(col("doc_id"), col("shard"),
+      row_number().over(w).cast("long").as("pos"))
+  }
+
+  /** Context-window chunk length and stride for p4 (75% advance = 25%
+    * token overlap between consecutive chunks). */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** p4: overlapping context-window chunking — split each document's token
+    * stream into fixed-length windows advancing by a stride smaller than
+    * the window, the standard prep for models whose context is shorter
+    * than a document (the overlap preserves cross-boundary continuity).
+    * A window starts at every stride multiple <= n_tokens, so the final
+    * window may be short (and, for a tail shorter than the overlap, nested
+    * in its predecessor — chunk accounting is deliberately exhaustive
+    * rather than trimmed, and the downstream packer p1 handles budgets).
+    * Each chunk carries the portable hash of its text so the oracle checks
+    * CONTENT, not just arithmetic.
+    *
+    * Scale shape: shuffle-free — one generator expansion per row (sequence
+    * of starts, codegen), no joins, no aggregation; the natural map stage
+    * before p3's shard assignment.
+    */
+  val p4 = Q(
+    "p4_chunk_windows",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id, ((st - 1) // $ChunkStride)::BIGINT AS chunk_id,
+       |  (least(st + ${ChunkSize - 1}, len(toks)) - st + 1)::BIGINT AS n_chunk_tokens,
+       |  ${graft.core.PortableHash.duck(
+      s"array_to_string(toks[st : least(st + ${ChunkSize - 1}, len(toks))], ' ')")}
+       |    AS chunk_fp
+       |FROM t, unnest(generate_series(1, len(toks), $ChunkStride)) AS u(st)""".stripMargin) {
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(1, size(toks), $ChunkStride)")).as("st"),
+          col("toks"))
+        .select(col("doc_id"),
+          expr(s"CAST((st - 1) DIV $ChunkStride AS BIGINT)").as("chunk_id"),
+          expr(s"CAST(least(st + ${ChunkSize - 1}, size(toks)) - st + 1 AS BIGINT)")
+            .as("n_chunk_tokens"),
+          expr(graft.core.PortableHash.spark(
+            s"concat_ws(' ', slice(toks, st, least(st + ${ChunkSize - 1}, size(toks)) - st + 1))"))
+            .as("chunk_fp"))
+  }
+
+  val all: Seq[Q] = Seq(p1, p2, p3, p4)
 }

@@ -232,4 +232,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"),
       s"expected the pairing self-join to reuse the bands exchange in:\n$p")
   }
+
+  test("p4: chunk expansion is shuffle-free — one generator map stage") {
+    val df = graft.operators.CurationOps.p4.fn(spark, sf)
+    val shuffles = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      "chunking must be a pure map/generator stage with zero exchanges")
+  }
+
+  test("t10: LM scoring join is size-adaptive — only the 1-row (N,V) totals hinted") {
+    val df = graft.functions.TextOps.t10.fn(spark, sf)
+    // the unigram count relation is vocabulary-cardinality (unbounded for
+    // web text) — t6's rule applies: never hint it, let AQE decide
+    broadcastHints(df).foreach { h =>
+      assert(h.child.output.map(_.name) == Seq("n", "v"),
+        s"only the single-row (N,V) totals may be hint-broadcast, got: ${h.child.output}")
+    }
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "expected AQE/statistics to choose broadcast for the small measured vocabulary")
+  }
+
+  test("c3: only k-bounded centroid relations are hint-broadcast") {
+    val df = graft.operators.ClusterOps.c3.fn(spark, sf)
+    val hints = broadcastHints(df)
+    assert(hints.nonEmpty, "centroids should be explicitly broadcast (k rows)")
+    hints.foreach { h =>
+      assert(h.child.output.map(_.name) == Seq("cid", "cent", "csq"),
+        s"only the k-row centroid relation may be hint-broadcast, got: ${h.child.output}")
+    }
+  }
 }
