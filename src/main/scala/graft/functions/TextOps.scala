@@ -316,5 +316,45 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 4).as("avg_nll"))
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10)
+  /** t11: per-source distribution divergence — KL(P_source || P_corpus)
+    * over unigram distributions, the drift monitor a curation pipeline
+    * runs per ingest source (a source whose token distribution diverges
+    * from the corpus is boilerplate, spam, or a different register, and
+    * KL is the standard scalar for it). Source vocabularies are subsets
+    * of the corpus vocabulary, so every ratio is finite.
+    *
+    * Scale shape: one token explode feeds three partial+final hash aggs
+    * (per-source-term, per-source, per-term); scoring joins are keyed on
+    * source / term (AQE-adaptive, never hint-broadcast — vocabulary and
+    * source counts both grow); the grand total is a 1-row broadcast. The
+    * KL sum is rounded to 4 places (unordered double accumulation).
+    */
+  val t11 = Q(
+    "t11_source_divergence",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |sc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+      |st AS (SELECT source, sum(c)::BIGINT AS ns FROM sc GROUP BY 1),
+      |ct AS (SELECT term, sum(c)::BIGINT AS cc FROM sc GROUP BY 1),
+      |n AS (SELECT sum(cc)::BIGINT AS n FROM ct)
+      |SELECT sc.source, st.ns AS n_tokens,
+      |  round(sum((sc.c::DOUBLE / st.ns) * ln((sc.c::DOUBLE / st.ns) / (ct.cc::DOUBLE / n.n))), 4)
+      |    AS kl
+      |FROM sc JOIN st USING (source) JOIN ct USING (term), n
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val sc = Tables.load(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val st = sc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val ct = sc.groupBy(col("term")).agg(sum(col("c")).as("cc"))
+    val n = ct.agg(sum(col("cc")).as("n"))
+    val ps = col("c").cast("double") / col("ns")
+    sc.join(st, Seq("source")).join(ct, Seq("term")).join(broadcast(n))
+      .select(col("source"), col("ns"),
+        (ps * log(ps / (col("cc").cast("double") / col("n")))).as("term_kl"))
+      .groupBy(col("source"), col("ns"))
+      .agg(round(sum(col("term_kl")), 4).as("kl"))
+      .select(col("source"), col("ns").as("n_tokens"), col("kl"))
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
 }

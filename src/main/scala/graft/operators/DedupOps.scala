@@ -530,5 +530,44 @@ object DedupOps {
         (count(lit(1)) - coalesce(sum(col("hit")), lit(0L))).as("n_clean"))
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
+  /** d10: incremental dedup — the ingestion-time form of d2/d8: a new
+    * batch (the b = 9 hash slice) is deduplicated AGAINST the existing
+    * corpus (b < 9) by normalized token-set fingerprint, reporting batch
+    * size, already-in-corpus duplicates, and distinct novel fingerprints.
+    * This is the continuous-pipeline operation (every arriving shard runs
+    * it); full-corpus dedup (d1/d2) is the batch backfill.
+    *
+    * Scale shape: fingerprints are a shuffle-free map stage; the
+    * corpus-membership probe is a left join on the high-cardinality fp key
+    * (at 100 TB the corpus side is a bucketed/indexed fingerprint store;
+    * the join key and plan shape are unchanged). Nothing is broadcast by
+    * hint — the corpus fingerprint relation grows with the corpus.
+    */
+  val d10 = Q(
+    "d10_incremental_dedup",
+    s"""WITH d AS (SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+       |  ${graft.core.PortableHash.duck("doc_id::VARCHAR")} % 10 AS b FROM documents),
+       |corpus AS (SELECT DISTINCT fp FROM d WHERE b < 9),
+       |batch AS (SELECT doc_id, fp FROM d WHERE b = 9)
+       |SELECT count(*)::BIGINT AS n_batch,
+       |  sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_corpus,
+       |  count(DISTINCT CASE WHEN c.fp IS NULL THEN batch.fp END)::BIGINT AS n_novel_fps
+       |FROM batch LEFT JOIN corpus c ON c.fp = batch.fp""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+      .withColumn("b",
+        expr(graft.core.PortableHash.spark("CAST(doc_id AS STRING)") + " % 10"))
+    val corpus = d.filter(col("b") < 9).select("fp").distinct()
+      .withColumn("in_corpus", lit(1))
+    d.filter(col("b") === 9).select("doc_id", "fp")
+      .join(corpus, Seq("fp"), "left")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("in_corpus").isNotNull, 1L).otherwise(0L)).as("n_dup_corpus"),
+        countDistinct(when(col("in_corpus").isNull, col("fp"))).as("n_novel_fps"))
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
 }

@@ -279,5 +279,48 @@ object MiscQueries {
         round(max(col("c_acctbal")), 2).as("hi"))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34, q39, q42, q44, q45, q46)
+  /** q50: distribution-position windows — percent_rank and cume_dist per
+    * nation (the remaining members of the ranking-window family after
+    * row_number/rank/ntile: q11, q37, q46). The order key includes
+    * c_custkey so ranks are tie-free and both engines agree exactly;
+    * values rounded to 4 (they are ratios of ranks — exact in both
+    * engines, rounding is belt-and-braces for the hash compare).
+    * Partitioned by nation: per-group parallel sort, no global funnel.
+    */
+  val q50 = Q(
+    "q50_rank_distribution",
+    """SELECT c_custkey, c_nationkey,
+      |  round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS pr,
+      |  round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS cd
+      |FROM customer""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+  }
+
+  /** q51: null-preserving generator — explode_outer keeps the parent row
+    * (with a NULL element) when its array is empty, where plain explode
+    * drops it. The distinction matters for any per-document expansion that
+    * must not silently lose documents (here: docs with no long token still
+    * appear, so downstream per-doc accounting stays total). DuckDB has no
+    * outer unnest; the oracle models the semantics with an explicit
+    * [NULL]-substitution, which is exactly the contract being pinned.
+    */
+  val q51 = Q(
+    "q51_explode_outer",
+    """WITH r AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), w -> len(w) >= 8) AS l FROM documents)
+      |SELECT doc_id,
+      |  unnest(CASE WHEN len(l) = 0 THEN [NULL::VARCHAR] ELSE l END) AS rare_tok
+      |FROM r""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(expr("filter(split(text, ' '), w -> length(w) >= 8)"))
+          .as("rare_tok"))
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34, q39, q42, q44, q45, q46, q50, q51)
 }
