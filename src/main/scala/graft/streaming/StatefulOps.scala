@@ -210,6 +210,63 @@ object StatefulOps {
     }
   }
 
+  final case class UserTypeActivity(user_id: Long, event_type: String,
+      n_type: Long, topk_sum: Double)
+
+  /** Composite-state processor exercising the transformWithState state
+    * surface beyond ValueState: a MapState (per-event-type counters — the
+    * keyed sub-aggregation pattern) plus a ListState holding only the
+    * TOP-K values ever seen for the user (trimmed on every write — the
+    * bounded-buffer discipline: list state that only appends grows without
+    * bound at 100 TB/day; this one is capped at K elements by
+    * construction). Emits one row per event type seen in the batch with
+    * its running count and the current top-K sum.
+    */
+  class UserActivityProcessor(topK: Int = 3)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTypeActivity] {
+    @transient private var typeCounts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var topVals: org.apache.spark.sql.streaming.ListState[Double] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      typeCounts = getHandle.getMapState[String, Long](
+        "type_counts", Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      topVals = getHandle.getListState[Double](
+        "top_vals", Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypeActivity] = {
+      val batchTypes = scala.collection.mutable.LinkedHashSet.empty[String]
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Double]
+      rows.foreach { e =>
+        val n = if (typeCounts.containsKey(e.event_type)) typeCounts.getValue(e.event_type) else 0L
+        typeCounts.updateValue(e.event_type, n + 1L)
+        batchTypes += e.event_type
+        vals += e.value
+      }
+      // merge batch values into the capped top-K buffer (sorted, so the
+      // result is independent of intra-batch row order)
+      val merged = (topVals.get().toSeq ++ vals).sorted.reverse.take(topK)
+      topVals.put(merged.toArray)
+      val topSum = math.rint(merged.sum * 100) / 100
+      batchTypes.iterator.map { t =>
+        UserTypeActivity(key, t, typeCounts.getValue(t), topSum)
+      }
+    }
+  }
+
+  /** transformWithState wiring for [[UserActivityProcessor]]. */
+  def userActivityTWS(events: Dataset[Event]): Dataset[UserTypeActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserActivityProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** transformWithState wiring for [[UserCountProcessor]]. */
   def runningTotalsTWS(events: Dataset[Event]): Dataset[UserRunning] = {
     import events.sparkSession.implicits._

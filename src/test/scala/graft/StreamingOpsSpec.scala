@@ -411,6 +411,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(last.head.getAs[Double]("total_value") === 5.0)
   }
 
+  test("transformWithState MapState counts per type; ListState stays capped at top-K") {
+    import spark.implicits._
+    val ms = startStream()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StatefulOps.userActivityTWS(ms.toDS())
+      .writeStream.format("memory").queryName("activity_out").outputMode("update")
+      .start()
+    ms.addData(
+      Event(1, ts("2024-01-01 01:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 01:01:00"), 7, "click", 4.0),
+      Event(3, ts("2024-01-01 01:02:00"), 7, "view", 2.0))
+    q.processAllAvailable()
+    ms.addData(Event(4, ts("2024-01-01 01:03:00"), 7, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM activity_out").collect()
+    // MapState: click counted across batches (2 then 3), view stays 1
+    val clickFinal = rows.filter(r => r.getAs[String]("event_type") == "click")
+      .map(_.getAs[Long]("n_type")).max
+    assert(clickFinal === 3, s"expected click count 3 across batches, got $clickFinal")
+    assert(rows.filter(_.getAs[String]("event_type") == "view")
+      .forall(_.getAs[Long]("n_type") == 1))
+    // ListState: 4 values seen (1,4,2,3) but the buffer keeps top-3 → 4+3+2
+    val lastSum = rows.filter(r => r.getAs[String]("event_type") == "click")
+      .map(_.getAs[Double]("topk_sum")).max
+    assert(lastSum === 9.0, s"expected capped top-3 sum 9.0, got $lastSum")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     val ms = startStream()
