@@ -377,5 +377,45 @@ object SimilarityOps {
         "aggregate(embedding, 0L, (a, x) -> a + abs(CAST(round(CAST(x AS DOUBLE) * 127.0 / s) AS BIGINT))) AS q_l1")
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3)
+  /** e4: retrieval end-to-end (the RAG read path) — ANN candidates from
+    * the hyperplane bucket (s3's equi-join shape), exact cosine re-rank to
+    * top-3, then the hit list joined BACK to the document store on its
+    * primary key for the payload a retriever actually returns (lang,
+    * source, snippet). The metadata join is keyed on doc_id with the
+    * corpus on the build side and the k*q-row hit list on the probe side —
+    * AQE broadcasts the hit list while it measures small; nothing
+    * corpus-sized is hinted.
+    */
+  val e4 = Q(
+    "e4_rag_retrieve",
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm,
+       |  $bucketDuck AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 3),
+       |p AS (SELECT q.vec_id AS qid, e.vec_id AS doc_id,
+       |        $duckDot / (q.nrm * e.nrm) AS cos
+       |      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id),
+       |hits AS (
+       |  SELECT qid, doc_id, round(cos, 4) AS cosine, rnk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, doc_id) AS rnk
+       |    FROM p) t
+       |  WHERE rnk <= 3)
+       |SELECT h.qid, h.rnk, h.doc_id, h.cosine, d.lang, d.source,
+       |  substring(d.text, 1, 40) AS snippet
+       |FROM hits h JOIN documents d ON d.doc_id = h.doc_id""".stripMargin) { (s, dir) =>
+    val e = withBucket(s, dir)
+    val q = e.selectExpr("vec_id AS qid", "embedding AS qemb", "nrm AS qnrm", "bucket AS qbucket")
+      .filter(col("qid") < 3)
+    val pairs = e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id AS doc_id", s"${dotExpr("qemb", "embedding")} / (qnrm * nrm) AS cos")
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("cos"), 4).desc, col("doc_id"))
+    val hits = pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("doc_id"), round(col("cos"), 4).as("cosine"))
+    hits.join(Tables.load(s, dir, "documents"), Seq("doc_id"))
+      .select(col("qid"), col("rnk"), col("doc_id"), col("cosine"),
+        col("lang"), col("source"), substring(col("text"), 1, 40).as("snippet"))
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4)
 }
