@@ -158,15 +158,35 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
 
+      // c3 shape: k-means assignment + centroid update over multiplied
+      // vectors — centroid count is fixed (k=8 broadcast rows), so both
+      // Lloyd stages are linear scans; this rung verifies that holds.
+      val c3t = time {
+        graft.operators.ClusterOps.kmeansCensus(vecs)
+          .write.format("noop").mode("overwrite").save()
+      }
+
+      // t10 shape: unigram-LM build + term-keyed scoring join — vocabulary
+      // grows with clones (each adds clone tokens), split sizes grow with k.
+      val t10t = time {
+        graft.functions.TextOps.unigramNll(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
+
       docs.unpersist(); vecs.unpersist()
       System.gc()
+      val steps = Seq("d4" -> d4t, "e1" -> e1t, "t6" -> t6t, "c1" -> c1t,
+        "d9" -> d9t, "c3" -> c3t, "t10" -> t10t)
       System.err.println(
-        f"[scale] ${k}%2dx  d4=${d4t}%7.2f s  e1=${e1t}%7.2f s  t6=${t6t}%7.2f s  c1=${c1t}%7.2f s (${nPairs * k} edges)  d9=${d9t}%7.2f s")
-      k -> (d4t, e1t, t6t, c1t, d9t)
+        f"[scale] ${k}%2dx  " +
+          steps.map { case (n, t) => f"$n=$t%6.2f s" }.mkString("  ") +
+          s" (${nPairs * k} edges)")
+      k -> steps
     }
 
-    val json = results.map { case (k, (a, b, c, d, e)) =>
-      s""""${k}x":{"d4":$a,"e1":$b,"t6":$c,"c1":$d,"d9":$e}"""
+    val json = results.map { case (k, steps) =>
+      steps.map { case (n, t) => s""""$n":$t""" }
+        .mkString(s""""${k}x":{""", ",", "}")
     }.mkString("{\"metric\":\"scale_ladder\",", ",", "}")
     println(json)
     spark.stop()

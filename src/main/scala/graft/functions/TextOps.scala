@@ -298,7 +298,14 @@ object TextOps {
        |    AS avg_nll
        |FROM te LEFT JOIN c ON c.term = te.term, tot
        |GROUP BY 1""".stripMargin) { (s, dir) =>
-    val d = Tables.load(s, dir, "documents")
+    unigramNll(Tables.load(s, dir, "documents"))
+  }
+
+  /** t10's pipeline over any `documents`-shaped relation — ScaleProbe runs
+    * it on multiplied corpora (vocabulary and split both grow with k).
+    */
+  def unigramNll(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = docs
       .withColumn("b",
         expr(graft.core.PortableHash.spark("CAST(doc_id AS STRING)") + " % 10"))
     val counts = d.filter(col("b") < 9)

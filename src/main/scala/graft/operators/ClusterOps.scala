@@ -214,7 +214,15 @@ object ClusterOps {
        |    FROM e, c2 c) t WHERE rn = 1)
        |SELECT cid, count(*)::BIGINT AS n_vecs, sum(vec_id)::BIGINT AS id_checksum
        |FROM a2 GROUP BY 1""".stripMargin) { (s, dir) =>
-    val e = Tables.load(s, dir, "embeddings")
+    kmeansCensus(Tables.load(s, dir, "embeddings"))
+  }
+
+  /** c3's pipeline over any `embeddings`-shaped relation — ScaleProbe runs
+    * it on multiplied corpora (the centroid count stays k; only the
+    * assignment and update stages grow with the corpus).
+    */
+  def kmeansCensus(embs: DataFrame): DataFrame = {
+    val e = embs
       .selectExpr("vec_id", "embedding", "vec_dot(embedding, embedding) AS sq")
     val wSeed = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
     val seeds = e.orderBy(col("vec_id")).limit(KMeansK)

@@ -569,5 +569,74 @@ object DedupOps {
         countDistinct(when(col("in_corpus").isNull, col("fp"))).as("n_novel_fps"))
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
+  /** d11: MinHash sketch-accuracy audit — for every capped LSH candidate
+    * pair, compare the SKETCH similarity estimate (fraction of agreeing
+    * minhash positions) against the exact token-set Jaccard it estimates,
+    * histogrammed by absolute error decile. This is the d4 companion a
+    * production pipeline keeps running: it states, from live data, how
+    * much the 16-position sketch can be trusted before committing to
+    * sketch-only dedup thresholds (the e2/audit-row discipline applied to
+    * MinHash). Same capped candidate generation and doc_id-keyed set join
+    * as d4 — identical scale shape; the estimate itself is 16 integer
+    * comparisons per pair.
+    */
+  val d11 = Q(
+    "d11_minhash_accuracy",
+    s"""WITH sig AS (SELECT doc_id, $sigExprDuck AS sig FROM documents),
+       |$duckBands,
+       |bsz AS (SELECT band_idx, band_key, count(*) AS c FROM bands GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT b.doc_id, b.band_idx, b.band_key FROM bands b
+       |  JOIN bsz ON bsz.band_idx = b.band_idx AND bsz.band_key = b.band_key
+       |  WHERE bsz.c <= $BucketCap),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM kept x JOIN kept y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id,
+       |                list_distinct(list_transform(list_distinct(string_split(text, ' ')),
+       |                  w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)) AS ws
+       |         FROM documents),
+       |scored AS (
+       |  SELECT
+       |    len(list_filter(generate_series(1, 16), i -> ga.sig[i] = gb.sig[i])) AS matches,
+       |    len(list_intersect(sa.ws, sb.ws))::DOUBLE
+       |      / (len(sa.ws) + len(sb.ws) - len(list_intersect(sa.ws, sb.ws))) AS j
+       |  FROM cand
+       |  JOIN sig ga ON ga.doc_id = a JOIN sig gb ON gb.doc_id = b
+       |  JOIN sets sa ON sa.doc_id = a JOIN sets sb ON sb.doc_id = b)
+       |SELECT floor(abs(matches / 16.0 - j) * 10)::BIGINT AS err_decile,
+       |  count(*) AS n_pairs
+       |FROM scored GROUP BY 1""".stripMargin) { (s, dir) =>
+    val bands = sparkBands(s, dir)
+    val sizes = bands.groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("c"))
+    val oversize = sizes.filter(col("c") > BucketCap)
+    val kept = bands.join(broadcast(oversize.select("band_idx", "band_key")),
+      Seq("band_idx", "band_key"), "left_anti")
+    val cand = kept.as("x").join(kept.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sig = withSignature(s, dir)
+    val sets = Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", "array_sort(array_distinct(word_hashes(text))) AS ws")
+      .withColumn("sz", size(col("ws")))
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .join(sets.select(col("doc_id").as("a"), col("ws").as("wsa"), col("sz").as("sza")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("ws").as("wsb"), col("sz").as("szb")), Seq("b"))
+      .withColumn("matches",
+        expr("size(filter(sequence(1, 16), i -> element_at(siga, i) = element_at(sigb, i)))"))
+      .withColumn("isz", expr("sorted_intersect_count(wsa, wsb)").cast("int"))
+      .select(floor(abs(col("matches") / lit(16.0)
+          - col("isz").cast("double") / (col("sza") + col("szb") - col("isz"))) * 10)
+        .as("err_decile"))
+      .groupBy(col("err_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
 }

@@ -322,5 +322,29 @@ object MiscQueries {
           .as("rare_tok"))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34, q39, q42, q44, q45, q46, q50, q51)
+  /** q52: null-safe equality join — `<=>` (IS NOT DISTINCT FROM) treats
+    * NULL as a joinable value, so rows with a NULL key still find their
+    * dimension row where plain `=` silently drops them (the classic
+    * nullable-FK lookup bug). Crucially EqualNullSafe remains an EQUI-join
+    * key for Spark — the plan is a hash join, not the nested-loop a
+    * `coalesce`-wrapped workaround can degrade to.
+    */
+  val q52 = Q(
+    "q52_nullsafe_join",
+    """WITH c AS (SELECT nullif(c_nationkey % 5, 0) AS bucket FROM customer),
+      |dim AS (SELECT DISTINCT bucket, coalesce(bucket::VARCHAR, 'none') AS label FROM c)
+      |SELECT dim.label, count(*) AS n
+      |FROM c JOIN dim ON c.bucket IS NOT DISTINCT FROM dim.bucket
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val c = Tables.load(s, dir, "customer")
+      .select(expr("nullif(c_nationkey % 5, 0)").as("bucket"))
+    val dim = c.distinct()
+      .select(col("bucket").as("dbucket"),
+        coalesce(col("bucket").cast("string"), lit("none")).as("label"))
+    c.join(dim, col("bucket") <=> col("dbucket"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34, q39, q42, q44, q45, q46, q50, q51, q52)
 }

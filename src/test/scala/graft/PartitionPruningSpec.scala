@@ -70,6 +70,37 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(years > 1, "fixture must span multiple years for the pruning test to mean anything")
   }
 
+  test("join-driven dynamic partition pruning reaches the fact scan") {
+    // no literal year predicate anywhere: the year set comes from a FILTERED
+    // DIMENSION at runtime, which is how a 100 TB fact table is actually
+    // probed ("this quarter's campaigns" -> only those partitions read).
+    // Spark must inject a dynamicpruning subquery filter into the fact
+    // scan's partition filters, reusing the dim broadcast.
+    import spark.implicits._
+    val parted = spark.read.parquet(partedDir)
+    // the dim must be a FILE relation: a LocalRelation's filter is folded
+    // into the relation by ConvertToLocalRelation before the DPP rule looks
+    // for a selective predicate, so no pruning subquery would be planted
+    val dimDir = GraftTestSpark.tmpDir("year_dim")
+    Seq((1995, "pick"), (1994, "skip"), (1993, "skip"))
+      .toDF("dim_year", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = parted.join(dim.filter(col("tag") === "pick"),
+        col("o_year") === col("dim_year"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    q.collect()
+
+    val scan = fileScan(q)
+    assert(scan.partitionFilters.map(_.toString.toLowerCase).exists(_.contains("dynamicpruning")),
+      s"expected a dynamicpruning filter on the fact scan, got: ${scan.partitionFilters}")
+    val totalFiles = fileScan({ val full = spark.read.parquet(partedDir); full.collect(); full })
+      .metrics("numFiles").value
+    val prunedFiles = scan.metrics("numFiles").value
+    assert(prunedFiles > 0 && prunedFiles < totalFiles,
+      s"expected the dynamic filter to skip partitions: pruned=$prunedFiles total=$totalFiles")
+  }
+
   test("downstream query logic is unchanged on the partitioned layout") {
     // the same aggregation over the flat fixture, filtered the slow way,
     // must agree with the pruned partitioned read — partitioning is a
