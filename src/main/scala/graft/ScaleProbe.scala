@@ -173,10 +173,33 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
 
+      // c4 shape: cluster-then-pair semantic dedup. The cluster count
+      // scales WITH the corpus (k-means k ∝ N — the SemDeDup production
+      // setting), so per-cluster population and with it the within-cluster
+      // pair scan stay bounded; a fixed k would grow the pair stage
+      // quadratically, which is exactly what clustering-first exists to
+      // prevent.
+      val c4t = time {
+        graft.operators.ClusterOps
+          .semdedupCensus(vecs, graft.operators.ClusterOps.KMeansK * k)
+          .write.format("noop").mode("overwrite").save()
+      }
+
+      // t12 shape: frequent-span scrub over the multiplied docs. The df
+      // floor scales with the corpus multiple (relative-frequency notion,
+      // same reasoning as d9's cap above): cloned docs multiply every
+      // span's df by k, so a fixed floor would reclassify the whole corpus
+      // as boilerplate and measure a degenerate join.
+      val t12t = time {
+        graft.functions.TextOps
+          .boilerplateScrub(docs, graft.functions.TextOps.BoilerDf * k)
+          .write.format("noop").mode("overwrite").save()
+      }
+
       docs.unpersist(); vecs.unpersist()
       System.gc()
       val steps = Seq("d4" -> d4t, "e1" -> e1t, "t6" -> t6t, "c1" -> c1t,
-        "d9" -> d9t, "c3" -> c3t, "t10" -> t10t)
+        "d9" -> d9t, "c3" -> c3t, "t10" -> t10t, "c4" -> c4t, "t12" -> t12t)
       System.err.println(
         f"[scale] ${k}%2dx  " +
           steps.map { case (n, t) => f"$n=$t%6.2f s" }.mkString("  ") +

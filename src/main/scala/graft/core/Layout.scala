@@ -59,4 +59,56 @@ object Layout {
     shaped.write.mode("overwrite").parquet(outDir)
     nFiles
   }
+
+  /** Z-value (Morton interleave) of two columns already scaled to
+    * non-negative ints below 2^bits: bit i of x lands at position 2i, bit i
+    * of y at 2i+1. Pure integer arithmetic — codegen-friendly, no UDF.
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Rewrite `inDir` Z-ORDERED on two numeric columns: each column is
+    * min/max-scaled onto a 2^bits grid, the interleaved z-value drives one
+    * range partition + per-partition sort, and files then cover compact
+    * 2-D tiles of the (colX, colY) space — so parquet min/max stats prune
+    * files for predicates on EITHER column (range-clustering on one column,
+    * [[compactParquet]]'s `clusterBy`, prunes only that column and leaves
+    * the other unconstrained in every file).
+    *
+    * The min/max scaling bounds are two scalar aggregates collected on the
+    * driver — configuration for the rewrite (like nFiles), not row data;
+    * the rewrite itself stays one shuffle + sort, the same single-pass
+    * budget as compaction. This is the layout a 100 TB fact table wants
+    * when its scan predicates alternate between two independent dimensions
+    * (e.g. part and supplier, user and time).
+    */
+  def zorderParquet(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      colX: String,
+      colY: String,
+      nFiles: Int,
+      bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, floor, least, lit, max, min}
+    val df = spark.read.parquet(inDir)
+    val Array(xmin, xmax, ymin, ymax) =
+      df.agg(min(colX), max(colX), min(colY), max(colY))
+        .collect()(0).toSeq.map(v => v.toString.toDouble).toArray
+    val grid = (1 << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double) =
+      least(floor((col(c).cast("double") - lo) / math.max(hi - lo, 1e-12) * (grid + 1))
+        .cast("long"), lit(grid.toLong))
+    df.withColumn("__z", zValue(scaled(colX, xmin, xmax), scaled(colY, ymin, ymax), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

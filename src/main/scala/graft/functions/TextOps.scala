@@ -363,5 +363,88 @@ object TextOps {
       .select(col("source"), col("ns").as("n_tokens"), col("kl"))
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
+  /** t12 span length (tokens per boilerplate n-gram) and document-frequency
+    * floor: a 5-token span seen in >= 3 distinct documents is boilerplate.
+    */
+  val BoilerGram = 5
+  val BoilerDf = 3
+
+  /** t12: boilerplate span scrub — the cross-document twin of t7's
+    * blocklist scrub (C4/CCNet-family "remove repeated lines" cleanup,
+    * token-span flavored since this corpus has no line structure): any
+    * $BoilerGram-token span occurring in >= $BoilerDf distinct documents is
+    * boilerplate; every token position covered by such a span is removed
+    * and the op reports per-document totals plus a fingerprint of the
+    * scrubbed text (content-verified, like t7). On this corpus the frequent
+    * spans are exactly the planted near-duplicate documents' shared runs —
+    * the signal the cleanup exists to catch.
+    *
+    * Scale shape: span expansion is a generator map stage; the frequency
+    * floor is a partial+final hash agg on the span key (the same
+    * vocabulary-keyed shape as t6/t8 — never broadcast by hint, and the
+    * df floor itself is what keeps the frequent-span relation small);
+    * occurrence marking is an equi-join on the span key; coverage →
+    * kept-token reconstruction is one (doc_id, pos) anti-ish left join and
+    * a per-document ordered aggregation. Every shuffle key is
+    * high-cardinality.
+    */
+  val t12 = Q(
+    "t12_boilerplate_scrub",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, st, array_to_string(tk[st : st + ${BoilerGram - 1}], ' ') AS gram
+       |      FROM t, unnest(generate_series(1, len(tk) - ${BoilerGram - 1})) AS u(st)),
+       |f AS (SELECT gram FROM g GROUP BY 1
+       |      HAVING count(DISTINCT doc_id) >= $BoilerDf),
+       |cov AS (SELECT DISTINCT g.doc_id, p AS pos
+       |        FROM g JOIN f USING (gram),
+       |          unnest(generate_series(g.st, g.st + ${BoilerGram - 1})) AS v(p)),
+       |tks AS (SELECT doc_id, p AS pos, tk[p] AS tok
+       |        FROM t, unnest(generate_series(1, len(tk))) AS w(p))
+       |SELECT tks.doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       |  md5(coalesce(array_to_string(
+       |    list(tok ORDER BY tks.pos) FILTER (WHERE cov.pos IS NULL), ' '), ''))
+       |    AS scrubbed_fp
+       |FROM tks LEFT JOIN cov ON cov.doc_id = tks.doc_id AND cov.pos = tks.pos
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    boilerplateScrub(Tables.load(s, dir, "documents"))
+  }
+
+  /** t12's pipeline over any `documents`-shaped relation — ScaleProbe runs
+    * it on multiplied corpora with the df floor scaled ∝ N (boilerplate is
+    * a relative-frequency notion, like d9's ContamDfCap).
+    */
+  def boilerplateScrub(docs: org.apache.spark.sql.DataFrame,
+      dfFloor: Int = BoilerDf): org.apache.spark.sql.DataFrame = {
+    val t = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    // Spark's sequence(1, n) steps DOWNWARD for n < 1, so the generator is
+    // guarded on size; short documents still appear via the tok side.
+    val g = t.filter(size(col("tk")) >= BoilerGram)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(1, size(tk) - ${BoilerGram - 1})")).as("st"))
+      .select(col("doc_id"), col("st"),
+        expr(s"concat_ws(' ', slice(tk, st, $BoilerGram))").as("gram"))
+    val f = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= dfFloor)
+      .select("gram")
+    val cov = g.join(f, Seq("gram"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(st, st + ${BoilerGram - 1})")).as("pos"))
+      .distinct()
+      .withColumn("covered", lit(1))
+    val tok = t
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    tok.join(cov, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("covered").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN covered IS NULL THEN struct(pos, tok) END)), s -> s.tok)")))
+          .as("scrubbed_fp"))
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12)
 }

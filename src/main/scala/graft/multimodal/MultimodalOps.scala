@@ -88,5 +88,40 @@ object MultimodalOps {
           .as("frame_head"))
   }
 
-  val all: Seq[Q] = Seq(m1, m2)
+  /** m3: modality census — content-type sniffing by leading magic bytes
+    * (the pre-decode triage every mixed media lake runs: route each blob by
+    * its container signature before any expensive decode). The classifier
+    * here is the stub analogue of magic-byte dispatch — first payload byte
+    * mod 3 → image/audio/video — with real accounting around it: per
+    * modality, item count, total payload bytes, and total decoded frames
+    * (StubDecoder's frame arithmetic).
+    *
+    * Scale shape: the payload reduces to (first byte, length) at the scan —
+    * a pure map stage; only a 3-key partial+final agg shuffles. Identical
+    * plan when blobs are GB-scale video: sniffing never reads past the
+    * magic bytes.
+    */
+  val m3 = Q(
+    "m3_modality_census",
+    """SELECT CASE ascii(substring(text, 1, 1)) % 3
+      |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  count(*) AS n_items,
+      |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+      |  sum((octet_length(encode(text)) + 63) // 64)::BIGINT AS total_frames
+      |FROM documents
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(encode(col("text"), "utf-8").as("payload"))
+      .select(
+        expr("CASE CAST(ascii(substring(CAST(payload AS STRING), 1, 1)) AS BIGINT) % 3 " +
+          "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END").as("modality"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(expr(s"(n_bytes + ${StubDecoder.FrameBytes - 1}) DIV ${StubDecoder.FrameBytes}"))
+          .as("total_frames"))
+  }
+
+  val all: Seq[Q] = Seq(m1, m2, m3)
 }

@@ -182,9 +182,13 @@ object ClusterOps {
     * is a (cid, dim) partial+final hash agg, k*64 rows out. Every stage is
     * linear in corpus size; more Lloyd rounds repeat the same two jobs.
     */
-  val c3 = Q(
-    "c3_kmeans_semantic",
-    s"""WITH e AS (
+  /** The k-means pipeline's DuckDB CTE chain (e → seeds → a1 → upd → c2 →
+    * a2), shared verbatim by c3 and c4 so both oracles replay the IDENTICAL
+    * clustering — `a2` is the final (vec_id, cid) assignment, `e` carries
+    * each vector's squared norm.
+    */
+  private val duckKmeansCtes: String =
+    s"""e AS (
        |  SELECT vec_id, embedding,
        |    ${duckDot("embedding", "embedding")} AS sq
        |  FROM embeddings),
@@ -211,21 +215,29 @@ object ClusterOps {
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY e.sq + c.csq - 2 * ${duckDot("e.embedding", "c.cent")}, c.cid) AS rn
-       |    FROM e, c2 c) t WHERE rn = 1)
+       |    FROM e, c2 c) t WHERE rn = 1)""".stripMargin
+
+  val c3 = Q(
+    "c3_kmeans_semantic",
+    s"""WITH $duckKmeansCtes
        |SELECT cid, count(*)::BIGINT AS n_vecs, sum(vec_id)::BIGINT AS id_checksum
        |FROM a2 GROUP BY 1""".stripMargin) { (s, dir) =>
-    kmeansCensus(Tables.load(s, dir, "embeddings"))
+    kmeansAssign(Tables.load(s, dir, "embeddings"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_checksum"))
   }
 
-  /** c3's pipeline over any `embeddings`-shaped relation — ScaleProbe runs
-    * it on multiplied corpora (the centroid count stays k; only the
-    * assignment and update stages grow with the corpus).
+  /** c3's pipeline over any `embeddings`-shaped relation, returning the
+    * final (vec_id, cid) assignment — ScaleProbe runs it on multiplied
+    * corpora (the centroid count stays k; only the assignment and update
+    * stages grow with the corpus), and c4 consumes the assignment for
+    * within-cluster semantic dedup.
     */
-  def kmeansCensus(embs: DataFrame): DataFrame = {
+  def kmeansAssign(embs: DataFrame, k: Int = KMeansK): DataFrame = {
     val e = embs
       .selectExpr("vec_id", "embedding", "vec_dot(embedding, embedding) AS sq")
     val wSeed = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    val seeds = e.orderBy(col("vec_id")).limit(KMeansK)
+    val seeds = e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(wSeed) - 1).as("cid"), col("embedding").as("cent"))
       .selectExpr("cid", "cent", "vec_dot(cent, cent) AS csq")
 
@@ -247,9 +259,87 @@ object ClusterOps {
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("cent"))
       .selectExpr("cid", "cent", "vec_dot(cent, cent) AS csq")
     assignTo(cents2)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_checksum"))
   }
 
-  val all: Seq[Q] = Seq(c1, c2, c3)
+  /** Backwards-compatible census form of [[kmeansAssign]] (ScaleProbe's
+    * entry point — one aggregated row per cluster).
+    */
+  def kmeansCensus(embs: DataFrame): DataFrame =
+    kmeansAssign(embs)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_checksum"))
+
+  /** Cosine threshold above which two same-cluster vectors count as
+    * semantic duplicates in c4 (matches e1's corpus-calibrated threshold —
+    * this synthetic corpus has few very-high-cosine pairs).
+    */
+  val SemDedupCos = 0.4
+
+  /** c4: SemDeDup-style semantic dedup — the selection step that follows
+    * c3's clustering (Abbas et al., "SemDeDup", 2023: cluster the corpus,
+    * then drop near-identical vectors WITHIN each cluster, never across the
+    * whole corpus). The keeper rule is deterministic and order-independent:
+    * a vector is dropped iff some same-cluster vector with a smaller vec_id
+    * sits within cos >= $SemDedupCos of it — d8's min-id keeper convention
+    * applied to the semantic pair graph. Census per cluster: population,
+    * dropped count, and an exact integer checksum of the kept ids, so the
+    * oracle pins the exact selection.
+    *
+    * Scale shape: this is WHY SemDeDup clusters first — the pair scan is an
+    * equi self-join on cid, so its cost is Σ|cluster|²/2 instead of N²/2.
+    * At fixture scale k=8 keys is coarse (one cluster is one shuffle
+    * partition's work); the production setting grows k ∝ N (SemDeDup uses
+    * k ~ 10^5 for 10^8 docs) which bounds per-cluster population AND makes
+    * cid a high-cardinality shuffle key — same plan, no skew. Embeddings
+    * ride the cid shuffle once; the census join on vec_id is AQE-adaptive
+    * (the drop list measures small, nothing corpus-sized is hinted).
+    */
+  val c4 = Q(
+    "c4_semdedup",
+    s"""WITH $duckKmeansCtes,
+       |x AS (
+       |  SELECT a2.cid, a2.vec_id, e.embedding, e.sq
+       |  FROM a2 JOIN e USING (vec_id)),
+       |p AS (
+       |  SELECT x.cid, y.vec_id AS b,
+       |    ${duckDot("x.embedding", "y.embedding")} / (sqrt(x.sq) * sqrt(y.sq)) AS cos
+       |  FROM x JOIN x y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       |drops AS (SELECT DISTINCT b AS vec_id FROM p WHERE cos >= $SemDedupCos)
+       |SELECT a2.cid, count(*)::BIGINT AS n_vecs,
+       |  sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |  sum(CASE WHEN d.vec_id IS NULL THEN a2.vec_id ELSE 0 END)::BIGINT
+       |    AS kept_checksum
+       |FROM a2 LEFT JOIN drops d USING (vec_id)
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    semdedupCensus(Tables.load(s, dir, "embeddings"))
+  }
+
+  /** c4's pipeline over any `embeddings`-shaped relation — ScaleProbe runs
+    * it on multiplied corpora with `k` scaled ∝ N (the production SemDeDup
+    * setting that bounds per-cluster population).
+    */
+  def semdedupCensus(embs: DataFrame, k: Int = KMeansK): DataFrame = {
+    // one materialization of the 2-job Lloyd pipeline; reused by the pair
+    // scan and the census (lineage, not an optimizer-dependent cache)
+    val a = kmeansAssign(embs, k).localCheckpoint()
+    val e = embs
+      .selectExpr("vec_id", "embedding", "vec_dot(embedding, embedding) AS sq")
+    val x = a.join(e, Seq("vec_id"))
+    val drops = x.selectExpr("cid", "vec_id AS a_id", "embedding AS aemb", "sq AS asq")
+      .join(x.selectExpr("cid", "vec_id AS b", "embedding AS bemb", "sq AS bsq"),
+        Seq("cid"))
+      .filter(col("a_id") < col("b"))
+      .selectExpr("b", s"vec_dot(aemb, bemb) / (sqrt(asq) * sqrt(bsq)) AS cos")
+      .filter(col("cos") >= SemDedupCos)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1))
+    a.join(drops, Seq("vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("dropped").isNull, col("vec_id")).otherwise(0L))
+          .as("kept_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(c1, c2, c3, c4)
 }

@@ -163,5 +163,83 @@ object CurationOps {
             .as("chunk_fp"))
   }
 
-  val all: Seq[Q] = Seq(p1, p2, p3, p4)
+  /** Per-source document cap for p5 (the anti-domination quota). */
+  val SourceCap = 20
+
+  /** p5: per-source cap — the anti-domination quota every web-scale corpus
+    * applies (no single domain/source may contribute more than K documents):
+    * rank each source's documents by a quality proxy (longer first,
+    * doc_id tiebreak for determinism) and keep the top K. Census output per
+    * source — population, kept count, and an exact integer checksum of the
+    * kept ids — so the oracle verifies the SELECTION, not just the counts.
+    *
+    * Scale shape: one shuffle on source, per-source local sort, rank,
+    * filter — the same parallel-per-group window as q11/q37/q46; no global
+    * sort, no skew beyond the largest single source (which is exactly the
+    * quantity this op bounds going forward).
+    */
+  val p5 = Q(
+    "p5_source_cap",
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rnk
+       |  FROM documents)
+       |SELECT source, count(*) AS n_total,
+       |  sum(CASE WHEN rnk <= $SourceCap THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN rnk <= $SourceCap THEN doc_id ELSE 0 END)::BIGINT
+       |    AS kept_checksum
+       |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rnk") <= SourceCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rnk") <= SourceCap, col("doc_id")).otherwise(0L))
+          .as("kept_checksum"))
+  }
+
+  /** p6: mixture rebalancing plan — the data-mixing step that sets
+    * per-stratum sampling rates so the training mixture hits a target
+    * distribution (here: equal token share per language, downsample-only).
+    * Output per language: token mass, current share, the sampling rate
+    * `min(1, target/actual)`, and the expected post-sampling token count.
+    * The expected count is computed as exact integer arithmetic
+    * (`least(n_tokens, total DIV k)`), so the oracle pins it exactly;
+    * share/rate are closed-form doubles from those integers (q53's moment
+    * discipline). Feed the rates into p2's deterministic hash sampler to
+    * EXECUTE the plan.
+    *
+    * Scale shape: one explode-free token-count agg on lang (size(split())
+    * is a map stage), a k-row total broadcast, scalar arithmetic.
+    */
+  val p6 = Q(
+    "p6_mixture_weights",
+    """WITH c AS (
+      |  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n_tokens)::BIGINT AS total, count(*)::BIGINT AS k FROM c)
+      |SELECT lang, n_tokens,
+      |  round(n_tokens::DOUBLE / t.total, 4) AS share,
+      |  round(least(1.0, (t.total::DOUBLE / t.k) / n_tokens::DOUBLE), 4) AS sample_rate,
+      |  least(n_tokens, t.total // t.k)::BIGINT AS expected_tokens
+      |FROM c, t""".stripMargin) { (s, dir) =>
+    val c = Tables.load(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(sum(col("nt")).as("n_tokens"))
+    val t = c.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("k"))
+    c.join(broadcast(t))
+      .select(col("lang"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total"), 4).as("share"),
+        round(least(lit(1.0),
+          (col("total").cast("double") / col("k")) / col("n_tokens").cast("double")), 4)
+          .as("sample_rate"),
+        least(col("n_tokens"), expr("total DIV k")).as("expected_tokens"))
+  }
+
+  val all: Seq[Q] = Seq(p1, p2, p3, p4, p5, p6)
 }

@@ -346,5 +346,138 @@ object MiscQueries {
       .agg(count(lit(1)).as("n"))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q33, q34, q39, q42, q44, q45, q46, q50, q51, q52)
+  /** q53: statistical aggregates from exact integer moments — per-language
+    * Pearson correlation of document length in chars vs tokens, plus the
+    * sample stddev of token counts. Built-in `corr`/`stddev_samp` fold
+    * doubles in partition order, so their low bits are engine- AND
+    * run-dependent; here every moment (n, Σx, Σy, Σx², Σy², Σxy) is an
+    * exact BIGINT sum — order-insensitive and identical on every engine —
+    * and the statistics are derived from those moments in one closed-form
+    * double expression, making a 4-place rounding bit-stable.
+    *
+    * Scale shape: one partial+final hash agg on lang (six sums ride the
+    * same shuffle row), then scalar arithmetic on the k aggregated rows.
+    * This moment-sketch formulation is also the mergeable form a streaming
+    * or partitioned deployment needs: moments add across shards; the
+    * built-in two-pass formulations do not.
+    */
+  val q53 = Q(
+    "q53_moment_stats",
+    """WITH t AS (
+      |  SELECT lang, n_chars AS x, len(string_split(text, ' '))::BIGINT AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang, count(*)::BIGINT AS n,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+      |    sum(x*y)::BIGINT AS sxy
+      |  FROM t GROUP BY 1)
+      |SELECT lang, n AS n_docs,
+      |  round((n*sxy - sx*sy)::DOUBLE
+      |    / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
+      |    AS corr_chars_tokens,
+      |  round(sqrt((n*syy - sy*sy)::DOUBLE / (n::DOUBLE * (n - 1)::DOUBLE)), 4)
+      |    AS sd_tokens
+      |FROM m""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("n_chars").as("x"),
+        size(split(col("text"), " ")).cast("long").as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lang"), col("n").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 4)
+          .as("corr_chars_tokens"),
+        round(sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+          / (col("n").cast("double") * (col("n") - 1).cast("double"))), 4)
+          .as("sd_tokens"))
+  }
+
+  /** Session gap for q55, in microseconds (30 minutes — w3's gap). */
+  val SessionGapUs = 30L * 60 * 1000 * 1000
+
+  /** q55: batch sessionization — the lag/flag/prefix-sum idiom that
+    * reconstructs sessions from an event log offline (the batch twin of
+    * w3's `session_window` and the backfill path for any session metric):
+    * a session breaks where the gap to the previous event of the same user
+    * exceeds 30 minutes; the running sum of break flags numbers each
+    * user's sessions; one aggregation yields per-session extent and size.
+    * Timestamps are compared and reported as exact integer microseconds
+    * (q41/q47's portable idiom).
+    *
+    * Scale shape: one shuffle on user_id feeds BOTH windows and the final
+    * agg (same partitioning, Catalyst reuses the sort); everything after
+    * the shuffle is a linear per-partition pass. No global sort, no
+    * self-join — the naive "join each event to its predecessor" phrasing
+    * would shuffle twice and skew on hot users.
+    */
+  val q55 = Q(
+    "q55_sessionize",
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+       |g AS (SELECT user_id, event_id, tus,
+       |  CASE WHEN lag(tus) OVER w IS NULL
+       |         OR tus - lag(tus) OVER w > $SessionGapUs
+       |       THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+       |s AS (SELECT user_id, tus,
+       |  sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM g)
+       |SELECT user_id, session_idx::BIGINT AS session_idx,
+       |  count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us
+       |FROM s GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("brk",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+  }
+
+  /** q56: rolling 7-day distinct users per day — the DAU/WAU family
+    * computed the scalable way: windowed COUNT(DISTINCT) cannot ride a
+    * frame (set union is not subtractable), so the naive forms are a range
+    * self-join (quadratic-ish) or a per-day re-scan. Instead each (user,
+    * active-day) pair — already deduped by a partial+final agg — is
+    * EXPLODED to the 7 window-end days it contributes to: a constant ×7
+    * linear expansion of a much-reduced relation, then one distinct-agg
+    * keyed by day. Day arithmetic is integer days-since-epoch (portable,
+    * like q41/q55's microseconds); output keeps only days that exist in
+    * the log (trailing partial windows would otherwise emit).
+    */
+  val q56 = Q(
+    "q56_rolling_distinct",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01', ts::DATE) AS d
+      |  FROM events),
+      |days AS (SELECT DISTINCT d FROM ud),
+      |m AS (SELECT ud.user_id, ud.d + o AS wd
+      |      FROM ud, unnest(generate_series(0, 6)) AS t(o))
+      |SELECT m.wd AS day_no, count(DISTINCT m.user_id) AS rolling7_users
+      |FROM m JOIN days ON days.d = m.wd
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ud = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("unix_date(CAST(ts AS DATE))").as("d"))
+      .distinct()
+    val days = ud.select(col("d").as("wd")).distinct()
+    ud.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("wd"))
+      .join(days, Seq("wd"))
+      .groupBy(col("wd"))
+      .agg(countDistinct(col("user_id")).as("rolling7_users"))
+      .select(col("wd").cast("long").as("day_no"), col("rolling7_users"))
+  }
+
+  val all: Seq[Q] =
+    Seq(q29, q30, q31, q33, q34, q39, q42, q44, q45, q46, q50, q51, q52, q53,
+      q55, q56)
 }

@@ -467,7 +467,53 @@ object RelationalQueries {
         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
   }
 
+  /** q54: local-supplier volume — the TPC-H Q5 shape, the canonical
+    * multi-join optimizer benchmark: two fact tables (orders ⋈ lineitem) and
+    * a full dimension chain (customer → nation → region → supplier), with
+    * the "local" twist that the supplier must sit in the customer's nation
+    * (s_nationkey = c_nationkey — a second equi condition on a non-PK
+    * column).
+    *
+    * Scale shape: the only fact-fact shuffle is orders ⋈ lineitem on
+    * l_orderkey; the year predicate and the region filter prune before it
+    * (pushed to the orders scan / folded through the broadcast dim chain).
+    * nation and region are fixed-cardinality broadcasts; customer and
+    * supplier join on high-cardinality keys and stay AQE-adaptive. Revenue
+    * is rounded to cents — accumulation noise at these magnitudes sits
+    * orders below the grid (q8's established idiom).
+    */
+  val q54 = Q(
+    "q54_local_supplier_volume",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM region
+      |JOIN nation   ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+      |GROUP BY n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(t(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43)
+    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43, q54)
 }

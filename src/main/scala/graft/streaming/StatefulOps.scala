@@ -167,6 +167,28 @@ object StatefulOps {
         coalesce(col("e_user"), col("c_user")).as("user_id"))
   }
 
+  /** RIGHT-outer stream-stream interval join — the mirror of
+    * [[clickErrorJoinOuter]], preserving the build side instead: a click
+    * with no error in its window emits with a null error_id once the
+    * watermark closes the window. Spark implements right-outer by swapping
+    * the preserved side of the same state-store machinery, so state bounds
+    * and eviction timing are identical to the left form; registering it
+    * completes the inner/left/right/full interval-join family.
+    */
+  def clickErrorJoinRight(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("error_id"))
+      .withWatermark("e_ts", "10 minutes")
+    errors.join(clicks,
+      col("c_user") === col("e_user") &&
+        col("c_ts") <= col("e_ts") && col("c_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"),
+      "right_outer")
+      .select(col("error_id"), col("click_id"), col("c_user").as("user_id"))
+  }
+
   /** Stream-static enrichment join: each streaming event picks up
     * attributes from a static (batch) dimension on user_id. The static side
     * is broadcast per micro-batch — no state store involved (unlike

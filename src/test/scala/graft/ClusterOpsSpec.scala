@@ -71,4 +71,19 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 < 100).values.toSet === Set(10L))
     assert(got(100L) === 100L && got(101L) === 100L)
   }
+
+  test("c4 semdedup census is invariant under input partitioning and order") {
+    // the keeper rule (drop iff a smaller-id near-dup shares the cluster) is
+    // set-defined, so no physical layout of the input may change the census —
+    // the determinism claim behind oracle-checking the exact selection
+    val embs = graft.core.Tables.load(spark, GraftTestSpark.sf, "embeddings")
+    def census(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      ClusterOps.semdedupCensus(df).collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+    val base = census(embs)
+    assert(base.map(_._2).sum === embs.count())
+    assert(census(embs.repartition(7)) === base)
+    assert(census(embs.orderBy(org.apache.spark.sql.functions.col("vec_id").desc)) === base)
+  }
 }

@@ -74,6 +74,31 @@ class StreamingOpsSpec extends AnyFunSuite {
       (None, Some(13L))))      // click with no error: null error side
   }
 
+  test("right-outer stream-stream join preserves unmatched clicks after the watermark") {
+    import spark.implicits._
+    val ms = startStream()
+    val q = StatefulOps.clickErrorJoinRight(ms.toDF())
+      .writeStream.format("memory").queryName("right_join_out").outputMode("append").start()
+    ms.addData(
+      Event(10, ts("2024-01-01 00:30:00"), 1, "click", 1.0), // matched by error 11
+      Event(11, ts("2024-01-01 01:00:00"), 1, "error", 1.0),
+      Event(12, ts("2024-01-01 01:00:00"), 2, "error", 1.0), // no click -> dropped (right-outer)
+      Event(13, ts("2024-01-01 01:00:00"), 3, "click", 1.0)) // no error -> (null, 13)
+    q.processAllAvailable()
+    // advance both watermarks far past every join window
+    ms.addData(
+      Event(98, ts("2024-01-02 00:00:00"), 9, "click", 0.0),
+      Event(99, ts("2024-01-02 00:00:00"), 9, "error", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT error_id, click_id FROM right_join_out WHERE user_id < 9 ORDER BY user_id")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    q.stop()
+    assert(rows === Seq(
+      (Some(11L), Some(10L)),  // matched inside the window
+      (None, Some(13L))))      // click with no error: null error side; error 12 dropped
+  }
+
   test("chained tumbling windows roll 1h counts into finalized 6h blocks") {
     import spark.implicits._
     val ms = startStream()
