@@ -446,5 +446,43 @@ object TextOps {
           .as("scrubbed_fp"))
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12)
+  /** t13: vocabulary head coverage — per language, the share of all token
+    * occurrences held by the 10 most frequent tokens (the Zipf-head
+    * statistic: natural language concentrates 30-50% of mass in the head;
+    * a corpus whose head share drifts is boilerplate-heavy or degenerate —
+    * a standard corpus-health dial next to t11's KL drift). Counts are
+    * exact integers; the share is one closed-form division (q53's moment
+    * discipline).
+    *
+    * Scale shape: token counts are a (lang, term)-keyed partial+final agg;
+    * the head rank is a window over the AGGREGATED vocabulary relation
+    * (one row per distinct term, not per token). At web scale the per-lang
+    * rank would cap candidates first (t8's df floor / top-k shape); the
+    * aggregation-before-window order is what keeps the window input small.
+    */
+  val t13 = Q(
+    "t13_head_coverage",
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |r AS (SELECT lang, cnt,
+      |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk FROM c)
+      |SELECT lang, sum(cnt)::BIGINT AS n_tokens,
+      |  sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END)::BIGINT AS head10_tokens,
+      |  round(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 4)
+      |    AS head10_share
+      |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(s, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("term"))
+    c.withColumn("rk", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("rk") <= 10, col("cnt")).otherwise(0L)).as("head10_tokens"),
+        round(sum(when(col("rk") <= 10, col("cnt")).otherwise(0L)).cast("double")
+          / sum(col("cnt")), 4).as("head10_share"))
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13)
 }
