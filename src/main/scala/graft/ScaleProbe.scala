@@ -185,6 +185,19 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
 
+      // c5 shape: the same census through TWO-LEVEL assignment — scored
+      // candidate pairs drop from N·k (c4's brute assignment) to
+      // N·(k1 + k/k1) with k1 ~ sqrt(k); the rung measures how much of
+      // c4's superlinear growth the hierarchy removes.
+      val kTot = graft.operators.ClusterOps.KMeansK * k
+      val k1 = math.max(2, math.ceil(math.sqrt(kTot.toDouble)).toInt)
+      val c5t = time {
+        graft.operators.ClusterOps
+          .semdedupCensusFrom(
+            graft.operators.ClusterOps.kmeansAssignHier(vecs, kTot, k1), vecs)
+          .write.format("noop").mode("overwrite").save()
+      }
+
       // t12 shape: frequent-span scrub over the multiplied docs. The df
       // floor scales with the corpus multiple (relative-frequency notion,
       // same reasoning as d9's cap above): cloned docs multiply every
@@ -199,7 +212,8 @@ object ScaleProbe {
       docs.unpersist(); vecs.unpersist()
       System.gc()
       val steps = Seq("d4" -> d4t, "e1" -> e1t, "t6" -> t6t, "c1" -> c1t,
-        "d9" -> d9t, "c3" -> c3t, "t10" -> t10t, "c4" -> c4t, "t12" -> t12t)
+        "d9" -> d9t, "c3" -> c3t, "t10" -> t10t, "c4" -> c4t, "c5" -> c5t,
+        "t12" -> t12t)
       System.err.println(
         f"[scale] ${k}%2dx  " +
           steps.map { case (n, t) => f"$n=$t%6.2f s" }.mkString("  ") +

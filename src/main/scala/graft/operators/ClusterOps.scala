@@ -233,33 +233,42 @@ object ClusterOps {
     * stages grow with the corpus), and c4 consumes the assignment for
     * within-cluster semantic dedup.
     */
-  def kmeansAssign(embs: DataFrame, k: Int = KMeansK): DataFrame = {
-    val e = embs
-      .selectExpr("vec_id", "embedding", "vec_dot(embedding, embedding) AS sq")
+  private def withSq(embs: DataFrame): DataFrame =
+    embs.selectExpr("vec_id", "embedding", "vec_dot(embedding, embedding) AS sq")
+
+  /** Nearest centroid per vector: scored broadcast join + top-1 window.
+    * `cents` is (cid, cent, csq) — bounded rows by construction.
+    */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = e.join(broadcast(cents))
+      .selectExpr("vec_id", "cid", "sq + csq - 2 * vec_dot(embedding, cent) AS dist2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("vec_id", "cid")
+  }
+
+  /** The (cid, cent, csq) centroid relation after c3's one unrolled Lloyd
+    * round: deterministic seeds (k lowest vec_ids), assign, recompute
+    * float-cast means.
+    */
+  def finalCentroids(embs: DataFrame, k: Int = KMeansK): DataFrame = {
+    val e = withSq(embs)
     val wSeed = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
     val seeds = e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(wSeed) - 1).as("cid"), col("embedding").as("cent"))
       .selectExpr("cid", "cent", "vec_dot(cent, cent) AS csq")
-
-    // per-vector nearest centroid: scored broadcast join + top-1 window
-    def assignTo(cents: DataFrame): DataFrame = {
-      val scored = e.join(broadcast(cents))
-        .selectExpr("vec_id", "cid", "sq + csq - 2 * vec_dot(embedding, cent) AS dist2")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("vec_id", "cid")
-    }
-
-    val a1 = assignTo(seeds)
-    val cents2 = a1.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a1 = assignTo(e, seeds)
+    a1.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("cid"), col("i")).agg(avg(col("x")).cast("float").as("m"))
       .groupBy(col("cid"))
       .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("cent"))
       .selectExpr("cid", "cent", "vec_dot(cent, cent) AS csq")
-    assignTo(cents2)
   }
+
+  def kmeansAssign(embs: DataFrame, k: Int = KMeansK): DataFrame =
+    assignTo(withSq(embs), finalCentroids(embs, k))
 
   /** Backwards-compatible census form of [[kmeansAssign]] (ScaleProbe's
     * entry point — one aggregated row per cluster).
@@ -314,14 +323,111 @@ object ClusterOps {
     semdedupCensus(Tables.load(s, dir, "embeddings"))
   }
 
-  /** c4's pipeline over any `embeddings`-shaped relation — ScaleProbe runs
-    * it on multiplied corpora with `k` scaled ∝ N (the production SemDeDup
-    * setting that bounds per-cluster population).
+  /** Super-cluster count for c5's two-level assignment (~sqrt(KMeansK)). */
+  val HierSups = 3
+
+  /** Supers probed per vector (s2's 2-cell probe convention): the standard
+    * IVF recall knob — probing 2 of k1 supers roughly doubles the scored
+    * candidates and repairs most super-boundary misassignments.
     */
-  def semdedupCensus(embs: DataFrame, k: Int = KMeansK): DataFrame = {
-    // one materialization of the 2-job Lloyd pipeline; reused by the pair
+  val HierProbes = 2
+
+  /** Two-level (hierarchical) nearest-centroid assignment — the scale path
+    * for the c4 tension measured in BENCH_NOTES: with k ∝ N clusters,
+    * brute-force assignment scores N·k pairs (quadratic). Here the k
+    * centroids are first grouped under k1 ~ sqrt(k) super-centroids (the k1
+    * lowest-cid centroids — deterministic, like every seed rule in this
+    * family); a vector scores the k1 supers, then only its super's
+    * centroids: N·(k1 + k/k1) ~ 2N·sqrt(k) scored pairs. Deeper trees push
+    * toward N·log k — this is exactly an IVF index over the centroids
+    * themselves. The assignment is approximate at super boundaries
+    * (ClusterOpsSpec pins the agreement rate vs exact); every step is
+    * deterministic, so the oracle replays it.
+    */
+  def kmeansAssignHier(embs: DataFrame, k: Int = KMeansK, k1: Int = HierSups): DataFrame = {
+    val e = withSq(embs)
+    val cents = finalCentroids(embs, k).localCheckpoint()
+    val sups = cents.orderBy(col("cid")).limit(k1)
+      .select(col("cid").as("sup"), col("cent").as("scent"), col("csq").as("ssq"))
+    // centroid -> super (k x k1 — tiny)
+    val wCid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("d"), col("sup"))
+    val csup = cents.join(broadcast(sups))
+      .selectExpr("cid", "cent", "csq", "sup",
+        "csq + ssq - 2 * vec_dot(cent, scent) AS d")
+      .withColumn("rn", row_number().over(wCid)).filter(col("rn") === 1)
+      .select("sup", "cid", "cent", "csq")
+    // vector -> super (N x k1)
+    val wVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d"), col("sup"))
+    val vsup = e.join(broadcast(sups))
+      .selectExpr("vec_id", "embedding", "sq", "sup",
+        "sq + ssq - 2 * vec_dot(embedding, scent) AS d")
+      .withColumn("rn", row_number().over(wVec)).filter(col("rn") <= HierProbes)
+      .select("vec_id", "embedding", "sq", "sup")
+    // vector -> nearest centroid WITHIN its super (N x k/k1 expected).
+    // csup is k bounded rows (k << N always) — broadcast like c3's
+    // centroids; the join key is sup, so the probe side never fans out.
+    vsup.join(broadcast(csup), Seq("sup"))
+      .selectExpr("vec_id", "cid", "sq + csq - 2 * vec_dot(embedding, cent) AS dist2")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))))
+      .filter(col("rn") === 1).select("vec_id", "cid")
+  }
+
+  /** DuckDB replay of [[kmeansAssignHier]] on top of [[duckKmeansCtes]]'
+    * final centroids (`c2`): super selection, centroid→super, vector→super,
+    * within-super assignment — CTE for CTE.
+    */
+  private val duckHierCtes: String =
+    s"""sups AS (
+       |  SELECT cid AS sup, cent AS scent, csq AS ssq
+       |  FROM c2 ORDER BY cid LIMIT $HierSups),
+       |csup AS (
+       |  SELECT sup, cid, cent, csq FROM (
+       |    SELECT c.cid, c.cent, c.csq, s.sup,
+       |      row_number() OVER (PARTITION BY c.cid
+       |        ORDER BY c.csq + s.ssq - 2 * ${duckDot("c.cent", "s.scent")}, s.sup) AS rn
+       |    FROM c2 c, sups s) t WHERE rn = 1),
+       |vsup AS (
+       |  SELECT vec_id, embedding, sq, sup FROM (
+       |    SELECT e.vec_id, e.embedding, e.sq, s.sup,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY e.sq + s.ssq - 2 * ${duckDot("e.embedding", "s.scent")}, s.sup) AS rn
+       |    FROM e, sups s) t WHERE rn <= $HierProbes),
+       |a3 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY v.sq + c.csq - 2 * ${duckDot("v.embedding", "c.cent")}, c.cid) AS rn
+       |    FROM vsup v JOIN csup c ON c.sup = v.sup) t WHERE rn = 1)""".stripMargin
+
+  /** c5: hierarchical-assignment census — c3's census computed through the
+    * two-level path, the measured answer to c4's N·k assignment cost (see
+    * BENCH_NOTES). Oracle-pinned per-cluster counts and id checksums mean
+    * the exact approximate-assignment output — including which vectors land
+    * differently than exact assignment would — is reproduced by both
+    * engines.
+    */
+  val c5 = Q(
+    "c5_kmeans_hier_assign",
+    s"""WITH $duckKmeansCtes,
+       |$duckHierCtes
+       |SELECT cid, count(*)::BIGINT AS n_vecs, sum(vec_id)::BIGINT AS id_checksum
+       |FROM a3 GROUP BY 1""".stripMargin) { (s, dir) =>
+    kmeansAssignHier(Tables.load(s, dir, "embeddings"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_checksum"))
+  }
+
+  /** c4's census pipeline from a given (vec_id, cid) assignment — shared by
+    * the exact and hierarchical paths (ScaleProbe times both).
+    */
+  def semdedupCensusFrom(assign: DataFrame, embs: DataFrame): DataFrame = {
+    // one materialization of the assignment pipeline; reused by the pair
     // scan and the census (lineage, not an optimizer-dependent cache)
-    val a = kmeansAssign(embs, k).localCheckpoint()
+    val a = assign.localCheckpoint()
     val e = embs
       .selectExpr("vec_id", "embedding", "vec_dot(embedding, embedding) AS sq")
     val x = a.join(e, Seq("vec_id"))
@@ -341,5 +447,12 @@ object ClusterOps {
           .as("kept_checksum"))
   }
 
-  val all: Seq[Q] = Seq(c1, c2, c3, c4)
+  /** c4's pipeline over any `embeddings`-shaped relation — ScaleProbe runs
+    * it on multiplied corpora with `k` scaled ∝ N (the production SemDeDup
+    * setting that bounds per-cluster population).
+    */
+  def semdedupCensus(embs: DataFrame, k: Int = KMeansK): DataFrame =
+    semdedupCensusFrom(kmeansAssign(embs, k), embs)
+
+  val all: Seq[Q] = Seq(c1, c2, c3, c4, c5)
 }

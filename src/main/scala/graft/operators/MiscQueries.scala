@@ -477,7 +477,35 @@ object MiscQueries {
       .select(col("wd").cast("long").as("day_no"), col("rolling7_users"))
   }
 
+  /** q57: windowed COUNT(DISTINCT) via the dense_rank rewrite — Spark
+    * rejects DISTINCT aggregates over windows outright, so the standard
+    * rewrite is max(dense_rank) over the same partition: ranking the
+    * partition by the counted column assigns each distinct value one rank,
+    * and the partition max of that rank IS the distinct count. The oracle
+    * runs DuckDB's NATIVE `count(DISTINCT ...) OVER` — so the hash match
+    * certifies the rewrite against an engine that implements the semantics
+    * directly. Attached per event: how many distinct event types its user
+    * has ever emitted (a per-entity diversity feature).
+    *
+    * Scale shape: one shuffle on user_id; both windows (the rank and the
+    * partition max) reuse that partitioning and sort — no second exchange
+    * (the plan snapshot pins it).
+    */
+  val q57 = Q(
+    "q57_windowed_distinct",
+    """SELECT event_id, user_id,
+      |  count(DISTINCT event_type) OVER (PARTITION BY user_id) AS n_types
+      |FROM events""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("rk", dense_rank().over(byUser.orderBy(col("event_type"))))
+      .select(col("event_id"), col("user_id"),
+        max(col("rk")).over(byUser).cast("long").as("n_types"))
+  }
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q33, q34, q39, q42, q44, q45, q46, q50, q51, q52, q53,
-      q55, q56)
+      q55, q56, q57)
 }

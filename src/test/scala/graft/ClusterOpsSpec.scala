@@ -72,6 +72,24 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(got(100L) === 100L && got(101L) === 100L)
   }
 
+  test("c5 hierarchical assignment mostly agrees with exact assignment") {
+    // the super-cluster prefilter is approximate only at super boundaries;
+    // the two paths must agree for the majority of vectors (the exact
+    // agreement set is pinned cross-engine by c5's oracle — this asserts
+    // the approximation QUALITY claim). Measured on the sf0.01 corpus (500
+    // vectors): synthetic embeddings are near-uniform — no real cluster
+    // structure — so this is the prefilter's worst case; real semantic
+    // embeddings separate far better (the regime SemDeDup targets).
+    val embs = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val exact = ClusterOps.kmeansAssign(embs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hier = ClusterOps.kmeansAssignHier(embs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hier.keySet === exact.keySet, "hier path lost or duplicated vectors")
+    val frac = hier.count { case (v, c) => exact(v) == c }.toDouble / hier.size
+    assert(frac >= 0.7, s"hier/exact agreement only $frac")
+  }
+
   test("c4 semdedup census is invariant under input partitioning and order") {
     // the keeper rule (drop iff a smaller-id near-dup shares the cluster) is
     // set-defined, so no physical layout of the input may change the census —
