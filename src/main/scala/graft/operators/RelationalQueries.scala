@@ -513,7 +513,35 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** q58: LATERAL correlated subquery — the SQL-standard phrasing of
+    * per-row top-N ("each customer's 2 largest orders"), identical SQL on
+    * both engines. Catalyst DECORRELATES it: DecorrelateInnerQuery +
+    * RewriteLateralSubquery turn the per-row subquery into a ranked window
+    * over one join — the same physical shape as q11's explicit window —
+    * and additionally plants partial+final `WindowGroupLimit`, pruning to
+    * 2 rows per customer MAP-SIDE before the shuffle (snapshot-pinned).
+    * So the lateral phrasing costs nothing at scale: no per-row
+    * re-execution (how a naive engine runs it) and less shuffle than a
+    * hand-rolled window that filters rn only after the exchange.
+    */
+  val q58 = Q(
+    "q58_lateral_topn",
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43, q54)
+    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43, q54, q58)
 }
