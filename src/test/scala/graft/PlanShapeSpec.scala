@@ -166,6 +166,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the size-based planner to pick >=3 broadcast joins at this tiny scale, got $nBroadcast")
   }
 
+  test("d12: no hints; shingle arrays never ride the prefix-key shuffle") {
+    val df = graft.operators.DedupOps.d12.fn(spark, sf)
+    // the exact similarity join must stay fully size-adaptive: df, prefix,
+    // candidate and verify relations all scale with the corpus
+    assert(broadcastHints(df).isEmpty,
+      "d12 must carry no compile-time broadcast hints")
+    df.collect()
+    // d4's discipline applied to the prefix join: candidates move as
+    // (g, doc_id) scalars; the shingle SETS re-attach keyed by doc id only
+    val gShuffles = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.toString.matches("hashpartitioning\\(g#.*"))
+    assert(gShuffles.nonEmpty, "expected the candidate join keyed on the prefix shingle")
+    gShuffles.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"shingle array shuffled on the prefix key: ${e.output.map(a => s"${a.name}:${a.dataType}")}")
+    }
+  }
+
   test("t6: df join is size-adaptive — only the single-row doc count may be hinted") {
     val df = graft.functions.TextOps.t6.fn(spark, sf)
     // the df relation's cardinality is the corpus vocabulary — unbounded for
