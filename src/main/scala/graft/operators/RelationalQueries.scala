@@ -541,7 +541,39 @@ object RelationalQueries {
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
   }
 
+  /** q59: SQL-standard aggregate FILTER clause — conditional aggregation
+    * without CASE scaffolding, one pass over orders producing per-priority
+    * counts and sums restricted by independent predicates. Same SQL text on
+    * both engines. Catalyst compiles each FILTER into the aggregate's
+    * update condition inside one partial+final hash agg — one scan, one
+    * shuffle, exactly like the q15/q35 CASE forms, so the nicer phrasing is
+    * free at scale.
+    */
+  val q59 = Q(
+    "q59_filtered_agg",
+    """SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) = 1997), 2)
+      |    AS rev_1997,
+      |  round(avg(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+      |    AS avg_large
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) = 1997), 2)
+        |    AS rev_1997,
+        |  round(avg(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+        |    AS avg_large
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43, q54, q58)
+    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43, q54, q58, q59)
 }
