@@ -6,7 +6,7 @@ import graft.core.Q
 import graft.functions.{AggregatorOps, TextOps}
 import graft.multimodal.MultimodalOps
 import graft.operators.{ClusterOps, CurationOps, DedupOps, MiscQueries, RelationalQueries, ReshapeQueries, ScalarFunctionQueries, SimilarityOps, SkewOps}
-import graft.streaming.WindowQueries
+import graft.streaming.{StreamingQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     RelationalQueries.all ++ ScalarFunctionQueries.all ++ TextOps.all ++
       DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all ++
-      WindowQueries.all ++ AggregatorOps.all ++ MiscQueries.all ++ SkewOps.all ++
+      WindowQueries.all ++ StreamingQueries.all ++ AggregatorOps.all ++ MiscQueries.all ++ SkewOps.all ++
       ReshapeQueries.all ++ ClusterOps.all ++ CurationOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

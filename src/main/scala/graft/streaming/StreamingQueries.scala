@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Q
+import graft.streaming.ReplayHarness.{replayEvents, SentinelType}
+
+/** Oracle-checked STREAMING queries (SURVEY §2.2 stateful rows): each runs a
+  * real Structured Streaming job — file-stream micro-batches, state store,
+  * watermark eviction — via [[ReplayHarness]] and is hash-compared against a
+  * plain batch DuckDB oracle. Streaming result == batch result is a theorem
+  * for these operators once no row is late (harness guarantee), so a hash
+  * mismatch here means the streaming machinery (not the expressions) broke:
+  * a dropped batch, premature eviction, missing null-side emission, state
+  * lost across micro-batches.
+  *
+  * Scale stance: these operators run unbounded in production — state is
+  * keyed (user_id / window / join key) and watermark-bounded in time, so
+  * per-executor state is working-set-sized regardless of total volume. The
+  * harness only bounds the REPLAY (a verification tool), not the operators.
+  */
+object StreamingQueries {
+
+  /** Shared oracle shape for the stream-stream interval-join family:
+    * errors ⋈ clicks of the same user within the preceding hour. The batch
+    * join IS the streaming join's spec — Spark buffers both sides in the
+    * state store and evicts on watermark, emitting exactly the batch-join
+    * rows (outer variants: null-side rows emit on eviction of an unmatched
+    * row, i.e. exactly the batch outer-join complement).
+    */
+  private def intervalJoinSql(joinType: String, userExpr: String): String =
+    s"""WITH errors AS (SELECT event_id AS error_id, ts AS e_ts, user_id
+       |                FROM events WHERE event_type = 'error'),
+       |     clicks AS (SELECT event_id AS click_id, ts AS c_ts, user_id
+       |                FROM events WHERE event_type = 'click')
+       |SELECT error_id, click_id, $userExpr AS user_id
+       |FROM errors $joinType clicks ON clicks.user_id = errors.user_id
+       | AND c_ts <= e_ts AND c_ts >= e_ts - INTERVAL 1 HOUR""".stripMargin
+
+  /** st1: stream-stream INNER interval join, replayed end-to-end. */
+  val st1 = Q("st1_stream_interval_join",
+    intervalJoinSql("JOIN", "errors.user_id")) { (s, dir) =>
+    replayEvents(s, dir, "append")(StatefulOps.clickErrorJoin)
+      .filter(col("user_id") >= 0)
+  }
+
+  /** st2: LEFT-outer — unmatched errors emit a null click_id only once the
+    * watermark proves no qualifying click can still arrive; the sentinel
+    * batch forces that proof for every real row before the query stops.
+    */
+  val st2 = Q("st2_stream_interval_join_left",
+    intervalJoinSql("LEFT JOIN", "errors.user_id")) { (s, dir) =>
+    replayEvents(s, dir, "append")(StatefulOps.clickErrorJoinOuter)
+      .filter(col("user_id") >= 0)
+  }
+
+  /** st3: FULL-outer — both unmatched sides emit on watermark eviction. */
+  val st3 = Q("st3_stream_interval_join_full",
+    intervalJoinSql("FULL JOIN", "coalesce(errors.user_id, clicks.user_id)")) { (s, dir) =>
+    replayEvents(s, dir, "append")(StatefulOps.clickErrorJoinFull)
+      .filter(col("user_id") >= 0)
+  }
+
+  /** st4: RIGHT-outer — the preserved side swaps to clicks. */
+  val st4 = Q("st4_stream_interval_join_right",
+    intervalJoinSql("RIGHT JOIN", "clicks.user_id")) { (s, dir) =>
+    replayEvents(s, dir, "append")(StatefulOps.clickErrorJoinRight)
+      .filter(col("user_id") >= 0)
+  }
+
+  /** st5: transformWithState per-user running totals (ValueState, RocksDB).
+    * Update mode emits the cumulative row every batch a user appears in;
+    * the final state is the emission with the highest n_events — cumulative
+    * counts are strictly increasing, so max/max_by recovers it independent
+    * of how the replay happened to chunk the input. The oracle is the plain
+    * batch aggregate: cross-batch ValueState accumulation must land on
+    * exactly count(*)/sum(value) per user.
+    */
+  val st5 = Q("st5_stream_running_totals",
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val out = replayEvents(s, dir, "update", requireRocksDB = true) { df =>
+      StatefulOps.runningTotalsTWS(
+        df.select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StatefulOps.Event]).toDF
+    }
+    out.filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        expr("max_by(total_value, n_events)").as("total_value"))
+  }
+
+  /** st6: watermarked tumbling-window aggregation in APPEND mode — a window
+    * emits exactly once, after the watermark passes its end. Same oracle as
+    * w1 (the batch twin); what this row adds is the finalization machinery:
+    * partial sums accumulated across micro-batches in the state store, then
+    * one watermark-gated emission per window.
+    */
+  val st6 = Q("st6_stream_windowed_agg",
+    """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "append", sentinelTypes = Seq(SentinelType))(
+      StatefulOps.windowedCounts)
+      .filter(col("event_type") =!= SentinelType)
+  }
+
+  /** st7: watermarked SESSION windows (30-minute gap) in append mode. The
+    * oracle replays the gap rule as gaps-and-islands; the streaming side
+    * must merge session fragments across micro-batches and finalize each
+    * session only when the watermark passes its end + gap. Premature
+    * finalization is impossible by harness construction: a user's next
+    * event always arrives before the watermark can pass the previous
+    * event + gap (time-ordered chunks, 10 min delay < 30 min gap).
+    */
+  val st7 = Q("st7_stream_session_window",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_no
+      |  FROM flagged)
+      |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, count(*) AS n
+      |FROM sessions GROUP BY user_id, session_no""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "append", sentinelTypes = Seq(SentinelType))(
+      StatefulOps.sessionCounts)
+      .filter(col("user_id") >= 0)
+  }
+
+  /** st8: streaming dedup bounded by watermark. The input is doubled before
+    * chunking (equal-ts copies always share a micro-batch, so every
+    * duplicate pair is inside the dedup horizon) and the stream must emit
+    * each event exactly once — the oracle is simply the original table.
+    */
+  val st8 = Q("st8_stream_dedup",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
+    replayEvents(s, dir, "append", prep = df => df.union(df))(
+      StatefulOps.dedupWithinWatermark)
+      .filter(col("user_id") >= 0)
+  }
+
+  val all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8)
+}
