@@ -96,15 +96,27 @@ object Layout {
       colY: String,
       nFiles: Int,
       bits: Int = 8): Unit = {
-    import org.apache.spark.sql.functions.{col, floor, least, lit, max, min}
+    import org.apache.spark.sql.functions.{coalesce, col, floor, least, lit, max, min}
     val df = spark.read.parquet(inDir)
-    val Array(xmin, xmax, ymin, ymax) =
-      df.agg(min(colX), max(colX), min(colY), max(colY))
-        .collect()(0).toSeq.map(v => v.toString.toDouble).toArray
+    // one stats row to the driver: bounds are rewrite CONFIGURATION. Cast
+    // inside the agg so a non-numeric column fails analysis with the column
+    // name, not an opaque NumberFormatException from toString parsing.
+    val bounds = df.agg(
+      min(col(colX).cast("double")), max(col(colX).cast("double")),
+      min(col(colY).cast("double")), max(col(colY).cast("double"))).collect()(0)
+    require(!bounds.anyNull,
+      s"zorderParquet($colX, $colY): a z-order column is all-NULL (or casts " +
+        "to all-NULL) — no bounds to scale against; clean or drop the column first")
+    val Array(xmin, xmax, ymin, ymax) = (0 until 4).map(bounds.getDouble).toArray
     val grid = (1 << bits) - 1
+    // NULL cells scale to grid cell 0 (z-curve origin) instead of a NULL
+    // __z silently range-partitioning into one file: co-locating NULLs at
+    // the origin keeps them one contiguous, min/max-prunable run.
     def scaled(c: String, lo: Double, hi: Double) =
-      least(floor((col(c).cast("double") - lo) / math.max(hi - lo, 1e-12) * (grid + 1))
-        .cast("long"), lit(grid.toLong))
+      coalesce(
+        least(floor((col(c).cast("double") - lo) / math.max(hi - lo, 1e-12) * (grid + 1))
+          .cast("long"), lit(grid.toLong)),
+        lit(0L))
     df.withColumn("__z", zValue(scaled(colX, xmin, xmax), scaled(colY, ymin, ymax), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -254,7 +254,12 @@ object ClusterOps {
     */
   def finalCentroids(embs: DataFrame, k: Int = KMeansK): DataFrame = {
     val e = withSq(embs)
-    val wSeed = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    // single-partition by construction AND bounded: the window runs over the
+    // k-row limit() result only. partitionBy(lit) instead of a bare orderBy
+    // so Spark's "no partition defined for Window" warning (aimed at
+    // unbounded relations) doesn't fire on every run and bury real warnings.
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("vec_id"))
     val seeds = e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(wSeed) - 1).as("cid"), col("embedding").as("cent"))
       .selectExpr("cid", "cent", "vec_dot(cent, cent) AS csq")

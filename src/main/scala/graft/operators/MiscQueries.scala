@@ -373,11 +373,13 @@ object MiscQueries {
       |    sum(x*y)::BIGINT AS sxy
       |  FROM t GROUP BY 1)
       |SELECT lang, n AS n_docs,
-      |  round((n*sxy - sx*sy)::DOUBLE
-      |    / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
-      |    AS corr_chars_tokens,
-      |  round(sqrt((n*syy - sy*sy)::DOUBLE / (n::DOUBLE * (n - 1)::DOUBLE)), 4)
-      |    AS sd_tokens
+      |  CASE WHEN n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+      |    round((n*sxy - sx*sy)::DOUBLE
+      |      / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4)
+      |  END AS corr_chars_tokens,
+      |  CASE WHEN n > 1 THEN
+      |    round(sqrt((n*syy - sy*sy)::DOUBLE / (n::DOUBLE * (n - 1)::DOUBLE)), 4)
+      |  END AS sd_tokens
       |FROM m""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
       .select(col("lang"), col("n_chars").as("x"),
@@ -388,12 +390,19 @@ object MiscQueries {
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
       .select(col("lang"), col("n").as("n_docs"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 4)
+        // degenerate-group guard (cross-engine): n = 1 or zero variance
+        // yields NaN/Infinity in Spark but NULL/error semantics in DuckDB —
+        // both sides agree on NULL instead
+        when(col("n") > 1 &&
+            col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 4))
           .as("corr_chars_tokens"),
-        round(sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")
-          / (col("n").cast("double") * (col("n") - 1).cast("double"))), 4)
+        when(col("n") > 1,
+          round(sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))), 4))
           .as("sd_tokens"))
   }
 
@@ -490,6 +499,13 @@ object MiscQueries {
     * Scale shape: one shuffle on user_id; both windows (the rank and the
     * partition max) reuse that partitioning and sort — no second exchange
     * (the plan snapshot pins it).
+    *
+    * NULL discipline: SQL's count(DISTINCT) ignores NULLs, but a bare
+    * dense_rank would hand a NULL event_type its own rank. Ranking with
+    * NULLS LAST and taking the max over non-null rows only (coalesced to 0
+    * for an all-null partition) makes the rewrite NULL-exact — the fixture
+    * is non-null today, so the oracle certifies the guard is at least
+    * harmless; the semantics no longer depend on that fixture property.
     */
   val q57 = Q(
     "q57_windowed_distinct",
@@ -500,9 +516,11 @@ object MiscQueries {
     val byUser = Window.partitionBy(col("user_id"))
     Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"))
-      .withColumn("rk", dense_rank().over(byUser.orderBy(col("event_type"))))
+      .withColumn("rk",
+        dense_rank().over(byUser.orderBy(col("event_type").asc_nulls_last)))
       .select(col("event_id"), col("user_id"),
-        max(col("rk")).over(byUser).cast("long").as("n_types"))
+        coalesce(max(when(col("event_type").isNotNull, col("rk"))).over(byUser),
+          lit(0L)).cast("long").as("n_types"))
   }
 
   val all: Seq[Q] =

@@ -88,4 +88,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(names.distinct.length === names.length,
       s"duplicate query names: ${names.diff(names.distinct).distinct}")
   }
+
+  test("README documents the registry counts (they drifted in round 4)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val registered = SparkEntry.registry.size
+    val oracled = SparkEntry.oracleSql.size
+    assert(readme.contains(s"$registered operators are registered"),
+      s"README's registered-operator count is stale: registry has $registered")
+    assert(readme.contains(s"$oracled oracle-checked"),
+      s"README's oracle-checked count is stale: registry has $oracled")
+  }
 }
