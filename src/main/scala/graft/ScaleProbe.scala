@@ -56,9 +56,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.getOrCreate()
-    // `runMain graft.ScaleProbe d12skew` runs only the skew rung (iteration aid)
-    val skewOnly = args.contains("d12skew")
-    val ladder = if (skewOnly) Seq.empty[Int] else Seq(1, 4, 16)
+    // `runMain graft.ScaleProbe d12skew|c45` runs one phase (iteration aid)
+    val phase = args.headOption.getOrElse("all")
+    val ladder = if (phase == "all") Seq(1, 4, 16) else Seq.empty[Int]
 
     val results = ladder.map { k =>
       val docs = docsTimes(spark, dir, k).cache()
@@ -231,7 +231,8 @@ object ScaleProbe {
     // candidate count stays flat in c (the cluster's own pairs are the
     // documented recall trade; exact dedup (d1/d2) upstream collapses such
     // clusters before this operator in a real pipeline).
-    val d12Skew = Seq(250, 500, 1000).map { c =>
+    val d12Skew = (if (phase == "all" || phase == "d12skew")
+      Seq(250, 500, 1000) else Seq.empty[Int]).map { c =>
       val docs = graft.core.Tables.load(spark, dir, "documents").select("doc_id", "text")
       val cluster = spark.range(c).selectExpr(
         "20000000 + id AS doc_id",
@@ -257,12 +258,49 @@ object ScaleProbe {
         "cand_on" -> candOn.toDouble, "t_on" -> tOn)
     }
 
+    // c4-vs-c5 widening rung: k-means k scales WITH the corpus (k ∝ N, the
+    // SemDeDup production setting), so brute assignment costs N·k ∝ N²
+    // while the two-level hierarchy costs N·(k1 + 2k/k1) ∝ N^1.5 with
+    // k1 = ceil(sqrt(k)). The 16x point overlaps the main ladder for
+    // continuity; 64x is where the gap should visibly widen. Scored
+    // candidate-pair counts (distance evaluations) are printed alongside
+    // wall time because time on this host carries up to 10x contention
+    // noise while the pair counts are exact.
+    val c45 = (if (phase == "all" || phase == "c45")
+      Seq(16, 64) else Seq.empty[Int]).map { k =>
+      val vecs = vecsTimes(spark, dir, k).cache()
+      val n = vecs.count()
+      val kTot = graft.operators.ClusterOps.KMeansK * k
+      val k1 = math.max(2, math.ceil(math.sqrt(kTot.toDouble)).toInt)
+      val pairsC4 = n * kTot
+      val pairsC5 = n * (k1 + 2L * kTot / k1)
+      val c4t = time {
+        graft.operators.ClusterOps.semdedupCensus(vecs, kTot)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val c5t = time {
+        graft.operators.ClusterOps
+          .semdedupCensusFrom(
+            graft.operators.ClusterOps.kmeansAssignHier(vecs, kTot, k1), vecs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      vecs.unpersist()
+      System.gc()
+      System.err.println(f"[scale] c45 ${k}%2dx (k=$kTot, k1=$k1)  " +
+        f"c4: $pairsC4%11d pairs $c4t%7.2f s   c5: $pairsC5%10d pairs $c5t%7.2f s")
+      k -> Seq("c4_pairs" -> pairsC4.toDouble, "c4_t" -> c4t,
+        "c5_pairs" -> pairsC5.toDouble, "c5_t" -> c5t)
+    }
+
     val json = (results.map { case (k, steps) =>
       steps.map { case (n, t) => s""""$n":$t""" }
         .mkString(s""""${k}x":{""", ",", "}")
     } ++ d12Skew.map { case (c, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""d12skew_$c":{""", ",", "}")
+    } ++ c45.map { case (k, vals) =>
+      vals.map { case (n, v) => s""""$n":$v""" }
+        .mkString(s""""c45_${k}x":{""", ",", "}")
     }).mkString("{\"metric\":\"scale_ladder\",", ",", "}")
     println(json)
     spark.stop()

@@ -484,5 +484,58 @@ object TextOps {
           / sum(col("cnt")), 4).as("head10_share"))
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13)
+  /** t14: winnowed rolling-hash fingerprints (Schleimer et al., SIGMOD 2003
+    * — the MOSS scheme; completes the brief's "fingerprinting (rolling
+    * hash)" next to t4's whole-document md5 forms). Per document: Rabin-
+    * Karp rolling hashes of 8-char grams, winnowed to the per-4-window
+    * minima — any shared substring of >= 11 chars between two documents is
+    * GUARANTEED to share a selected fingerprint, which is what makes this
+    * the standard partial-overlap/plagiarism key where t4's all-or-nothing
+    * hashes see nothing. The fused O(n) kernel is the 8th custom codegen
+    * expression ([[RollingHashKernel]]); the oracle recomputes every gram's
+    * polynomial hash positionally (O(n·k) SQL, mathematically equal mod P)
+    * and re-winnows with list slices, so a single rolling-update or
+    * window-selection bug breaks the hash.
+    *
+    * Scale shape: shuffle-free per-row map stage; output one narrow row per
+    * doc (count + digest), with the fingerprint SET itself staying inside
+    * the row — the join-ready exploded form is `explode(winnow_fps(text))`,
+    * same discipline as d9's inverted index.
+    */
+  val t14 = Q(
+    "t14_winnow_fingerprints",
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN len(text) >= 8 THEN
+      |      list_transform(generate_series(1, len(text) - 7), i ->
+      |        list_sum(list_transform(generate_series(0, 7), j ->
+      |          ascii(substring(text, i + j, 1))
+      |            * [27512614111, 887503681, 28629151, 923521, 29791, 961, 31, 1][j + 1]))
+      |        % 1000000007)
+      |    ELSE [] END AS hashes
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN len(hashes) = 0 THEN []
+      |    ELSE list_sort(list_distinct(
+      |      list_transform(generate_series(1, greatest(len(hashes) - 3, 1)), i ->
+      |        list_min(hashes[i : i + 3]))))
+      |    END AS fps
+      |  FROM h)
+      |SELECT doc_id,
+      |  greatest(len(text) - 7, 0)::BIGINT AS n_grams,
+      |  len(fps)::BIGINT AS n_fps,
+      |  md5(coalesce(array_to_string(fps, ','), '')) AS fp_digest
+      |FROM f""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      greatest(length(col("text")) - 7, lit(0)).cast("long").as("n_grams"),
+      expr("size(winnow_fps(text))").cast("long").as("n_fps"),
+      // array-level cast, not transform(x -> cast): a lambda here would be
+      // CodegenFallback and kick the whole projection out of codegen
+      md5(concat_ws(",",
+        expr("cast(winnow_fps(text) AS array<string>)"))).as("fp_digest"))
+  }
+
+  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14)
 }

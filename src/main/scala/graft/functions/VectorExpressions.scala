@@ -334,6 +334,81 @@ case class WordHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared kernel for t14's winnowed rolling-hash document fingerprint
+  * (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003 — the MOSS scheme). One fused O(n) pass:
+  * Rabin-Karp rolling hashes of the K-char grams (true rolling update —
+  * subtract the outgoing char's B^(K-1) term, multiply, add the incoming
+  * char; not an O(n·K) re-hash), then winnowing selects the minimum hash of
+  * every W-consecutive-hash window, guaranteeing any substring match of
+  * length >= K+W-1 shares a selected fingerprint. Output is the SORTED
+  * DISTINCT selected-hash set — deterministic, join/digest-ready.
+  *
+  * Chars are Unicode code points, matching the DuckDB oracle's
+  * ascii(substring(text, i, 1)); the polynomial form the oracle computes
+  * (sum of code·B^(K-1-j) mod P) equals the rolling form by construction.
+  */
+object RollingHashKernel {
+  val K = 8       // gram length (chars)
+  val W = 4       // winnow window (hashes)
+  val B = 31L     // polynomial base
+  val P = 1000000007L
+  /** B^(K-1) mod P — the outgoing char's coefficient in the rolling update. */
+  val BK1: Long = { var x = 1L; (1 until K).foreach(_ => x = x * B % P); x }
+
+  def winnowFps(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < K)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(new Array[Long](0))
+    val nh = n - K + 1
+    val hashes = new Array[Long](nh)
+    var h = 0L
+    var i = 0
+    while (i < K) { h = (h * B + cps(i)) % P; i += 1 }
+    hashes(0) = h
+    while (i < n) {
+      h = ((h + P - cps(i - K) * BK1 % P) % P * B + cps(i)) % P
+      hashes(i - K + 1) = h
+      i += 1
+    }
+    // winnow: min per W-window (single window when nh <= W); distinct + sort
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val nw = math.max(nh - W + 1, 1)
+    var w0 = 0
+    while (w0 < nw) {
+      var m = Long.MaxValue
+      var j = w0
+      val end = math.min(w0 + W, nh)
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      sel.add(m)
+      w0 += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Custom Catalyst expression wrapper over [[RollingHashKernel.winnowFps]]. */
+case class WinnowFps(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHashKernel.winnowFps(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RollingHashKernel.winnowFps($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Shared kernel for the random-hyperplane (sign-bit) bucket used by the
   * s3/e1 similarity operators. The 6 x 64 plane matrix is DERIVED ONCE here
   * (deterministic md5 arithmetic, identical to the SQL/DuckDB formulation
@@ -472,6 +547,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash16"),
       new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
       (exprs: Seq[Expression]) => MinHash16(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => WinnowFps(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),

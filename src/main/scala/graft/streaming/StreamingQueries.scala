@@ -91,6 +91,27 @@ object StreamingQueries {
         expr("max_by(total_value, n_events)").as("total_value"))
   }
 
+  /** st9: the same running-totals contract through flatMapGroupsWithState —
+    * the pre-Spark-4 arbitrary-state API (st5 pins its successor,
+    * transformWithState). Same oracle, same max/max_by final-state
+    * extraction; together the two rows certify both state APIs against one
+    * batch truth.
+    */
+  val st9 = Q("st9_stream_fmgws_totals",
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val out = replayEvents(s, dir, "update") { df =>
+      StatefulOps.runningUserTotals(
+        df.select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StatefulOps.Event]).toDF
+    }
+    out.filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        expr("max_by(total_value, n_events)").as("total_value"))
+  }
+
   /** st6: watermarked tumbling-window aggregation in APPEND mode — a window
     * emits exactly once, after the watermark passes its end. Same oracle as
     * w1 (the batch twin); what this row adds is the finalization machinery:
@@ -148,5 +169,5 @@ object StreamingQueries {
       .filter(col("user_id") >= 0)
   }
 
-  val all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8)
+  val all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9)
 }

@@ -71,6 +71,37 @@ class DedupPropertySpec extends AnyFunSuite {
     edges.foreach(r => assert(r.getSeq[String](0) === Seq.empty))
   }
 
+  test("codegen winnow_fps equals a naive positional-hash + winnow spec") {
+    import spark.implicits._
+    // naive spec: O(n·k) positional polynomial hashes, then window minima —
+    // the mathematical definition the O(n) rolling kernel must reproduce
+    def spec(text: String): Seq[Long] = {
+      val K = 8; val W = 4; val B = 31L; val P = 1000000007L
+      val cps = text.codePoints().toArray
+      if (cps.length < K) return Seq.empty
+      val hashes = (0 to cps.length - K).map { i =>
+        (0 until K).foldLeft(0L)((h, j) => (h * B + cps(i + j)) % P)
+      }
+      val nw = math.max(hashes.length - W + 1, 1)
+      (0 until nw).map(i => hashes.slice(i, i + W).min).distinct.sorted
+    }
+    val docs = graft.core.Tables.load(spark, GraftTestSpark.sf, "documents")
+      .select("text").as[String].collect()
+    val edge = Seq("", "1234567", "12345678", "123456789", "aaaaaaaaaaaa",
+      "über-höhe ünïcode ™ text 🙂 with astral chars beyond the BMP")
+    val rows = (docs.toSeq ++ edge).toDF("text")
+      .selectExpr("text", "winnow_fps(text) AS fast").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === spec(r.getString(0)), s"text: ${r.getString(0).take(40)}")
+    }
+    // winnowing guarantee on a planted overlap: any shared substring of
+    // length >= K + W - 1 = 11 chars shares at least one fingerprint
+    val shared = "the quick brown fox jumps"
+    val fpA = spec("AAAA " + shared + " BBBB")
+    val fpB = spec("cccccccc " + shared + " dddd")
+    assert(fpA.toSet.intersect(fpB.toSet).nonEmpty)
+  }
+
   test("codegen minhash16 expression equals the higher-order-function spec") {
     import spark.implicits._
     val rows = Seq("alpha beta gamma", "one one two", "x", "", "a b c d e f g h i j")

@@ -282,4 +282,34 @@ class PlanShapeSpec extends AnyFunSuite {
         s"only the k-row centroid relation may be hint-broadcast, got: ${h.child.output}")
     }
   }
+
+  test("m1: payload build + magic-byte decode is shuffle-free (blobs never leave the executor)") {
+    val df = graft.multimodal.MultimodalOps.m1.fn(spark, sf)
+    val shuffles = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      "media decode must be pipelined map stages with zero exchanges")
+  }
+
+  test("m3: header sniff shuffles only the 3-key census agg, never payload bytes") {
+    val df = graft.multimodal.MultimodalOps.m3.fn(spark, sf)
+    val shuffles = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, s"expected exactly the census agg exchange, got ${shuffles.size}")
+    shuffles.foreach { e =>
+      assert(!e.child.output.exists(_.name == "payload"),
+        "payload bytes must be reduced to (modality, n_bytes, n_frames) before the shuffle")
+    }
+  }
+
+  test("t14: winnowed fingerprinting is a shuffle-free codegen map stage") {
+    val df = graft.functions.TextOps.t14.fn(spark, sf)
+    val p = df.queryExecution.executedPlan
+    val shuffles = allNodes(p).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, "fingerprinting must be a pure map stage")
+    // exchange-free plans print codegen spans as `*(n)` markers rather than
+    // a WholeStageCodegen wrapper node
+    assert(p.toString.contains("*(1) Project"),
+      "the winnow_fps projection must sit inside a whole-stage codegen span")
+  }
 }

@@ -25,6 +25,9 @@ class PlanSnapshotSpec extends AnyFunSuite {
     */
   private def normalize(plan: String): String = plan
     .replaceAll("#\\d+L?", "#x")
+    // the with-expression counter is session-global, so the id depends on
+    // how many queries ran before this one in the JVM — pure run-order noise
+    .replaceAll("_common_expr_\\d+", "_common_expr_x")
     .replaceAll("plan_id=\\d+", "plan_id=x")
     .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
     // identity hashCodes print as 1-8 hex chars; {6,} let a 5-char hash
