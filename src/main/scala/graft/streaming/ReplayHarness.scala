@@ -160,11 +160,25 @@ object ReplayHarness {
         case None =>
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+      // the scratch lives in RAM (/dev/shm): drop everything the returned
+      // DataFrame no longer needs (inputs, checkpoint state, staging) so
+      // repeated replays in one long session don't accumulate; only out/
+      // must survive — the result is read lazily from it
+      deleteRecursively(streamDir)
+      deleteRecursively(base.resolve("ckpt"))
     }
 
     if (Files.exists(outDir)) spark.read.schema(outSchema).parquet(outDir.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
 
   /** Move the single part file of a staged write into the stream directory
     * under a stable name with an explicit modification time — the file
@@ -172,10 +186,14 @@ object ReplayHarness {
     * stamps give deterministic chunk-per-micro-batch replay.
     */
   private def publish(stage: Path, streamDir: Path, name: String, modTime: Long): Unit = {
-    val part = Files.list(stage).filter(_.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+    val listing = Files.list(stage)
+    val part =
+      try listing.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $stage"))
+      finally listing.close()
     val target = streamDir.resolve(s"$name.parquet")
     Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
     target.toFile.setLastModified(modTime)
+    deleteRecursively(stage) // staging markers (_SUCCESS etc.) — RAM-backed
   }
 }
