@@ -573,7 +573,50 @@ object RelationalQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** q60: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — a complete monthly
+    * revenue spine including gap months, the classic reporting shape a
+    * GROUP BY alone cannot produce (empty months simply don't exist in the
+    * fact table; the recursion manufactures them). Identical SQL text runs
+    * on both engines.
+    *
+    * Scale stance: the recursion generates the DIMENSION (one row per
+    * month — ~80 rows at any corpus size, bounded by the date span, far
+    * inside Spark's 100-level default recursion limit), never touches the
+    * fact table, and the spine then LEFT-joins orders once. Contrast with
+    * c1's connected components, where the recursion would be over the
+    * FACT-sized frontier — there the driver-iterated hash-min with
+    * localCheckpoint stays the production path, and only the DuckDB oracle
+    * uses WITH RECURSIVE.
+    */
+  val q60 = Q(
+    "q60_recursive_date_spine",
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT date_trunc('MONTH', min(o_orderdate)) FROM orders
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months
+      |  WHERE m < (SELECT date_trunc('MONTH', max(o_orderdate)) FROM orders)
+      |)
+      |SELECT CAST(m AS DATE) AS month_start,
+      |  coalesce(count(o_orderkey), 0) AS n_orders,
+      |  coalesce(round(sum(o_totalprice), 2), 0) AS revenue
+      |FROM months LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = m
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT date_trunc('MONTH', min(o_orderdate)) FROM orders
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < (SELECT date_trunc('MONTH', max(o_orderdate)) FROM orders)
+        |)
+        |SELECT CAST(m AS DATE) AS month_start,
+        |  coalesce(count(o_orderkey), 0) AS n_orders,
+        |  coalesce(round(sum(o_totalprice), 2), 0) AS revenue
+        |FROM months LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = m
+        |GROUP BY 1""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43, q54, q58, q59)
+    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43, q54, q58, q59, q60)
 }
