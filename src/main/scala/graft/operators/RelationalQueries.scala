@@ -573,47 +573,63 @@ object RelationalQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
-  /** q60: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — a complete monthly
-    * revenue spine including gap months, the classic reporting shape a
-    * GROUP BY alone cannot produce (empty months simply don't exist in the
-    * fact table; the recursion manufactures them). Identical SQL text runs
-    * on both engines.
+  /** q60: complete monthly revenue spine including gap months — the classic
+    * reporting shape a GROUP BY alone cannot produce (empty months simply
+    * don't exist in the fact table; the spine manufactures them). The
+    * ORACLE is a WITH RECURSIVE CTE, and [[q60RecursiveSql]] is written to
+    * be valid on BOTH engines: DuckDB executes it as the gate oracle, and
+    * the suite (`RecursiveCteTwinSpec`) executes the very same text through
+    * Spark 4's UnionLoop and pins it equal to the production path — the
+    * recursion is certified cross-engine without being the plan we'd run at
+    * scale.
     *
-    * Scale stance: the recursion generates the DIMENSION (one row per
-    * month — ~80 rows at any corpus size, bounded by the date span, far
-    * inside Spark's 100-level default recursion limit), never touches the
-    * fact table, and the spine then LEFT-joins orders once. Contrast with
-    * c1's connected components, where the recursion would be over the
-    * FACT-sized frontier — there the driver-iterated hash-min with
-    * localCheckpoint stays the production path, and only the DuckDB oracle
-    * uses WITH RECURSIVE.
+    * Scale stance (and round-5 post-mortem): the production path generates
+    * the ~80-row month dimension with ONE min/max agg over orders +
+    * `explode(sequence(...))` — a single job — and pre-aggregates orders by
+    * month BEFORE the spine join, so the join sees ~80 x ~80 rows instead
+    * of spine x fact. Round 5 ran the recursion itself as the production
+    * plan with the stop condition as a scalar subquery over orders INSIDE
+    * the loop: ~80 full fact scans + 80 driver-scheduled jobs, 15 s at
+    * sf0.1, a scale-killer at 100 TB. Even bound-carried (fact scanned only
+    * in the anchor), UnionLoop still pays ~80 sequential driver jobs for an
+    * 80-row dimension (measured 1.9 s at sf0.1); the sequence() spine is
+    * one job and leaves the fact pass as a partial+final hash agg. Rule of
+    * thumb encoded here: recursion-over-dimension is for ENGINE
+    * CERTIFICATION; dimension GENERATION at scale wants a closed form.
     */
-  val q60 = Q(
-    "q60_recursive_date_spine",
-    """WITH RECURSIVE months(m) AS (
-      |  SELECT date_trunc('MONTH', min(o_orderdate)) FROM orders
+  val q60RecursiveSql: String =
+    """WITH RECURSIVE months(m, hi) AS (
+      |  SELECT date_trunc('MONTH', min(o_orderdate)),
+      |         date_trunc('MONTH', max(o_orderdate)) FROM orders
       |  UNION ALL
-      |  SELECT m + INTERVAL 1 MONTH FROM months
-      |  WHERE m < (SELECT date_trunc('MONTH', max(o_orderdate)) FROM orders)
+      |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
       |)
       |SELECT CAST(m AS DATE) AS month_start,
       |  coalesce(count(o_orderkey), 0) AS n_orders,
       |  coalesce(round(sum(o_totalprice), 2), 0) AS revenue
       |FROM months LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = m
-      |GROUP BY 1""".stripMargin) { (s, dir) =>
+      |GROUP BY 1""".stripMargin
+
+  val q60 = Q("q60_recursive_date_spine", q60RecursiveSql) { (s, dir) =>
     t(s, dir, "orders").createOrReplaceTempView("orders")
     s.sql(
-      """WITH RECURSIVE months(m) AS (
-        |  SELECT date_trunc('MONTH', min(o_orderdate)) FROM orders
-        |  UNION ALL
-        |  SELECT m + INTERVAL 1 MONTH FROM months
-        |  WHERE m < (SELECT date_trunc('MONTH', max(o_orderdate)) FROM orders)
+      """WITH bounds AS (
+        |  SELECT date_trunc('MONTH', min(o_orderdate)) AS lo,
+        |         date_trunc('MONTH', max(o_orderdate)) AS hi FROM orders
+        |),
+        |months AS (
+        |  SELECT explode(sequence(lo, hi, interval 1 month)) AS m FROM bounds
+        |),
+        |by_month AS (
+        |  SELECT date_trunc('MONTH', o_orderdate) AS m,
+        |         count(o_orderkey) AS n,
+        |         round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1
         |)
-        |SELECT CAST(m AS DATE) AS month_start,
-        |  coalesce(count(o_orderkey), 0) AS n_orders,
-        |  coalesce(round(sum(o_totalprice), 2), 0) AS revenue
-        |FROM months LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = m
-        |GROUP BY 1""".stripMargin)
+        |SELECT CAST(months.m AS DATE) AS month_start,
+        |  coalesce(n, 0) AS n_orders,
+        |  coalesce(rev, 0) AS revenue
+        |FROM months LEFT JOIN by_month ON by_month.m = months.m""".stripMargin)
   }
 
   val all: Seq[Q] = Seq(
