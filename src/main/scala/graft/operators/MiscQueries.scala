@@ -119,19 +119,32 @@ object MiscQueries {
     * first-class registered op. Greenwald-Khanna sketches are mergeable, so
     * this is a partial+final (object-hash) aggregation with bounded state —
     * no per-group value buffering like exact percentile. Sketch
-    * interpolation is engine-specific, so the driver records a rows-only
-    * check; QueriesSmokeSpec bounds it against the exact q34 values.
+    * interpolation is engine-specific, so raw estimates can never
+    * hash-match an oracle; like q28 the row is a TOLERANCE CERTIFICATE:
+    * Spark computes the sketch AND the exact percentile per group and
+    * emits a within-2% verdict per quantile (the suite's existing
+    * envelope), which the oracle asserts literally alongside the exact
+    * group counts. The exact VALUES stay pinned by q34 — this row pins the
+    * sketch's distance from them under the gate's hash compare.
     */
-  val q39 = Q.rowsOnly("q39_approx_percentiles") { (s, dir) =>
+  val q39 = Q(
+    "q39_approx_percentiles",
+    """SELECT l_returnflag, count(*) AS n,
+      |  'within_bound' AS median_check,
+      |  'within_bound' AS p95_check
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("pcts"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("exact_p95"),
         count(lit(1)).as("n"))
-      .select(col("l_returnflag"),
-        round(element_at(col("pcts"), 1), 2).as("median_price"),
-        round(element_at(col("pcts"), 2), 2).as("p95_price"),
-        col("n"))
+      .select(col("l_returnflag"), col("n"),
+        when(abs(element_at(col("pcts"), 1) - col("exact_p50")) / col("exact_p50") <= 0.02,
+          "within_bound").otherwise("out_of_bound").as("median_check"),
+        when(abs(element_at(col("pcts"), 2) - col("exact_p95")) / col("exact_p95") <= 0.02,
+          "within_bound").otherwise("out_of_bound").as("p95_check"))
   }
 
   /** q42: multiset set operations — INTERSECT ALL / EXCEPT ALL keep

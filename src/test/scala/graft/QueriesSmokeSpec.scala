@@ -25,39 +25,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
   }
 
   test("q28 approx distinct counts land within the HLL++ error envelope") {
-    // q28 is rows-only in the driver gate (sketches are engine-specific), so
-    // bound it here against the exact counts: approx_count_distinct
-    // documents rsd = 0.05 default / 0.01 for the parts column, and a
-    // 5*rsd envelope is ~5 sigma — a miss means the sketch is broken, not
-    // unlucky.
-    import org.apache.spark.sql.functions._
-    val approx = graft.functions.AggregatorOps.q28.fn(spark, GraftTestSpark.sf).head()
-    val exact = graft.core.Tables.load(spark, GraftTestSpark.sf, "lineitem")
-      .agg(countDistinct(col("l_orderkey")).as("orders"),
-        countDistinct(col("l_partkey")).as("parts")).head()
-    def within(approxV: Long, exactV: Long, rsd: Double): Unit = {
-      val rel = math.abs(approxV - exactV).toDouble / exactV
-      assert(rel <= 5 * rsd,
-        s"approx $approxV vs exact $exactV: relative error $rel exceeds 5*rsd=${5 * rsd}")
-    }
-    within(approx.getLong(0), exact.getLong(0), 0.05)
-    within(approx.getLong(1), exact.getLong(1), 0.01)
+    // Since round 6 the bound IS the oracle contract: q28 emits exact
+    // counts + a within-5*rsd verdict per sketch and the DuckDB gate
+    // asserts the verdict literally. This is the fast offline replica.
+    val row = graft.functions.AggregatorOps.q28.fn(spark, GraftTestSpark.sf).head()
+    assert(row.getString(2) === "within_bound", s"orders sketch out of bound: $row")
+    assert(row.getString(3) === "within_bound", s"parts sketch out of bound: $row")
   }
 
-  test("q39 approx percentiles land within 2% of the exact q34 values") {
-    // q39 is rows-only in the driver gate (sketch interpolation is
-    // engine-specific); bound it against exact percentile here. At accuracy
-    // 10000 the GK rank error is n/10000 ranks — far inside 2% in value on
-    // this price distribution.
-    val approx = graft.operators.MiscQueries.q39.fn(spark, GraftTestSpark.sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val exact = graft.operators.MiscQueries.q34.fn(spark, GraftTestSpark.sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (flag, (m, p95)) =>
-      val (am, ap95) = approx(flag)
-      assert(math.abs(am - m) / m <= 0.02, s"$flag median: approx $am vs exact $m")
-      assert(math.abs(ap95 - p95) / p95 <= 0.02, s"$flag p95: approx $ap95 vs exact $p95")
+  test("q39 approx percentiles land within 2% of the exact values") {
+    // Since round 6 the 2% bound IS the oracle contract (per-group verdict
+    // columns, asserted literally by the DuckDB gate); fast offline replica.
+    graft.operators.MiscQueries.q39.fn(spark, GraftTestSpark.sf).collect().foreach { r =>
+      assert(r.getString(2) === "within_bound", s"median sketch out of bound: $r")
+      assert(r.getString(3) === "within_bound", s"p95 sketch out of bound: $r")
     }
   }
 
