@@ -308,8 +308,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val shuffles = allNodes(p).collect { case e: ShuffleExchangeExec => e }
     assert(shuffles.isEmpty, "fingerprinting must be a pure map stage")
     // exchange-free plans print codegen spans as `*(n)` markers rather than
-    // a WholeStageCodegen wrapper node
-    assert(p.toString.contains("*(1) Project"),
+    // a WholeStageCodegen wrapper node; don't pin the stage id — any extra
+    // node renumbers it
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p.toString).isDefined,
       "the winnow_fps projection must sit inside a whole-stage codegen span")
   }
 }
