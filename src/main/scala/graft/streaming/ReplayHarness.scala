@@ -63,6 +63,18 @@ object ReplayHarness {
     */
   val SentinelType = "__flush__"
 
+  /** When `killAfterBatches = Some(n)`, the replay is split into a real
+    * CHECKPOINT-RESTART cycle: the first query instance is stopped once ≥ n
+    * micro-batches have committed (mid-stream, with input files still
+    * unprocessed), then a SECOND query instance is started on the same
+    * checkpoint and runs to completion. The restarted instance must restore
+    * every state store (and the watermark) from the checkpoint and resume
+    * at the first uncommitted offset — the delivery-semantics contract the
+    * reference omits entirely (no checkpointLocation anywhere in
+    * spark-streaming.py; SURVEY §3.2.6). Output stays exactly-once because
+    * the sink is idempotent per batch id (see below), so a batch replayed
+    * across the restart boundary overwrites rather than duplicates.
+    */
   def replayEvents(
       spark: SparkSession,
       sfDir: String,
@@ -70,7 +82,8 @@ object ReplayHarness {
       chunks: Int = 4,
       sentinelTypes: Seq[String] = Seq("click", "error"),
       prep: DataFrame => DataFrame = identity,
-      requireRocksDB: Boolean = false)(
+      requireRocksDB: Boolean = false,
+      killAfterBatches: Option[Int] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
     val events = prep(graft.core.Tables.load(spark, sfDir, "events"))
     // RAM-backed scratch when available: replay cost is dominated by
@@ -136,16 +149,39 @@ object ReplayHarness {
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(4, prevShuffle.toInt).toString)
     try {
-      val q = transformed.writeStream
+      def startQuery() = transformed.writeStream
         .outputMode(outputMode)
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // replay batches are small (≤ fixture size); one file per batch
-          // instead of one per shuffle partition
-          batch.coalesce(1).write.mode("append").parquet(outDir.toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // IDEMPOTENT sink: one sub-directory per batch id, overwritten on
+          // re-execution — a micro-batch replayed after a task retry or a
+          // restart-from-checkpoint lands on the same path instead of
+          // appending duplicates (blind append would turn any replay into a
+          // false 'streaming machinery broke' hash mismatch). One file per
+          // batch: replay batches are small (≤ fixture size).
+          batch.coalesce(1).write.mode("overwrite")
+            .parquet(outDir.resolve(s"b$batchId").toString)
         }
         .trigger(Trigger.AvailableNow())
         .start()
+
+      val q = killAfterBatches match {
+        case Some(n) =>
+          val q1 = startQuery()
+          // poll committed-batch count; stop mid-stream once n have landed
+          // (if the replay outruns the poll the restart still exercises
+          // checkpoint recovery via the remaining no-data batches)
+          while (q1.isActive &&
+            Option(q1.lastProgress).map(_.batchId + 1).getOrElse(0L) < n)
+            q1.awaitTermination(50)
+          if (q1.isActive) q1.stop()
+          q1.awaitTermination()
+          System.err.println(s"[replay] killed after " +
+            s"${Option(q1.lastProgress).map(_.batchId + 1).getOrElse(0L)} batches; " +
+            "restarting from checkpoint")
+          startQuery()
+        case None => startQuery()
+      }
       q.awaitTermination()
       if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
         q.recentProgress.foreach { p =>
@@ -168,7 +204,11 @@ object ReplayHarness {
       deleteRecursively(base.resolve("ckpt"))
     }
 
-    if (Files.exists(outDir)) spark.read.schema(outSchema).parquet(outDir.toString)
+    // recursiveFileLookup reads the per-batch sub-directories WITHOUT
+    // partition discovery (the b<id> dirs are not key=value partitions)
+    if (Files.exists(outDir))
+      spark.read.schema(outSchema).option("recursiveFileLookup", "true")
+        .parquet(outDir.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
   }
 

@@ -169,5 +169,34 @@ object StreamingQueries {
       .filter(col("user_id") >= 0)
   }
 
-  val all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9)
+  /** st10: st5's transformWithState running totals replayed ACROSS a
+    * checkpoint restart — the harness kills the first query instance after
+    * two committed micro-batches (input files still pending) and starts a
+    * second instance on the same checkpoint. The restarted query must
+    * restore RocksDB ValueState + watermark and resume at the first
+    * uncommitted offset; the idempotent per-batch sink makes any
+    * re-executed batch overwrite instead of duplicate. Hash-matching the
+    * same batch oracle as st5 therefore certifies exactly-once-shaped
+    * RECOVERY — the delivery-semantics contract the reference omits (no
+    * checkpointLocation anywhere in spark-streaming.py; SURVEY §3.2.6
+    * defect, fixed by R15). Cumulative counts are strictly increasing, so
+    * a lost or doubled state row cannot hide from max/max_by.
+    */
+  val st10 = Q("st10_stream_restart_totals",
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val out = replayEvents(s, dir, "update", requireRocksDB = true,
+      killAfterBatches = Some(2)) { df =>
+      StatefulOps.runningTotalsTWS(
+        df.select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StatefulOps.Event]).toDF
+    }
+    out.filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        expr("max_by(total_value, n_events)").as("total_value"))
+  }
+
+  val all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
 }
