@@ -266,9 +266,16 @@ object ScaleProbe {
     // candidate-pair counts (distance evaluations) are printed alongside
     // wall time because time on this host carries up to 10x contention
     // noise while the pair counts are exact.
-    val c45 = (if (phase == "all" || phase == "c45")
-      Seq(16, 64) else Seq.empty[Int]).map { k =>
-      val vecs = vecsTimes(spark, dir, k).cache()
+    def c45Rung(k: Int, widen: Int): (String, Seq[(String, Double)]) = {
+      val base = vecsTimes(spark, dir, k)
+      // widen > 1 tiles each 64-float embedding into a 64*widen-dim vector
+      // (flatten preserves the float element type; geometry — and therefore
+      // cluster populations and the verify-pair count — is identical to the
+      // 64-dim rung, only the per-distance FLOP cost grows widen-fold)
+      val vecs = (if (widen == 1) base
+        else base.select(col("vec_id"),
+          expr(s"flatten(array_repeat(embedding, $widen))").as("embedding"),
+          col("label"))).cache()
       val n = vecs.count()
       val kTot = graft.operators.ClusterOps.KMeansK * k
       val k1 = math.max(2, math.ceil(math.sqrt(kTot.toDouble)).toInt)
@@ -286,11 +293,20 @@ object ScaleProbe {
       }
       vecs.unpersist()
       System.gc()
-      System.err.println(f"[scale] c45 ${k}%2dx (k=$kTot, k1=$k1)  " +
+      val tag = if (widen == 1) s"c45_${k}x" else s"c45hd_${k}x_${64 * widen}d"
+      System.err.println(f"[scale] $tag%-16s (k=$kTot, k1=$k1)  " +
         f"c4: $pairsC4%11d pairs $c4t%7.2f s   c5: $pairsC5%10d pairs $c5t%7.2f s")
-      k -> Seq("c4_pairs" -> pairsC4.toDouble, "c4_t" -> c4t,
+      tag -> Seq("c4_pairs" -> pairsC4.toDouble, "c4_t" -> c4t,
         "c5_pairs" -> pairsC5.toDouble, "c5_t" -> c5t)
     }
+    val c45 = (if (phase == "all" || phase == "c45")
+      Seq(16, 64) else Seq.empty[Int]).map(k => c45Rung(k, 1)) ++
+      // the 64-dim rungs prove the N^1.5 work reduction in exact pair
+      // counts but wall-tie because per-distance cost is small next to the
+      // row machinery and the shared verify stage; at 512 dims the same
+      // pair-count gap is FLOP-dominated and must show on the clock
+      (if (phase == "all" || phase == "c45hd")
+        Seq(64) else Seq.empty[Int]).map(k => c45Rung(k, 8))
 
     val json = (results.map { case (k, steps) =>
       steps.map { case (n, t) => s""""$n":$t""" }
@@ -298,9 +314,9 @@ object ScaleProbe {
     } ++ d12Skew.map { case (c, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""d12skew_$c":{""", ",", "}")
-    } ++ c45.map { case (k, vals) =>
+    } ++ c45.map { case (tag, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
-        .mkString(s""""c45_${k}x":{""", ",", "}")
+        .mkString(s""""$tag":{""", ",", "}")
     }).mkString("{\"metric\":\"scale_ladder\",", ",", "}")
     println(json)
     spark.stop()
