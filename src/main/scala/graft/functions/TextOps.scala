@@ -502,9 +502,12 @@ object TextOps {
     * the row — the join-ready exploded form is `explode(winnow_fps(text))`,
     * same discipline as d9's inverted index.
     */
-  val t14 = Q(
-    "t14_winnow_fingerprints",
-    """WITH h AS (
+  /** DuckDB CTEs computing each document's winnowed fingerprint set —
+    * positional replay of the `winnow_fps` codegen kernel (K=8, W=4, B=31,
+    * P=1e9+7). Shared by t14's digest oracle and d13's overlap-join oracle.
+    */
+  val winnowOracleCtes: String =
+    """h AS (
       |  SELECT doc_id, text,
       |    CASE WHEN len(text) >= 8 THEN
       |      list_transform(generate_series(1, len(text) - 7), i ->
@@ -521,7 +524,11 @@ object TextOps {
       |      list_transform(generate_series(1, greatest(len(hashes) - 3, 1)), i ->
       |        list_min(hashes[i : i + 3]))))
       |    END AS fps
-      |  FROM h)
+      |  FROM h)""".stripMargin
+
+  val t14 = Q(
+    "t14_winnow_fingerprints",
+    s"""WITH $winnowOracleCtes
       |SELECT doc_id,
       |  greatest(len(text) - 7, 0)::BIGINT AS n_grams,
       |  len(fps)::BIGINT AS n_fps,

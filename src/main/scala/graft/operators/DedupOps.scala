@@ -740,5 +740,72 @@ object DedupOps {
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12)
+  /** Fingerprints with document frequency above this are dropped before
+    * pairing in d13: a fingerprint shared by many documents is boilerplate
+    * (headers, licence text) that carries no plagiarism signal, and — the
+    * scale reason — an uncapped fingerprint bucket pairs C(df, 2) ways, the
+    * same quadratic-bucket trap d12's dfCap and d9's df≤16 rule close. The
+    * cap bounds every bucket's pair fan-out at C(16,2) = 120.
+    */
+  val WinnowDfCap = 16L
+
+  /** Minimum shared fingerprints for a d13 pair: at K=8 chars per gram and
+    * winnow window W=4, four surviving fingerprints witness a copied run of
+    * dozens of characters — below that, shared fps are single common
+    * substrings, not passages.
+    */
+  val WinnowMinShared = 4L
+
+  /** d13: winnowing-fingerprint PASSAGE-OVERLAP join (MOSS-style; Schleimer
+    * et al., SIGMOD 2003 — the same public algorithm t14's kernel
+    * implements). The d3-d7 family measures GLOBAL similarity (MinHash /
+    * SimHash over the whole word set) and misses a document that copies one
+    * paragraph into otherwise-novel text; winnowing guarantees any shared
+    * run of ≥ K+W-1 characters leaves at least one identical fingerprint in
+    * both documents, so joining on fingerprints finds local plagiarism /
+    * contamination by construction. Pipeline: `winnow_fps(text)` (t14's
+    * fused O(n) codegen kernel) → explode → document-frequency cap (df ≤
+    * $WinnowDfCap — boilerplate removal AND the quadratic-bucket guard) →
+    * self-join keyed on the fingerprint → per-pair shared-fp count ≥
+    * $WinnowMinShared.
+    *
+    * Scale shape: two shuffles keyed on fingerprint (df agg, pair join) +
+    * one partial+final agg on the pair key; bucket fan-out is bounded at
+    * C(df cap, 2), so no all-pairs blow-up exists anywhere — the same
+    * bucketed-join discipline as the rest of the d-family. The initial
+    * plan shows the keep-list subtree twice (self-joins duplicate lineage);
+    * the two subtrees are identical, so AQE's exchange reuse executes the
+    * df aggregation once — and the self-join's two corpus reads are
+    * inherent to any self-join that is not pre-materialized (d12 makes the
+    * same trade; c-family localCheckpoints instead where the reused input
+    * is itself a multi-stage pipeline). Nothing here is force-broadcast:
+    * the keep-list and pair-build sides are plain equi-joins that AQE
+    * broadcasts only while they measure small.
+    */
+  val d13 = Q(
+    "d13_winnow_overlap_join",
+    s"""WITH ${graft.functions.TextOps.winnowOracleCtes},
+      |x AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |keep AS (SELECT fp FROM x GROUP BY fp HAVING count(*) <= $WinnowDfCap),
+      |xk AS (SELECT x.doc_id, x.fp FROM x JOIN keep USING (fp))
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS shared_fps
+      |FROM xk a JOIN xk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING count(*) >= $WinnowMinShared""".stripMargin) { (s, dir) =>
+    val fps = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
+    // document-frequency cap: plain equi-joins on fp — AQE broadcasts the
+    // keep-list while it measures small, keyed shuffle join at 100x
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select("fp")
+    val kept = fps.join(keep, Seq("fp"))
+    kept.select(col("fp"), col("doc_id").as("a_id"))
+      .join(kept.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowMinShared)
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13)
 }
