@@ -42,15 +42,16 @@ class PlanSnapshotSpec extends AnyFunSuite {
     .replaceAll(", \\d+ entries", ", n entries")
     .trim + "\n"
 
-  /** Queries whose full plan STRING is not stable across JVMs: d1 computes
-    * two countDistincts, and RewriteDistinctAggregates' Expand assigns the
-    * gid per distinct-expression-set in hash order, which can swap the two
-    * branches between JVMs. These are pinned at OPERATOR-TREE granularity
-    * instead (node names + structure, no expressions) — still catches a
-    * broadcast turning into a shuffle or a new exchange appearing, without
-    * the expression-order noise. Everything else is byte-exact.
+  /** Queries whose full plan STRING is not stable across JVMs: d1 and q28
+    * each compute two countDistincts, and RewriteDistinctAggregates' Expand
+    * assigns the gid per distinct-expression-set in hash order, which can
+    * swap the two branches between JVMs. These are pinned at OPERATOR-TREE
+    * granularity instead (node names + structure, no expressions) — still
+    * catches a broadcast turning into a shuffle or a new exchange appearing,
+    * without the expression-order noise. Everything else is byte-exact.
     */
-  private val shapeOnlyQueries = Set("d1_exact_dedup_census")
+  private val shapeOnlyQueries =
+    Set("d1_exact_dedup_census", "q28_approx_distinct")
 
   /** Operator tree only: one node name per line, children indented. AQE
     * hides the pre-execution plan from `children`; descend explicitly.
