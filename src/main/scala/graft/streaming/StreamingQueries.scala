@@ -198,5 +198,31 @@ object StreamingQueries {
         expr("max_by(total_value, n_events)").as("total_value"))
   }
 
-  val all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
+  /** st11: stream-static enrichment — each micro-batch left-joins the event
+    * stream against a BATCH dimension (customers as the user dim), the
+    * standard firehose-enrichment shape ([[StatefulOps.enrichWithUsers]]:
+    * per-batch broadcast, no state store, no watermark — the dim is re-read
+    * each batch so slowly-changing dimensions stay fresh). The dim is
+    * restricted to `c_custkey % 3 <> 2` so a third of the events exercise
+    * the null-preserving side of the left join INSIDE the streaming plan —
+    * a dropped null-side row or a stale broadcast breaks the hash. Oracle:
+    * the plain batch left join, which per-batch enrichment must equal
+    * row-for-row because the join is stateless (each event is enriched
+    * exactly once, in whichever micro-batch carries it).
+    */
+  val st11 = Q("st11_stream_static_enrich",
+    """SELECT e.event_id, e.user_id, e.event_type,
+      |  c.c_mktsegment AS segment, e.value
+      |FROM events e
+      |LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+      |           WHERE c_custkey % 3 <> 2) c
+      |  ON e.user_id = c.c_custkey""".stripMargin) { (s, dir) =>
+    val dim = graft.core.Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 2)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    replayEvents(s, dir, "append")(StatefulOps.enrichWithUsers(_, dim))
+      .filter(col("user_id") >= 0)
+  }
+
+  val all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11)
 }
