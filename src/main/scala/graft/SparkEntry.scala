@@ -20,7 +20,8 @@ object SparkEntry {
     RelationalQueries.all ++ ScalarFunctionQueries.all ++ TextOps.all ++
       DedupOps.all ++ SimilarityOps.all ++ MultimodalOps.all ++
       WindowQueries.all ++ StreamingQueries.all ++ AggregatorOps.all ++ MiscQueries.all ++ SkewOps.all ++
-      ReshapeQueries.all ++ ClusterOps.all ++ CurationOps.all
+      ReshapeQueries.all ++ ClusterOps.all ++ CurationOps.all ++
+      graft.sources.FormatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Q, Tables}
+
+/** Oracle-gated NON-PARQUET batch scan paths (SURVEY §2.2 "Scans: JSON/CSV
+  * batch" + ORC): each query round-trips a fixture table through a text or
+  * columnar interchange format — distributed write, explicit-schema
+  * distributed read-back — and aggregates the result, hash-compared against
+  * the same aggregate computed by DuckDB over the ORIGINAL parquet. A value
+  * that does not survive the format (a double losing digits in CSV, a date
+  * shifting in JSON, a string mangled by quoting) breaks the hash, so the
+  * green row certifies the serializer/parser pair end-to-end, not just that
+  * the scan runs.
+  *
+  * Scale shape: format interchange is a real pipeline stage (landing
+  * CSV/JSON feeds → columnar lake), and both sides here keep its 100 TB
+  * shape: the write preserves the source partitioning (no coalesce — one
+  * task per partition), the read-back supplies the schema EXPLICITLY
+  * (`schema(...)`) so no inference pre-scan of the whole dataset ever runs,
+  * and the downstream aggregate is the usual partial+final hash agg. The
+  * scratch directory is per-invocation under java.io.tmpdir — verification
+  * plumbing, not part of the operator.
+  */
+object FormatQueries {
+
+  /** Round-trip `df` through `format` in a fresh scratch dir and read it
+    * back with the source schema. Options apply to both sides (CSV needs
+    * header on write and read).
+    */
+  private def roundTrip(df: DataFrame, format: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val dir = Files.createTempDirectory(s"graft_fmt_${format}_").toString
+    df.write.options(options).format(format).mode("overwrite").save(dir)
+    df.sparkSession.read.options(options).schema(df.schema).format(format).load(dir)
+  }
+
+  /** f1: CSV round-trip of the customer table. CSV is the hostile format —
+    * quoting (names contain commas), header skipping, and text round-trip
+    * of doubles (Spark writes the shortest representation that parses back
+    * to the identical bit pattern, so `sum(c_acctbal)` must survive to the
+    * cent). The checksum over keys pins row identity, not just aggregates.
+    */
+  val f1 = Q(
+    "f1_csv_roundtrip",
+    """SELECT c_mktsegment, count(*) AS n,
+      |  round(sum(c_acctbal), 2) AS acctbal_sum,
+      |  sum(c_custkey)::BIGINT AS key_checksum
+      |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+    roundTrip(Tables.load(s, dir, "customer"), "csv", Map("header" -> "true"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("acctbal_sum"),
+        sum(col("c_custkey")).as("key_checksum"))
+  }
+
+  /** f2: JSON-lines round-trip of the orders table — the landing format of
+    * most event feeds. Dates serialize as ISO strings and must parse back
+    * to the identical DATE; doubles take the same shortest-representation
+    * path as CSV. Grouping by status and order year checks both.
+    */
+  val f2 = Q(
+    "f2_json_roundtrip",
+    """SELECT o_orderstatus, year(o_orderdate)::BIGINT AS o_year,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS price_sum,
+      |  sum(o_orderkey)::BIGINT AS key_checksum
+      |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    roundTrip(Tables.load(s, dir, "orders"), "json")
+      .groupBy(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"),
+        sum(col("o_orderkey")).as("key_checksum"))
+  }
+
+  /** f3: ORC round-trip of lineitem — the other columnar lake format; the
+    * read-back scan prunes to the four referenced columns (ReadSchema in
+    * the plan) exactly as the parquet scans do, so the row certifies
+    * columnar interchange keeps both values and scan-level pruning.
+    */
+  val f3 = Q(
+    "f3_orc_roundtrip",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(l_quantity)::BIGINT AS qty_sum,
+      |  round(sum(l_extendedprice), 2) AS price_sum
+      |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    roundTrip(Tables.load(s, dir, "lineitem"), "orc")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty_sum"),
+        round(sum(col("l_extendedprice")), 2).as("price_sum"))
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3)
+}
