@@ -241,5 +241,61 @@ object CurationOps {
         least(col("n_tokens"), expr("total DIV k")).as("expected_tokens"))
   }
 
-  val all: Seq[Q] = Seq(p1, p2, p3, p4, p5, p6)
+  /** p7: mixture EXECUTION — the closed loop p6 plans and p2 approximates
+    * with fixed constants: compute the per-language downsampling target
+    * (equal token share, downsample-only — p6's exact integer arithmetic),
+    * then actually draw the sample with the portable hash as the coin:
+    * keep a document iff `hash(doc_id) % lang_tokens < expected_tokens`,
+    * an integer-exact per-stratum rate of expected/actual that needs no
+    * floating-point rate column anywhere. Census output per language —
+    * kept docs, kept token mass, and an id checksum — so the oracle pins
+    * WHICH documents the executed mixture keeps, not just how many.
+    *
+    * Scale shape: two scans of the corpus (one to weigh strata, one to
+    * draw), a k-row rate table broadcast between them — the decision is a
+    * map-side filter against broadcast state, so the draw itself neither
+    * shuffles nor sorts; the census agg is the usual partial+final hash
+    * agg on lang. At 100 TB the weigh pass is the same single agg and the
+    * rate table is still k rows.
+    */
+  val p7 = Q(
+    "p7_mixture_execute",
+    s"""WITH d AS (
+       |  SELECT lang, doc_id,
+       |    len(string_split(text, ' '))::BIGINT AS nt,
+       |    ${graft.core.PortableHash.duck("doc_id::VARCHAR")} AS hv
+       |  FROM documents),
+       |c AS (SELECT lang, sum(nt)::BIGINT AS lang_tokens FROM d GROUP BY 1),
+       |t AS (SELECT sum(lang_tokens)::BIGINT AS total, count(*)::BIGINT AS k FROM c),
+       |r AS (SELECT lang, lang_tokens,
+       |        least(lang_tokens, t.total // t.k)::BIGINT AS expected_tokens
+       |      FROM c, t)
+       |SELECT d.lang, r.lang_tokens, r.expected_tokens,
+       |  sum(CASE WHEN d.hv % r.lang_tokens < r.expected_tokens
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN d.hv % r.lang_tokens < r.expected_tokens
+       |      THEN d.nt ELSE 0 END)::BIGINT AS tokens_kept,
+       |  sum(CASE WHEN d.hv % r.lang_tokens < r.expected_tokens
+       |      THEN d.doc_id ELSE 0 END)::BIGINT AS kept_checksum
+       |FROM d JOIN r USING (lang)
+       |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        expr(graft.core.PortableHash.spark("CAST(doc_id AS STRING)")).as("hv"))
+    val c = d.groupBy(col("lang")).agg(sum(col("nt")).as("lang_tokens"))
+    val t = c.agg(sum(col("lang_tokens")).as("total"), count(lit(1)).as("k"))
+    val r = c.join(broadcast(t))
+      .select(col("lang"), col("lang_tokens"),
+        least(col("lang_tokens"), expr("total DIV k")).as("expected_tokens"))
+    val keep = col("hv") % col("lang_tokens") < col("expected_tokens")
+    d.join(broadcast(r), Seq("lang"))
+      .groupBy(col("lang"), col("lang_tokens"), col("expected_tokens"))
+      .agg(
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("nt")).otherwise(0L)).as("tokens_kept"),
+        sum(when(keep, col("doc_id")).otherwise(0L)).as("kept_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(p1, p2, p3, p4, p5, p6, p7)
 }
