@@ -544,5 +544,93 @@ object TextOps {
         expr("cast(winnow_fps(text) AS array<string>)"))).as("fp_digest"))
   }
 
-  val all: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14)
+  /** Number of BPE merge rounds t15 trains (each round = one pair-count
+    * aggregation + one top-1 + one map-side rewrite of the vocabulary).
+    */
+  val BpeRounds = 3
+
+  /** t15: BPE merge-round TRAINING — the tokenizer-construction dataflow
+    * (Sennrich et al., ACL 2016) the token-counting family consumes: start
+    * from the character-split word vocabulary with corpus frequencies, and
+    * per round (a) count adjacent symbol pairs weighted by word frequency,
+    * (b) pick the most frequent pair (count desc, pair asc — a total,
+    * engine-portable tie-break over pure-ASCII symbols), (c) merge it
+    * everywhere. Symbols are angle-bracket-wrapped (`<l> <l>`), so the
+    * string-level `replace` both CANNOT match across symbol boundaries
+    * (multi-char symbols never expose a bare `x> <y` pattern that equals a
+    * wrapped pair) and is exactly BPE's left-to-right non-overlapping
+    * greedy merge (`<a> <a> <a>` → `<aa> <a>`). Output: one row per round —
+    * the merged symbol and its pre-merge pair count; the oracle unrolls the
+    * identical three rounds as a CTE chain.
+    *
+    * Scale shape: everything is VOCABULARY-keyed, never corpus-keyed — the
+    * one corpus-sized pass is the initial word count (the same explode +
+    * hash agg as t1); each round then shuffles pair counts (vocab-sized),
+    * takes top-1 as TakeOrderedAndProject, and rewrites the vocab with the
+    * 1-row winner broadcast — no driver-side data, no global sort. The
+    * vocab is localCheckpoint'ed per round (c1's iteration discipline), so
+    * lineage stays flat; a production 30k-merge train would run this exact
+    * loop with periodic checkpoints. The pair explode is a higher-order
+    * `transform` (interpreted), acceptable off the corpus hot path at
+    * vocab cardinality.
+    */
+  val t15 = {
+    val roundCtes = (1 to BpeRounds).map { r =>
+      s"""a$r AS (SELECT freq, string_split(syms, ' ') AS a FROM w${r - 1}),
+         |l$r AS (SELECT freq, list_transform(generate_series(1, len(a) - 1),
+         |          i -> a[i] || ' ' || a[i + 1]) AS ps
+         |        FROM a$r WHERE len(a) >= 2),
+         |pp$r AS (SELECT freq, unnest(ps) AS pair FROM l$r),
+         |pc$r AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM pp$r GROUP BY 1),
+         |b$r AS (SELECT pair, cnt FROM pc$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(syms, b$r.pair, replace(b$r.pair, '> <', '')) AS syms,
+         |          freq FROM w${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val finalSelect = (1 to BpeRounds).map { r =>
+      s"""SELECT $r::BIGINT AS merge_round,
+         |  replace(replace(replace(pair, '> <', ''), '<', ''), '>', '') AS merged,
+         |  cnt FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Q(
+      "t15_bpe_merge_rounds",
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         |w0 AS (
+         |  SELECT trim(regexp_replace(w, '(.)', '<\\1> ', 'g')) AS syms,
+         |    count(*)::BIGINT AS freq
+         |  FROM tok WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) <= 20
+         |  GROUP BY 1),
+         |$roundCtes
+         |$finalSelect""".stripMargin) { (s, dir) =>
+      val vocab = Tables.load(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 20)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(expr("trim(regexp_replace(w, '(.)', '<$1> '))").as("syms"), col("freq"))
+      var words = vocab.localCheckpoint()
+      val rows = (1 to BpeRounds).map { r =>
+        val pairs = words
+          .select(col("freq"), split(col("syms"), " ").as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(a) - 1), " +
+              "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        val best = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+          .select(col("pair").as("bp"), col("cnt").as("bc"))
+          .localCheckpoint()
+        words = words.join(broadcast(best))
+          .select(expr("replace(syms, bp, replace(bp, '> <', ''))").as("syms"),
+            col("freq"))
+          .localCheckpoint()
+        best.select(lit(r.toLong).as("merge_round"),
+          expr("replace(replace(replace(bp, '> <', ''), '<', ''), '>', '')").as("merged"),
+          col("bc").as("cnt"))
+      }
+      rows.reduce(_ union _)
+    }
+  }
+
+  val all: Seq[Q] =
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15)
 }
