@@ -417,5 +417,113 @@ object SimilarityOps {
         col("lang"), col("source"), substring(col("text"), 1, 40).as("snippet"))
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4)
+  /** MMR geometry for e5: candidate pool per query, greedy picks after the
+    * seed, and the relevance/diversity trade-off weight.
+    */
+  val MmrCandidates = 20
+  val MmrPicks = 4
+
+  /** λ and (1−λ) are pinned as two literals (not derived) so the Spark
+    * `lit` and the DuckDB `::DOUBLE` literal are bit-identical doubles —
+    * `1 - 0.7` in binary64 is NOT the same double as `0.3`.
+    */
+  val MmrLambda = 0.7
+  val MmrMu = 0.3
+
+  /** e5: MMR diversified re-rank (maximal marginal relevance, Carbonell &
+    * Goldstein SIGIR 1998) — the step a retriever runs AFTER e4's top-k:
+    * from each query's candidate pool, greedily select results that are
+    * relevant to the query but not redundant with what's already selected
+    * (`score = λ·rel − (1−λ)·max_sim_to_selected`). Four greedy rounds are
+    * unrolled after the pure-relevance seed; ranking keys are rounded to 4
+    * places with a doc_id tie-break (the portable-float discipline every
+    * similarity query uses), and the oracle replays the identical rounds
+    * as a CTE chain — selection ORDER is the checked signal.
+    *
+    * Scale shape: the only corpus-sized stage is candidate generation
+    * (brute force here — the s3/e4 bucketed join is the drop-in at scale);
+    * every MMR round then works on ≤ |queries| × $MmrCandidates rows, all
+    * joins keyed on qid, per-round cost |cand| × |selected| per query —
+    * O(q·k²) total, independent of corpus size. The greedy recurrence is
+    * inherently sequential in k (each pick conditions the next), so rounds
+    * are driver-unrolled DAG stages over localCheckpoint'ed row sets —
+    * data never lands on the driver.
+    */
+  val e5 = {
+    def dd(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    val roundCtes = (1 to MmrPicks).map { r =>
+      s"""rem$r AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |  SELECT 1 FROM sel${r - 1} s WHERE s.qid = c.qid AND s.doc_id = c.doc_id)),
+         |sim$r AS (SELECT m.qid, m.doc_id,
+         |    max(${dd("m.emb", "s.emb")} / (m.dn * s.dn)) AS msim
+         |  FROM rem$r m JOIN sel${r - 1} s ON s.qid = m.qid
+         |  GROUP BY 1, 2),
+         |pick$r AS (SELECT qid, doc_id, emb, dn, rel, $r::BIGINT AS sel_round FROM (
+         |    SELECT c.qid, c.doc_id, c.emb, c.dn, c.rel,
+         |      row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY round($MmrLambda::DOUBLE * c.rel - $MmrMu::DOUBLE * m.msim, 4) DESC,
+         |                 c.doc_id) AS rnk
+         |    FROM rem$r c JOIN sim$r m ON m.qid = c.qid AND m.doc_id = c.doc_id) t
+         |  WHERE rnk = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "e5_mmr_rerank",
+      s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 3),
+         |p AS (SELECT q.vec_id AS qid, e.vec_id AS doc_id, e.embedding AS emb,
+         |        e.nrm AS dn, $duckDot / (q.nrm * e.nrm) AS cos
+         |      FROM q JOIN e ON e.vec_id <> q.vec_id),
+         |cand AS (SELECT qid, doc_id, emb, dn, round(cos, 4) AS rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(cos, 4) DESC, doc_id) AS rnk FROM p) t
+         |  WHERE rnk <= $MmrCandidates),
+         |sel0 AS (SELECT qid, doc_id, emb, dn, rel, 0::BIGINT AS sel_round FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, doc_id) AS rnk FROM cand) t
+         |  WHERE rnk = 1),
+         |$roundCtes
+         |SELECT qid, sel_round, doc_id, rel FROM sel$MmrPicks""".stripMargin) { (s, dir) =>
+      val e = withNorm(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+        .selectExpr("vec_id AS qid", "embedding AS qemb", "nrm AS qnrm")
+      val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .selectExpr("qid", "vec_id AS doc_id", "embedding AS emb", "nrm AS dn",
+          s"${dotExpr("qemb", "embedding")} / (qnrm * nrm) AS cos")
+      val wCand = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 4).desc, col("doc_id"))
+      val cand = pairs.withColumn("rnk", row_number().over(wCand))
+        .filter(col("rnk") <= MmrCandidates)
+        .select(col("qid"), col("doc_id"), col("emb"), col("dn"),
+          round(col("cos"), 4).as("rel"))
+        .localCheckpoint()
+      val wSeed = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("doc_id"))
+      var sel = cand.withColumn("rnk", row_number().over(wSeed))
+        .filter(col("rnk") === 1).drop("rnk")
+        .withColumn("sel_round", lit(0L))
+        .localCheckpoint()
+      (1 to MmrPicks).foreach { r =>
+        val rem = cand.join(sel.select("qid", "doc_id"), Seq("qid", "doc_id"), "left_anti")
+        val msim = rem
+          .join(sel.select(col("qid"), col("emb").as("semb"), col("dn").as("sdn")), Seq("qid"))
+          .select(col("qid"), col("doc_id"),
+            (expr(dotExpr("emb", "semb")) / (col("dn") * col("sdn"))).as("sim"))
+          .groupBy(col("qid"), col("doc_id")).agg(max(col("sim")).as("msim"))
+        val wPick = Window.partitionBy(col("qid")).orderBy(
+          round(lit(MmrLambda) * col("rel") - lit(MmrMu) * col("msim"), 4).desc,
+          col("doc_id"))
+        val pick = rem.join(msim, Seq("qid", "doc_id"))
+          .withColumn("rnk", row_number().over(wPick))
+          .filter(col("rnk") === 1)
+          .select(col("qid"), col("doc_id"), col("emb"), col("dn"), col("rel"))
+          .withColumn("sel_round", lit(r.toLong))
+        sel = sel.union(pick).localCheckpoint()
+      }
+      sel.select(col("qid"), col("sel_round"), col("doc_id"), col("rel"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5)
 }
