@@ -258,6 +258,53 @@ object ScaleProbe {
         "cand_on" -> candOn.toDouble, "t_on" -> tOn)
     }
 
+    // d13 boilerplate rung: plant c documents sharing one ~190-char licence
+    // header (unique tails) — every winnowed fingerprint of the header gets
+    // df = c, so the CAPLESS fingerprint join fans out ~|header fps| × C(c,2)
+    // pair slots, the quadratic-bucket worst case. With the df cap those
+    // fingerprints drop before pairing and the candidate count stays flat at
+    // the organic corpus's own pair volume (the planted cluster's overlap is
+    // the documented recall trade — boilerplate is exactly what the cap is
+    // FOR). Candidate counts are computed exactly from the df census
+    // (Σ C(df, 2)); wall time is printed alongside but the counts are the
+    // contention-proof signal.
+    val boilerHeader = "permission is hereby granted free of charge to any " +
+      "person obtaining a copy of this software and associated documentation " +
+      "files to deal in the software without restriction including the rights " +
+      "to use copy modify and merge"
+    val d13Boiler = (if (phase == "all" || phase == "d13boiler")
+      Seq(250, 500, 1000) else Seq.empty[Int]).map { c =>
+      val docs = graft.core.Tables.load(spark, dir, "documents").select("doc_id", "text")
+      val planted = spark.range(c).selectExpr(
+        "30000000 + id AS doc_id",
+        s"concat('$boilerHeader', ' uq', CAST(id AS STRING), 'a uq', CAST(id AS STRING), 'b') AS text")
+      val all = docs.union(planted).cache()
+      all.count()
+      def candPairs(cap: Option[Long]): Long = {
+        val dfs = graft.operators.DedupOps.winnowFps(all)
+          .groupBy("fp").agg(count(lit(1)).as("df"))
+        cap.fold(dfs)(cp => dfs.filter(col("df") <= cp))
+          .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)))
+          .collect().head.getLong(0)
+      }
+      val candOff = candPairs(None)
+      val tOff = time {
+        graft.operators.DedupOps.winnowOverlapJoin(all, None)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val candOn = candPairs(Some(graft.operators.DedupOps.WinnowDfCap))
+      val tOn = time {
+        graft.operators.DedupOps.winnowOverlapJoin(all)
+          .write.format("noop").mode("overwrite").save()
+      }
+      all.unpersist()
+      System.gc()
+      System.err.println(f"[scale] d13boiler c=$c%4d  off: $candOff%10d cand $tOff%6.2f s" +
+        f"   on(cap=${graft.operators.DedupOps.WinnowDfCap}): $candOn%8d cand $tOn%6.2f s")
+      c -> Seq("cand_off" -> candOff.toDouble, "t_off" -> tOff,
+        "cand_on" -> candOn.toDouble, "t_on" -> tOn)
+    }
+
     // c4-vs-c5 widening rung: k-means k scales WITH the corpus (k ∝ N, the
     // SemDeDup production setting), so brute assignment costs N·k ∝ N²
     // while the two-level hierarchy costs N·(k1 + 2k/k1) ∝ N^1.5 with
@@ -314,6 +361,9 @@ object ScaleProbe {
     } ++ d12Skew.map { case (c, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""d12skew_$c":{""", ",", "}")
+    } ++ d13Boiler.map { case (c, vals) =>
+      vals.map { case (n, v) => s""""$n":$v""" }
+        .mkString(s""""d13boiler_$c":{""", ",", "}")
     } ++ c45.map { case (tag, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""$tag":{""", ",", "}")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Q, Tables}
@@ -782,6 +782,37 @@ object DedupOps {
     * the keep-list and pair-build sides are plain equi-joins that AQE
     * broadcasts only while they measure small.
     */
+  /** Exploded (doc_id, fingerprint) rows — d13's join key and the probe's
+    * df-census input.
+    */
+  def winnowFps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
+
+  /** The d13 operator body with the df cap and pair threshold as knobs
+    * (ScaleProbe's d13boiler rung measures capless vs capped on a planted
+    * boilerplate corpus, same discipline as d12's dfCap rung).
+    */
+  def winnowOverlapJoin(docs: DataFrame,
+      dfCap: Option[Long] = Some(WinnowDfCap),
+      minShared: Long = WinnowMinShared): DataFrame = {
+    val fps = winnowFps(docs)
+    // document-frequency cap: plain equi-joins on fp — AQE broadcasts the
+    // keep-list while it measures small, keyed shuffle join at 100x
+    val kept = dfCap match {
+      case Some(cap) =>
+        val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("fp")
+        fps.join(keep, Seq("fp"))
+      case None => fps
+    }
+    kept.select(col("fp"), col("doc_id").as("a_id"))
+      .join(kept.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   val d13 = Q(
     "d13_winnow_overlap_join",
     s"""WITH ${graft.functions.TextOps.winnowOracleCtes},
@@ -792,19 +823,7 @@ object DedupOps {
       |FROM xk a JOIN xk b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |GROUP BY 1, 2
       |HAVING count(*) >= $WinnowMinShared""".stripMargin) { (s, dir) =>
-    val fps = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
-    // document-frequency cap: plain equi-joins on fp — AQE broadcasts the
-    // keep-list while it measures small, keyed shuffle join at 100x
-    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= WinnowDfCap).select("fp")
-    val kept = fps.join(keep, Seq("fp"))
-    kept.select(col("fp"), col("doc_id").as("a_id"))
-      .join(kept.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("shared_fps"))
-      .filter(col("shared_fps") >= WinnowMinShared)
+    winnowOverlapJoin(Tables.load(s, dir, "documents"))
   }
 
   val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13)

@@ -279,18 +279,23 @@ object RelationalQueries {
   }
 
   /** Analytic window with an explicit rows frame: per-supplier running
-    * quantity in ship order. Frame order is fully deterministic
-    * (date, orderkey, linenumber is a unique key).
+    * quantity in ship order. l_quantity closes the frame order: the fixture
+    * has a (suppkey, shipdate, orderkey, linenumber) collision (sf0.1:
+    * orderkey 45185 linenumber 7, quantities 13 vs 16) where engines may
+    * order the pair differently; with quantity as the last key the order is
+    * total up to rows whose swap cannot change any prefix sum, so
+    * running_qty is well-defined on EVERY input.
     */
   val q12 = Q(
     "q12_running_supplier_qty",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
       |FROM lineitem""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
