@@ -94,5 +94,36 @@ object FormatQueries {
         round(sum(col("l_extendedprice")), 2).as("price_sum"))
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3)
+  /** f4: Hive-style partitioned write + partition-PRUNED read-back — the
+    * layout primitive a 100 TB lake lives on (orders partitioned by year;
+    * at production scale the key would be (year, month) or ingest date).
+    * The read-back filter binds to the partition column, so the scan's
+    * `PartitionFilters` prunes to one directory and the other years are
+    * never opened — the committed plan pins exactly that. The aggregate is
+    * hash-compared against DuckDB filtering the UNPARTITIONED original, so
+    * the row certifies that pruning loses nothing and the partition column
+    * round-trips the directory encoding value-exactly.
+    */
+  val f4 = Q(
+    "f4_partition_pruned_scan",
+    """SELECT year(o_orderdate)::BIGINT AS o_year,
+      |  month(o_orderdate)::BIGINT AS o_month, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS price_sum,
+      |  sum(o_orderkey)::BIGINT AS key_checksum
+      |FROM orders WHERE year(o_orderdate) = 1995
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val scratch = Files.createTempDirectory("graft_fmt_partitioned_").toString
+    Tables.load(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .write.partitionBy("o_year").mode("overwrite").parquet(scratch)
+    s.read.parquet(scratch)
+      .filter(col("o_year") === 1995L)
+      .groupBy(col("o_year").cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"),
+        sum(col("o_orderkey")).as("key_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4)
 }

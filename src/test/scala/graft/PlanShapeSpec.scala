@@ -302,6 +302,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("f4: the partitioned read-back scan prunes on the partition column") {
+    // the plan snapshot's Location normalizer swallows the rest of the scan
+    // line, so the pruning evidence is pinned here on the raw plan string
+    val p = plan(graft.sources.FormatQueries.f4)
+    assert("""PartitionFilters: \[[^\]]*o_year[^\]]*1995""".r.findFirstIn(p).isDefined,
+      s"expected a partition filter on o_year = 1995 in the scan:\n$p")
+  }
+
   test("t14: winnowed fingerprinting is a shuffle-free codegen map stage") {
     val df = graft.functions.TextOps.t14.fn(spark, sf)
     val p = df.queryExecution.executedPlan
