@@ -525,5 +525,114 @@ object SimilarityOps {
     }
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5)
+  /** RRF constant (Cormack & Clarke SIGIR 2009's k = 60) and list depths. */
+  val RrfK = 60
+  val RrfListDepth = 10
+  val RrfTopK = 5
+
+  /** e6: reciprocal-rank-fusion hybrid retrieval (Cormack, Clarke &
+    * Buettcher SIGIR 2009) — the standard way a RAG stack combines a DENSE
+    * ranking (embedding cosine) with a LEXICAL one (term overlap) without
+    * calibrating their incomparable scores: each list contributes
+    * `1/(k + rank)` and the fused ranking orders by the sum. Documents
+    * found by only one retriever still score (the full-outer join keeps
+    * them); documents both retrievers agree on float to the top.
+    *
+    * Cross-engine float discipline: each contribution is ONE IEEE double
+    * division `1.0/(60 + rank)` (bit-identical in both engines) and the
+    * fused score is a sum of at most TWO such terms — IEEE addition of two
+    * doubles is commutative, so the score is exact with no rounding
+    * needed; `round(,6)` on the displayed column only.
+    *
+    * Scale shape: the dense arm is the s1 broadcast scan (s2/s3's
+    * bucketed candidates are the drop-in at corpus scale); the lexical arm
+    * is an inverted-index posting join — tokenize once (map-side,
+    * per-doc-distinct), broadcast the |q|·|terms| query postings, and the
+    * per-(qid, doc) overlap count is a partial-agg'd groupBy. Everything
+    * after candidate generation is ≤ |q| × 2·depth rows.
+    */
+  val e6 = Q(
+    "e6_rrf_hybrid_retrieve",
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 3),
+       |p AS (SELECT q.vec_id AS qid, e.vec_id AS doc_id,
+       |        $duckDot / (q.nrm * e.nrm) AS cos
+       |      FROM q JOIN e ON e.vec_id <> q.vec_id),
+       |dense AS (SELECT qid, doc_id, rnk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(cos, 4) DESC, doc_id) AS rnk FROM p) t
+       |  WHERE rnk <= $RrfListDepth),
+       |toks AS (SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+       |    FROM documents) t
+       |  WHERE tok <> ''),
+       |qtoks AS (SELECT doc_id AS qid, tok FROM toks WHERE doc_id < 3),
+       |ov AS (SELECT q.qid, t.doc_id, count(*) AS overlap
+       |  FROM qtoks q JOIN toks t ON t.tok = q.tok AND t.doc_id <> q.qid
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT qid, doc_id, rnk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY overlap DESC, doc_id) AS rnk FROM ov) t
+       |  WHERE rnk <= $RrfListDepth),
+       |fused AS (SELECT coalesce(d.qid, l.qid) AS qid,
+       |    coalesce(d.doc_id, l.doc_id) AS doc_id,
+       |    d.rnk AS dense_rnk, l.rnk AS lex_rnk,
+       |    coalesce(1.0::DOUBLE / ($RrfK + d.rnk), 0.0::DOUBLE) +
+       |      coalesce(1.0::DOUBLE / ($RrfK + l.rnk), 0.0::DOUBLE) AS rrf
+       |  FROM dense d FULL OUTER JOIN lex l
+       |    ON l.qid = d.qid AND l.doc_id = d.doc_id)
+       |SELECT qid, rnk, doc_id, round(rrf, 6) AS rrf, dense_rnk, lex_rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf DESC, doc_id) AS rnk FROM fused) t
+       |WHERE rnk <= $RrfTopK""".stripMargin) { (s, dir) =>
+    val e = withNorm(s, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .selectExpr("vec_id AS qid", "embedding AS qemb", "nrm AS qnrm")
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id AS doc_id",
+        s"${dotExpr("qemb", "embedding")} / (qnrm * nrm) AS cos")
+    val wDense = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 4).desc, col("doc_id"))
+    val dense = pairs.withColumn("rnk", row_number().over(wDense))
+      .filter(col("rnk") <= RrfListDepth)
+      .select(col("qid"), col("doc_id"), col("rnk"))
+
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))).as("tok"))
+    // rename BOTH query columns before the self-join so the condition binds
+    // by name (the file's established idiom — avoids ambiguous-self-join)
+    val qtoks = toks.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("tok").as("qtok"))
+    val ov = toks.join(broadcast(qtoks),
+        col("tok") === col("qtok") && col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+    val wLex = Window.partitionBy(col("qid"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+    val lex = ov.withColumn("rnk", row_number().over(wLex))
+      .filter(col("rnk") <= RrfListDepth)
+      .select(col("qid"), col("doc_id"), col("rnk"))
+
+    val d = dense.select(col("qid"), col("doc_id"), col("rnk").as("dense_rnk"))
+    val l = lex.select(col("qid").as("lqid"), col("doc_id").as("ldoc_id"),
+      col("rnk").as("lex_rnk"))
+    val fused = d.join(l,
+        d("qid") === l("lqid") && d("doc_id") === l("ldoc_id"), "full_outer")
+      .select(
+        coalesce(d("qid"), l("lqid")).as("qid"),
+        coalesce(d("doc_id"), l("ldoc_id")).as("doc_id"),
+        col("dense_rnk"), col("lex_rnk"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("dense_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0))).as("rrf"))
+    val wFused = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(wFused))
+      .filter(col("rnk") <= RrfTopK)
+      .select(col("qid"), col("rnk"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"), col("dense_rnk"), col("lex_rnk"))
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6)
 }

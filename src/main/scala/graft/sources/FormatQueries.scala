@@ -125,5 +125,40 @@ object FormatQueries {
         sum(col("o_orderkey")).as("key_checksum"))
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4)
+  /** f5: schema evolution across a lake's write history — the other layout
+    * fact of a long-lived 100 TB table: files written BEFORE a column
+    * existed sit next to files written after, and the reader must present
+    * the union schema with nulls for the pre-evolution rows. The even-key
+    * half of `orders` is written with the base schema, the odd-key half
+    * with an added `o_orderpriority` column into the SAME directory;
+    * `mergeSchema=true` reconciles the heterogeneous footers (exactly what
+    * a metastore-less parquet lake does on every schema bump). The
+    * aggregate groups on the evolved column with a sentinel for the
+    * pre-evolution nulls, so the hash certifies both the union schema and
+    * WHICH rows carry it — against DuckDB replaying the split on the
+    * unevolved original.
+    */
+  val f5 = Q(
+    "f5_schema_evolution_read",
+    """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+      |    'PRE-EVOLUTION') AS prio,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS price_sum,
+      |  sum(o_orderkey)::BIGINT AS key_checksum
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val scratch = Files.createTempDirectory("graft_fmt_evolve_").toString
+    val orders = Tables.load(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(scratch)
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("append").parquet(scratch)
+    s.read.option("mergeSchema", "true").parquet(scratch)
+      .groupBy(coalesce(col("o_orderpriority"), lit("PRE-EVOLUTION")).as("prio"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"),
+        sum(col("o_orderkey")).as("key_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5)
 }
