@@ -634,5 +634,78 @@ object SimilarityOps {
         round(col("rrf"), 6).as("rrf"), col("dense_rnk"), col("lex_rnk"))
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6)
+  /** e7: BM25 lexical retrieval (Robertson & Walker SIGIR 1994; the Okapi
+    * scoring every lexical search engine runs) over the corpus's own
+    * inverted index — the principled form of e6's raw term-overlap arm:
+    * rare terms weigh more (idf), repeated terms saturate (k1), long
+    * documents are normalized (b).
+    *
+    * Cross-engine discipline — INTEGER-EXACT RATIONAL BM25: with k1 = 1.2
+    * and b = 0.75, multiply the classic per-term score
+    * `idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))` through by 10·L (where
+    * avgdl = L/N) and every quantity becomes a BIGINT:
+    * `contrib = idf_int · 22·tf·L div (10·tf·L + 3·L + 9·dl·N)` with
+    * `idf_int = N·100 div df`. No float exists anywhere, so the per-doc
+    * score (a SUM of BIGINTs) is exact and order-independent — the whole
+    * ranking hashes bit-for-bit on any engine. Magnitudes fit BIGINT
+    * through the gated scales (≤ ~3.5e17 at sf0.1); a cluster-scale
+    * deployment would swap the rational for double scoring in the same
+    * plan (ranking there doesn't need cross-engine exactness).
+    *
+    * Scale shape: tf / df / dl are one groupBy each over the token
+    * relation — the inverted-index build a lake materializes ONCE and
+    * amortizes across every query; scoring is a broadcast join on the
+    * |q|·|terms| query postings with a partial-agg'd per-(qid, doc) sum,
+    * then WindowGroupLimit top-k. Corpus-sized data shuffles only on
+    * (doc, term) — never on pairs.
+    */
+  val e7 = Q(
+    "e7_bm25_retrieve",
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+      |dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |tot AS (SELECT count(DISTINCT doc_id)::BIGINT AS nn,
+      |    sum(tf)::BIGINT AS ll FROM tf),
+      |q AS (SELECT DISTINCT doc_id AS qid, tok AS qtok FROM tf WHERE doc_id < 3),
+      |sc AS (SELECT q.qid, t.doc_id,
+      |    (((nn * 100) // dfs.df) * 22 * t.tf * ll) //
+      |      (10 * t.tf * ll + 3 * ll + 9 * dl.dl * nn) AS contrib
+      |  FROM tf t JOIN q ON q.qtok = t.tok AND t.doc_id <> q.qid
+      |  JOIN dfs ON dfs.tok = t.tok
+      |  JOIN dl ON dl.doc_id = t.doc_id, tot),
+      |agg AS (SELECT qid, doc_id, sum(contrib)::BIGINT AS score,
+      |    count(*) AS n_terms FROM sc GROUP BY 1, 2)
+      |SELECT qid, rnk, doc_id, score, n_terms FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY score DESC, doc_id) AS rnk FROM agg) t
+      |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tot = tf.agg(countDistinct(col("doc_id")).as("nn"), sum(col("tf")).as("ll"))
+    val q = tf.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("tok").as("qtok")).distinct()
+    val sc = tf.join(broadcast(q),
+        col("tok") === col("qtok") && col("doc_id") =!= col("qid"))
+      .join(dfs, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib", expr(
+        "(((nn * 100L) div df) * 22L * tf * ll) div (10L * tf * ll + 3L * ll + 9L * dl * nn)"))
+    val agg = sc.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    agg.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= RrfListDepth)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("score"), col("n_terms"))
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7)
 }

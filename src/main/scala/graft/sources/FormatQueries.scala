@@ -160,5 +160,48 @@ object FormatQueries {
         sum(col("o_orderkey")).as("key_checksum"))
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5)
+  /** f6: DYNAMIC partition pruning — f4's pruning with the filter on the
+    * OTHER side of a join, the shape every star-schema query at 100 TB
+    * takes: the fact table is partitioned on the join key, the dimension
+    * carries the selective predicate, and the years to scan are only known
+    * at runtime after the dim filter runs. Spark plants a
+    * `dynamicpruningexpression` subquery into the fact scan's
+    * PartitionFilters (PlanShapeSpec pins it), so the fact directories for
+    * filtered-out years are never listed or opened — without DPP this
+    * would be a full-fact scan however selective the dim. The keep rule
+    * (`year % 3 = 0`) lives in the dim's DATA (a `tag` column), not in any
+    * literal the optimizer could fold over the fact, and the aggregate
+    * hash-matches DuckDB applying the rule to the unpartitioned original.
+    *
+    * Production note pinned by the plan test: the dim predicate must be
+    * COMPARISON-shaped (`tag = 0`) — Spark's `isLikelySelective` check
+    * rejects a bare boolean column (`filter(col("keep"))`), silently
+    * degrading to a full-fact scan. Measured here: that one predicate
+    * shape is the difference between listing 3 directories and all of
+    * them.
+    */
+  val f6 = Q(
+    "f6_dynamic_partition_pruning",
+    """SELECT year(o_orderdate)::BIGINT AS o_year, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS price_sum,
+      |  sum(o_orderkey)::BIGINT AS key_checksum
+      |FROM orders WHERE year(o_orderdate) % 3 = 0
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val scratch = Files.createTempDirectory("graft_fmt_dpp_").toString
+    val orders = Tables.load(s, dir, "orders")
+    orders.withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(scratch + "/fact")
+    orders.select(year(col("o_orderdate")).as("dim_year")).distinct()
+      .withColumn("tag", (col("dim_year") % 3).cast("int"))
+      .write.mode("overwrite").parquet(scratch + "/dim")
+    val fact = s.read.parquet(scratch + "/fact")
+    val dim = s.read.parquet(scratch + "/dim").filter(col("tag") === 0)
+    fact.join(broadcast(dim), fact("o_year") === dim("dim_year"))
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"),
+        sum(col("o_orderkey")).as("key_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6)
 }

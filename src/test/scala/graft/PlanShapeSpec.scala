@@ -310,6 +310,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a partition filter on o_year = 1995 in the scan:\n$p")
   }
 
+  test("f6: the fact scan carries a dynamic-pruning subquery from the dim filter") {
+    val p = plan(graft.sources.FormatQueries.f6)
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
+  }
+
   test("t14: winnowed fingerprinting is a shuffle-free codegen map stage") {
     val df = graft.functions.TextOps.t14.fn(spark, sf)
     val p = df.queryExecution.executedPlan
