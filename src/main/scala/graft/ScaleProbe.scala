@@ -355,6 +355,25 @@ object ScaleProbe {
       (if (phase == "all" || phase == "c45hd")
         Seq(64) else Seq.empty[Int]).map(k => c45Rung(k, 8))
 
+    // e7 shape: BM25 over a k-multiplied corpus with a FIXED query set (the
+    // doc_id < 3 queries live only in clone 0) — the inverted-index build
+    // (tf/df/dl aggs) is the corpus-linear stage; scoring is bounded by the
+    // query terms' postings. Wall time must grow ~linearly in k: nothing in
+    // the plan ever pairs corpus x corpus, and the query count stays
+    // constant while the corpus multiplies — the amortization a lake
+    // banks on when it serves many queries from one materialized index.
+    val bm25R = (if (phase == "bm25") Seq(1, 4, 16) else Seq.empty[Int]).map { k =>
+      val docs = docsTimes(spark, dir, k).cache()
+      val nDocs = docs.count()
+      val t = time {
+        graft.operators.SimilarityOps.bm25Retrieve(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      docs.unpersist()
+      System.err.println(f"[scale] bm25 $k%2dx  docs=$nDocs%8d  $t%6.2f s")
+      (k, t)
+    }
+
     val json = (results.map { case (k, steps) =>
       steps.map { case (n, t) => s""""$n":$t""" }
         .mkString(s""""${k}x":{""", ",", "}")
@@ -367,6 +386,8 @@ object ScaleProbe {
     } ++ c45.map { case (tag, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""$tag":{""", ",", "}")
+    } ++ bm25R.map { case (k, t) =>
+      s""""bm25_${k}x":{"bm25":$t}"""
     }).mkString("{\"metric\":\"scale_ladder\",", ",", "}")
     println(json)
     spark.stop()

@@ -683,7 +683,16 @@ object SimilarityOps {
       |  SELECT *, row_number() OVER (PARTITION BY qid
       |    ORDER BY score DESC, doc_id) AS rnk FROM agg) t
       |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
-    val toks = Tables.load(s, dir, "documents")
+    bm25Retrieve(Tables.load(s, dir, "documents"))
+  }
+
+  /** e7's pipeline over any `documents`-shaped relation (doc_id, text) —
+    * exposed so SimilarityPropertySpec can pin the BM25 axioms (idf
+    * ordering, tf saturation, length normalization) on crafted corpora.
+    * Queries are the doc_id < 3 documents, matching the registered query.
+    */
+  def bm25Retrieve(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"),
         explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))

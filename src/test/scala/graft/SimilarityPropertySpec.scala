@@ -124,4 +124,35 @@ class SimilarityPropertySpec extends AnyFunSuite {
     info(f"planted-pair recall at widened 2x7 banding: $wideRecall%.3f")
     assert(wideRecall >= 0.85, s"widened-geometry recall $wideRecall below 0.85")
   }
+
+  test("e7 BM25: idf ordering, tf saturation, and length normalization") {
+    import spark.implicits._
+    // crafted corpus — every pad token is unique to its document, so pads
+    // shape only dl/L/N, never another doc's term match. Query doc 0 holds
+    // exactly the two probe terms; "rare" matches one corpus doc per
+    // variant (df=4 total), "common" matches 6 docs (df=7).
+    def pads(tag: String, n: Int) = (1 to n).map(i => tag + ("a" * i))
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val docs = (Seq(
+      0L  -> doc(Seq("rare", "common")),
+      10L -> doc("rare" +: pads("p", 9)),                 // tf=1, dl=10
+      11L -> doc("common" +: pads("q", 9)),               // tf=1, dl=10
+      12L -> doc(Seq.fill(4)("rare") ++ pads("r", 6)),    // tf=4, dl=10
+      13L -> doc("rare" +: pads("s", 29))                 // tf=1, dl=30
+    ) ++ (20L to 24L).map(i =>
+      i -> doc("common" +: pads("t" + i, 9)))             // df(common) fodder
+    ).toDF("doc_id", "text")
+    val scores = SimilarityOps.bm25Retrieve(docs)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    // idf ordering: same tf and dl, rarer term must outscore the common one
+    assert(scores(10L) > scores(11L),
+      s"rare-term doc must outscore common-term doc: $scores")
+    // tf saturation: more occurrences score higher, but sub-linearly
+    assert(scores(12L) > scores(10L), s"tf=4 must beat tf=1: $scores")
+    assert(scores(12L) < 4 * scores(10L),
+      s"BM25 must saturate below linear tf growth: $scores")
+    // length normalization: same tf in a 3x longer doc must score lower
+    assert(scores(13L) < scores(10L),
+      s"longer doc with equal tf must score lower: $scores")
+  }
 }
