@@ -362,7 +362,8 @@ object ScaleProbe {
     // the plan ever pairs corpus x corpus, and the query count stays
     // constant while the corpus multiplies — the amortization a lake
     // banks on when it serves many queries from one materialized index.
-    val bm25R = (if (phase == "bm25") Seq(1, 4, 16) else Seq.empty[Int]).map { k =>
+    val bm25R = (if (phase == "all" || phase == "bm25") Seq(1, 4, 16)
+      else Seq.empty[Int]).map { k =>
       val docs = docsTimes(spark, dir, k).cache()
       val nDocs = docs.count()
       val t = time {

@@ -530,6 +530,12 @@ object SimilarityOps {
   val RrfListDepth = 10
   val RrfTopK = 5
 
+  /** e7's own result depth — interpolated into BOTH the Spark impl and the
+    * oracle SQL so retuning it (or e6's unrelated RrfListDepth) can never
+    * drift the pair apart.
+    */
+  val Bm25TopK = 10
+
   /** e6: reciprocal-rank-fusion hybrid retrieval (Cormack, Clarke &
     * Buettcher SIGIR 2009) — the standard way a RAG stack combines a DENSE
     * ranking (embedding cosine) with a LEXICAL one (term overlap) without
@@ -661,7 +667,7 @@ object SimilarityOps {
     */
   val e7 = Q(
     "e7_bm25_retrieve",
-    """WITH toks AS (SELECT doc_id,
+    s"""WITH toks AS (SELECT doc_id,
       |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
       |  FROM documents),
       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
@@ -670,7 +676,7 @@ object SimilarityOps {
       |dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
       |tot AS (SELECT count(DISTINCT doc_id)::BIGINT AS nn,
       |    sum(tf)::BIGINT AS ll FROM tf),
-      |q AS (SELECT DISTINCT doc_id AS qid, tok AS qtok FROM tf WHERE doc_id < 3),
+      |q AS (SELECT doc_id AS qid, tok AS qtok FROM tf WHERE doc_id < 3),
       |sc AS (SELECT q.qid, t.doc_id,
       |    (((nn * 100) // dfs.df) * 22 * t.tf * ll) //
       |      (10 * t.tf * ll + 3 * ll + 9 * dl.dl * nn) AS contrib
@@ -682,7 +688,7 @@ object SimilarityOps {
       |SELECT qid, rnk, doc_id, score, n_terms FROM (
       |  SELECT *, row_number() OVER (PARTITION BY qid
       |    ORDER BY score DESC, doc_id) AS rnk FROM agg) t
-      |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+      |WHERE rnk <= $Bm25TopK""".stripMargin) { (s, dir) =>
     bm25Retrieve(Tables.load(s, dir, "documents"))
   }
 
@@ -695,12 +701,17 @@ object SimilarityOps {
     val toks = docs
       .select(col("doc_id"),
         explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
+    // materialize the index ONCE (the e5 localCheckpoint precedent): dl,
+    // dfs, tot, and q all derive from tf — without this the plan re-runs
+    // the full-corpus tokenize + (doc, tok) agg four times per execution
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val tot = tf.agg(countDistinct(col("doc_id")).as("nn"), sum(col("tf")).as("ll"))
+    // tf is already unique per (doc_id, tok) — no distinct needed
     val q = tf.filter(col("doc_id") < 3)
-      .select(col("doc_id").as("qid"), col("tok").as("qtok")).distinct()
+      .select(col("doc_id").as("qid"), col("tok").as("qtok"))
     val sc = tf.join(broadcast(q),
         col("tok") === col("qtok") && col("doc_id") =!= col("qid"))
       .join(dfs, Seq("tok"))

@@ -28,13 +28,29 @@ import graft.core.{Q, Tables}
   */
 object FormatQueries {
 
+  /** Fresh scratch dir, recursively deleted at JVM exit — Bench re-runs
+    * and the plan suites execute these closures repeatedly, so unbounded
+    * /tmp accumulation across a session is a real failure mode (each f4-f6
+    * invocation writes one-to-two orders copies).
+    */
+  private def scratchDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Round-trip `df` through `format` in a fresh scratch dir and read it
     * back with the source schema. Options apply to both sides (CSV needs
     * header on write and read).
     */
   private def roundTrip(df: DataFrame, format: String,
       options: Map[String, String] = Map.empty): DataFrame = {
-    val dir = Files.createTempDirectory(s"graft_fmt_${format}_").toString
+    val dir = scratchDir(s"graft_fmt_${format}_")
     df.write.options(options).format(format).mode("overwrite").save(dir)
     df.sparkSession.read.options(options).schema(df.schema).format(format).load(dir)
   }
@@ -112,7 +128,7 @@ object FormatQueries {
       |  sum(o_orderkey)::BIGINT AS key_checksum
       |FROM orders WHERE year(o_orderdate) = 1995
       |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-    val scratch = Files.createTempDirectory("graft_fmt_partitioned_").toString
+    val scratch = scratchDir("graft_fmt_partitioned_")
     Tables.load(s, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))
       .write.partitionBy("o_year").mode("overwrite").parquet(scratch)
@@ -145,7 +161,7 @@ object FormatQueries {
       |  count(*) AS n, round(sum(o_totalprice), 2) AS price_sum,
       |  sum(o_orderkey)::BIGINT AS key_checksum
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
-    val scratch = Files.createTempDirectory("graft_fmt_evolve_").toString
+    val scratch = scratchDir("graft_fmt_evolve_")
     val orders = Tables.load(s, dir, "orders")
     orders.filter(col("o_orderkey") % 2 === 0)
       .select("o_orderkey", "o_totalprice")
@@ -187,7 +203,7 @@ object FormatQueries {
       |  sum(o_orderkey)::BIGINT AS key_checksum
       |FROM orders WHERE year(o_orderdate) % 3 = 0
       |GROUP BY 1""".stripMargin) { (s, dir) =>
-    val scratch = Files.createTempDirectory("graft_fmt_dpp_").toString
+    val scratch = scratchDir("graft_fmt_dpp_")
     val orders = Tables.load(s, dir, "orders")
     orders.withColumn("o_year", year(col("o_orderdate")))
       .write.partitionBy("o_year").mode("overwrite").parquet(scratch + "/fact")

@@ -311,8 +311,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("f6: the fact scan carries a dynamic-pruning subquery from the dim filter") {
+    // anchored on PartitionFilters content (the f4 pattern): DPP planned
+    // anywhere else in the plan would not prune the fact directories
     val p = plan(graft.sources.FormatQueries.f6)
-    assert(p.contains("dynamicpruning"),
+    assert("""PartitionFilters: \[[^\]]*dynamicpruning""".r.findFirstIn(p).isDefined,
       s"expected a dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
   }
 
