@@ -536,7 +536,51 @@ object MiscQueries {
           lit(0L)).cast("long").as("n_types"))
   }
 
+  /** q61: weekly cohort retention — the product-analytics matrix next to
+    * q44's funnel: users are cohorted by FIRST-activity week (min-agg, no
+    * window needed) and each later active week contributes to that
+    * cohort's retention at its week offset. Both week keys are Monday
+    * truncations on both engines, so the offset in days is always a
+    * multiple of 7 and `div 7` is exact; the retention rate is reported as
+    * integer per-mille (`n·1000 div size`) — no float anywhere, exact
+    * cross-engine hash.
+    *
+    * Scale shape: the only corpus-sized stages are the (user, week)
+    * distinct and the user-keyed cohort join — both partial-agg'd /
+    * key-shuffled, never a per-user sort or window over raw events; the
+    * output is |weeks| x |offsets|, constant in event volume.
+    */
+  val q61 = Q(
+    "q61_cohort_retention",
+    """WITH ev AS (SELECT DISTINCT user_id,
+      |    date_trunc('week', ts)::DATE AS wk FROM events),
+      |firstwk AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+      |sizes AS (SELECT cohort_wk, count(*) AS cohort_size FROM firstwk GROUP BY 1),
+      |ret AS (SELECT f.cohort_wk, (e.wk - f.cohort_wk) // 7 AS week_offset,
+      |    count(DISTINCT e.user_id) AS n_retained
+      |  FROM ev e JOIN firstwk f ON f.user_id = e.user_id
+      |  GROUP BY 1, 2)
+      |SELECT r.cohort_wk, r.week_offset::BIGINT AS week_offset,
+      |  r.n_retained::BIGINT AS n_retained, s.cohort_size::BIGINT AS cohort_size,
+      |  (r.n_retained * 1000) // s.cohort_size AS retention_pm
+      |FROM ret r JOIN sizes s ON s.cohort_wk = r.cohort_wk""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val firstwk = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = firstwk.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_size"))
+    val ret = ev.join(firstwk, Seq("user_id"))
+      .select(col("cohort_wk"),
+        expr("datediff(wk, cohort_wk) div 7").as("week_offset"), col("user_id"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_retained"))
+    ret.join(sizes, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("week_offset"), col("n_retained"),
+        col("cohort_size"),
+        expr("(n_retained * 1000L) div cohort_size").as("retention_pm"))
+  }
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q33, q34, q39, q42, q44, q45, q46, q50, q51, q52, q53,
-      q55, q56, q57)
+      q55, q56, q57, q61)
 }
