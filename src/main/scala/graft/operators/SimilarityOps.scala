@@ -723,7 +723,7 @@ object SimilarityOps {
       .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
     agg.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= RrfListDepth)
+      .filter(col("rnk") <= Bm25TopK)
       .select(col("qid"), col("rnk"), col("doc_id"), col("score"), col("n_terms"))
   }
 
