@@ -24,18 +24,29 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects outright. Read nanos as long (legacy conf), then
-    * rescale to a microsecond TIMESTAMP — lossless for this corpus (every ts
-    * has zero sub-microsecond component) and identical to what DuckDB's
-    * reader yields for the oracle.
+  /** events.parquet has shipped with two physical ts encodings across
+    * fixture generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * only accepts as a long via the legacy conf) and plain TIMESTAMP(MICROS)
+    * without isAdjustedToUTC (which Spark reads as TIMESTAMP_NTZ). Both are
+    * normalized to one shape — a session-zoned microsecond TIMESTAMP — so
+    * every downstream operator and the DuckDB oracle (session TZ pinned to
+    * UTC; GraftSession/GraftTestSpark) see identical instants either way.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // integer DIV, not `/`: double division loses 1us at 2024-epoch magnitude
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      // nanos-as-long: integer DIV, not `/` — double division loses 1us at
+      // 2024-epoch magnitude
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // naive micros: reinterpret the wall-clock as UTC (lossless under the
+      // pinned-UTC session; keeps window()/watermark semantics identical to
+      // the nanos-era pipeline)
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register every fixture table as a temp view so `spark.sql` text matches

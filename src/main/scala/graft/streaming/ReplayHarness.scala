@@ -83,7 +83,8 @@ object ReplayHarness {
       sentinelTypes: Seq[String] = Seq("click", "error"),
       prep: DataFrame => DataFrame = identity,
       requireRocksDB: Boolean = false,
-      killAfterBatches: Option[Int] = None)(
+      killAfterBatches: Option[Int] = None,
+      chunkBy: Option[(Long, Long) => org.apache.spark.sql.Column] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
     val events = prep(graft.core.Tables.load(spark, sfDir, "events"))
     // RAM-backed scratch when available: replay cost is dominated by
@@ -99,13 +100,22 @@ object ReplayHarness {
     val outDir = base.resolve("out")
     val ckpt = base.resolve("ckpt").toString
 
-    // equal-width time-range chunk id — deterministic and order-preserving
+    // equal-width time-range chunk id — deterministic and order-preserving.
+    // `chunkBy` overrides the rule with an arbitrary (minMs, maxMs) => int
+    // column: chunk id == micro-batch arrival order, so a rule that puts
+    // old-timestamp rows in a HIGH chunk id deliberately makes them LATE
+    // (they arrive after earlier chunks advanced the watermark) — the only
+    // way to put the watermark's drop path itself under the oracle (st12);
+    // the default rule can never produce a late row by construction.
     val bounds = events.agg(min(col("ts")), max(col("ts"))).collect().head
     val (minTs, maxTs) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
     val span = math.max(1L, maxTs - minTs + 1)
-    val withChunk = events.withColumn("__chunk",
-      least(lit(chunks - 1),
-        floor(((unix_millis(col("ts")) - minTs) * chunks).cast("double") / span)).cast("int"))
+    val withChunk = chunkBy match {
+      case Some(rule) => events.withColumn("__chunk", rule(minTs, maxTs).cast("int"))
+      case None => events.withColumn("__chunk",
+        least(lit(chunks - 1),
+          floor(((unix_millis(col("ts")) - minTs) * chunks).cast("double") / span)).cast("int"))
+    }
 
     val now = System.currentTimeMillis()
     (0 until chunks).foreach { i =>

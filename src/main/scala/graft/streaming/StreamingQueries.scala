@@ -224,5 +224,71 @@ object StreamingQueries {
       .filter(col("user_id") >= 0)
   }
 
-  val all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11)
+  /** st12: the watermark late-data DROP path — the one streaming semantic
+    * the in-order harness can never exercise (SURVEY §2.2 "late rows dropped
+    * past watermark"). A custom chunk rule replays the fixture OUT OF ORDER:
+    *
+    *   batch 0  early-half rows (ts < mid) except every 5th event_id
+    *   batch 1  late-half rows (ts ≥ mid) — advances the watermark to
+    *            global-max − 10 min
+    *   batch 2  the held-back early rows (ts < mid, event_id % 5 = 0) —
+    *            ~15 days behind the eviction watermark, so the windowed agg
+    *            must DROP them (their 6 h window end ≤ watermark) — except
+    *            any in the one window still open under the LATE-EVENTS
+    *            watermark, which lags one batch further (see below)
+    *
+    * The oracle does NOT hard-code "batch 2 vanishes": it replays Spark's
+    * actual rule. Since SPARK-40925 a micro-batch carries TWO watermarks:
+    * late-record filtering uses the PREVIOUS batch's value (stats of batches
+    * ≤ b−2, − delay) while state eviction uses the current one (batches
+    * ≤ b−1). So a batch-b row survives iff its window END exceeds
+    * max(event-time ms over batches ≤ b−2) − 10 min — the two-batch lag is
+    * observable: one held-back row lands in the last early-half window
+    * (end > max(batch-0 ts) − 10 min), is merged into that window's still-
+    * live state and emitted with it, while every other held-back row drops.
+    * A row accepted late can never re-open an evicted window (evicted at b ⇔
+    * end ≤ wm(≤ b−1) ⇒ filtered at every b' > b, whose late-filter is that
+    * same value or larger), so "filter rows, then aggregate" is exact; ms
+    * flooring via epoch_ms matches Spark's micros→ms division. The surviving
+    * rows then aggregate exactly like st6. StreamingOpsSpec asserts this
+    * result DIFFERS from the all-rows batch answer, so the row can never
+    * degenerate into a re-run of st6.
+    *
+    * This certifies the discard semantics the reference silently lacks — its
+    * stream has no watermark at all (spark-streaming.py:216-221), so every
+    * late row would buffer forever.
+    */
+  val st12 = Q("st12_stream_late_drop",
+    """WITH bounds AS (
+      |  SELECT epoch_ms(min(ts)) AS mn, epoch_ms(max(ts)) AS mx FROM events),
+      |tagged AS (
+      |  SELECT e.*, CASE
+      |      WHEN epoch_ms(ts) >= (mn + mx) // 2 THEN 1
+      |      WHEN event_id % 5 = 0 THEN 2
+      |      ELSE 0 END AS batch
+      |  FROM events e CROSS JOIN bounds),
+      |wm AS (  -- LATE-EVENTS watermark for batch b: one batch behind eviction
+      |         -- (SPARK-40925), i.e. max event time of batches <= b-2, - delay
+      |  SELECT batch,
+      |    max(mx_ts) OVER (ORDER BY batch
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+      |      - 600000 AS wm_ms
+      |  FROM (SELECT batch, max(epoch_ms(ts)) AS mx_ts FROM tagged GROUP BY batch)),
+      |kept AS (  -- Spark drop rule: row survives iff window END > watermark at arrival
+      |  SELECT t.* FROM tagged t JOIN wm USING (batch)
+      |  WHERE wm.wm_ms IS NULL
+      |     OR epoch_ms(time_bucket(INTERVAL 6 HOUR, t.ts) + INTERVAL 6 HOUR) > wm.wm_ms)
+      |SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM kept GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "append", chunks = 3, sentinelTypes = Seq(SentinelType),
+      chunkBy = Some((minMs, maxMs) =>
+        when(unix_millis(col("ts")) >= lit((minMs + maxMs) / 2), lit(1))
+          .when(col("event_id") % 5 === 0, lit(2))
+          .otherwise(lit(0))))(
+      StatefulOps.windowedCounts)
+      .filter(col("event_type") =!= SentinelType)
+  }
+
+  val all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12)
 }

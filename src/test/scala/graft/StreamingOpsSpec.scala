@@ -481,4 +481,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(last.length === 1)
     assert(last.head.getAs[Double]("total_value") === 5.0)
   }
+
+  test("st12 out-of-order replay drops late rows: equals the modeled drop rule, differs from batch") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def resultSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val streamed = resultSet(
+      graft.streaming.StreamingQueries.st12.fn(spark, GraftTestSpark.sf).collect())
+
+    // independent batch replication of the oracle's drop model: the
+    // LATE-EVENTS watermark for batch b is one batch behind eviction
+    // (SPARK-40925) = max event-time ms of batches <= b-2, - 10 min; a row
+    // survives iff its 6h window END exceeds that watermark
+    val ev = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head
+    val (mn, mx) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val tagged = ev.withColumn("batch",
+      when(unix_millis(col("ts")) >= lit((mn + mx) / 2), lit(1))
+        .when(col("event_id") % 5 === 0, lit(2)).otherwise(lit(0)))
+    val wmByBatch = tagged.groupBy("batch")
+      .agg(max(unix_millis(col("ts"))).as("mx_ts"))
+      .withColumn("wm_ms", max(col("mx_ts")).over(
+        Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -2)) - 600000L)
+      .select("batch", "wm_ms")
+    val kept = tagged.join(wmByBatch, "batch")
+      .filter(col("wm_ms").isNull ||
+        unix_millis(window(col("ts"), "6 hours").getField("end")) > col("wm_ms"))
+    def windowAgg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start"), col("event_type"), col("n"), col("total_value"))
+    val modeled = resultSet(windowAgg(kept).collect())
+    val batchAll = resultSet(windowAgg(ev).collect())
+
+    assert(kept.count() < ev.count(), "replay chunking produced no late rows — st12 degenerated")
+    assert(streamed === modeled, "streaming drop path diverged from the modeled watermark rule")
+    assert(streamed !== batchAll, "st12 must differ from the all-rows batch answer (late rows dropped)")
+  }
 }
