@@ -544,49 +544,121 @@ object TextOps {
         expr("cast(winnow_fps(text) AS array<string>)"))).as("fp_digest"))
   }
 
-  /** Number of BPE merge rounds t15 trains (each round = one pair-count
-    * aggregation + one top-1 + one map-side rewrite of the vocabulary).
+  /** Max number of BPE merge rounds t15 trains; the loop ALSO stops early —
+    * data-dependently — once the best pair's corpus count falls below
+    * [[BpeMinPairCount]] (or no pair exists at all), so the round count is
+    * min(saturation, this cap), not a compile-time constant.
     */
-  val BpeRounds = 3
+  val BpeMaxRounds = 20
 
-  /** t15: BPE merge-round TRAINING — the tokenizer-construction dataflow
-    * (Sennrich et al., ACL 2016) the token-counting family consumes: start
-    * from the character-split word vocabulary with corpus frequencies, and
-    * per round (a) count adjacent symbol pairs weighted by word frequency,
-    * (b) pick the most frequent pair (count desc, pair asc — a total,
-    * engine-portable tie-break over pure-ASCII symbols), (c) merge it
-    * everywhere. Symbols are angle-bracket-wrapped (`<l> <l>`), so the
-    * string-level `replace` both CANNOT match across symbol boundaries
-    * (multi-char symbols never expose a bare `x> <y` pattern that equals a
-    * wrapped pair) and is exactly BPE's left-to-right non-overlapping
-    * greedy merge (`<a> <a> <a>` → `<aa> <a>`). Output: one row per round —
-    * the merged symbol and its pre-merge pair count; the oracle unrolls the
-    * identical three rounds as a CTE chain.
+  /** Data-dependent stop threshold for [[bpeTrain]]: merging a pair seen
+    * fewer than this many times grows the vocabulary without compressing the
+    * corpus, which is where real tokenizer training stops (or switches to a
+    * vocab-size budget). 2 is the classic "no singleton merges" floor.
+    */
+  val BpeMinPairCount = 2L
+
+  /** BPE merge-round training loop (Sennrich et al., ACL 2016) over a
+    * character-split word vocabulary `(syms, freq)`: per round (a) count
+    * adjacent symbol pairs weighted by word frequency, (b) pick the most
+    * frequent pair (count desc, pair asc — a total, engine-portable
+    * tie-break over pure-ASCII wrapped symbols), (c) merge it everywhere.
+    * Symbols are angle-bracket-wrapped (`<l> <l>`), so the string-level
+    * `replace` both CANNOT match across symbol boundaries (multi-char
+    * symbols never expose a bare `x> <y` pattern that equals a wrapped
+    * pair) and is exactly BPE's left-to-right non-overlapping greedy merge
+    * (`<a> <a> <a>` → `<aa> <a>`). Runs until `maxRounds` merges or until
+    * the best pair count drops below `minPairCount` — whichever comes
+    * first. Returns one row per EXECUTED merge round:
+    * `(merge_round, merged, cnt)`.
     *
-    * Scale shape: everything is VOCABULARY-keyed, never corpus-keyed — the
-    * one corpus-sized pass is the initial word count (the same explode +
-    * hash agg as t1); each round then shuffles pair counts (vocab-sized),
-    * takes top-1 as TakeOrderedAndProject, and rewrites the vocab with the
-    * 1-row winner broadcast — no driver-side data, no global sort. The
-    * vocab is localCheckpoint'ed per round (c1's iteration discipline), so
-    * lineage stays flat; a production 30k-merge train would run this exact
-    * loop with periodic checkpoints. The pair explode is a higher-order
-    * `transform` (interpreted), acceptable off the corpus hot path at
-    * vocab cardinality.
+    * Scale shape: everything is VOCABULARY-keyed, never corpus-keyed; each
+    * round shuffles pair counts (vocab-sized) and takes top-1 as
+    * TakeOrderedAndProject. The per-round winner is a ONE-ROW collect — a
+    * scalar driver probe deciding loop control flow (c1's convergence-probe
+    * discipline, [[graft.operators.ClusterOps.connectedComponents]]); no
+    * corpus or vocabulary row data ever reaches the driver. The vocab
+    * frontier is localCheckpoint'ed per round so lineage (and the plan fed
+    * to each job) stays flat across arbitrarily many merges; a production
+    * 30k-merge train runs this exact loop with periodic RELIABLE
+    * checkpoints (`spark.sparkContext.setCheckpointDir` + `checkpoint()`,
+    * or a vocab table rewrite every few hundred merges) instead of
+    * localCheckpoint, whose blocks die with an executor. The pair explode
+    * is a higher-order `transform` (interpreted), acceptable off the
+    * corpus hot path at vocab cardinality.
+    */
+  def bpeTrain(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = BpeMaxRounds,
+      minPairCount: Long = BpeMinPairCount): org.apache.spark.sql.DataFrame = {
+    var words = vocab.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var saturated = false
+    while (!saturated && merges.length < maxRounds) {
+      // 1-row scalar probe: the argmax pair and its count (never row data)
+      val best = words
+        .select(col("freq"), split(col("syms"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .collect()
+      if (best.isEmpty || best.head.getAs[Long]("cnt") < minPairCount) saturated = true
+      else {
+        val bp = best.head.getAs[String]("pair")
+        words = words
+          .select(replace(col("syms"), lit(bp), lit(bp.replace("> <", ""))).as("syms"),
+            col("freq"))
+          .localCheckpoint()
+        merges += ((merges.length + 1L,
+          bp.replace("> <", "").replace("<", "").replace(">", ""),
+          best.head.getAs[Long]("cnt")))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_round", "merged", "cnt")
+  }
+
+  /** t15: BPE merge-round TRAINING via [[bpeTrain]] — the
+    * tokenizer-construction dataflow the token-counting family consumes,
+    * run for up to [[BpeMaxRounds]] data-dependent merges with the
+    * [[BpeMinPairCount]] saturation stop. Output: one row per executed
+    * round — the merged symbol and its pre-merge pair count.
+    *
+    * The oracle unrolls the SAME [[BpeMaxRounds]] rounds as a generated CTE
+    * chain that models the stop rule inside SQL: each round's winner CTE
+    * keeps only pairs with `cnt >= threshold` (empty once saturated — and
+    * saturation is monotone: an un-merged vocab reproduces the identical
+    * sub-threshold argmax next round), and the vocab CTE LEFT-JOINs the
+    * winner so a stopped round passes the vocabulary through unchanged
+    * instead of annihilating it. So Spark's while-loop and the oracle's
+    * fixed-depth chain provably emit the same row set for any corpus, not
+    * just ones that exhaust the cap. [[graft.TextOpsSpec]] additionally
+    * property-checks the loop against an independent in-memory reference
+    * BPE on crafted + randomized corpora, including early-stop cases.
     */
   val t15 = {
-    val roundCtes = (1 to BpeRounds).map { r =>
+    // MATERIALIZED on the multi-referenced CTEs (w_r feeds both a_{r+1} and
+    // w_{r+1}; b_r feeds w_r and the final select): DuckDB inlines CTEs by
+    // default, so an N-deep chain would otherwise expand to 2^N scans
+    val roundCtes = (1 to BpeMaxRounds).map { r =>
       s"""a$r AS (SELECT freq, string_split(syms, ' ') AS a FROM w${r - 1}),
          |l$r AS (SELECT freq, list_transform(generate_series(1, len(a) - 1),
          |          i -> a[i] || ' ' || a[i + 1]) AS ps
          |        FROM a$r WHERE len(a) >= 2),
          |pp$r AS (SELECT freq, unnest(ps) AS pair FROM l$r),
          |pc$r AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM pp$r GROUP BY 1),
-         |b$r AS (SELECT pair, cnt FROM pc$r ORDER BY cnt DESC, pair LIMIT 1),
-         |w$r AS (SELECT replace(syms, b$r.pair, replace(b$r.pair, '> <', '')) AS syms,
-         |          freq FROM w${r - 1}, b$r)""".stripMargin
+         |b$r AS MATERIALIZED (SELECT pair, cnt FROM pc$r WHERE cnt >= $BpeMinPairCount
+         |        ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT CASE WHEN b.pair IS NOT NULL
+         |            THEN replace(syms, b.pair, replace(b.pair, '> <', ''))
+         |            ELSE syms END AS syms, freq
+         |        FROM w${r - 1} LEFT JOIN b$r b ON true)""".stripMargin
     }.mkString(",\n")
-    val finalSelect = (1 to BpeRounds).map { r =>
+    val finalSelect = (1 to BpeMaxRounds).map { r =>
       s"""SELECT $r::BIGINT AS merge_round,
          |  replace(replace(replace(pair, '> <', ''), '<', ''), '>', '') AS merged,
          |  cnt FROM b$r""".stripMargin
@@ -595,7 +667,7 @@ object TextOps {
       "t15_bpe_merge_rounds",
       s"""WITH tok AS (
          |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
-         |w0 AS (
+         |w0 AS MATERIALIZED (
          |  SELECT trim(regexp_replace(w, '(.)', '<\\1> ', 'g')) AS syms,
          |    count(*)::BIGINT AS freq
          |  FROM tok WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) <= 20
@@ -607,27 +679,7 @@ object TextOps {
         .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 20)
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
         .select(expr("trim(regexp_replace(w, '(.)', '<$1> '))").as("syms"), col("freq"))
-      var words = vocab.localCheckpoint()
-      val rows = (1 to BpeRounds).map { r =>
-        val pairs = words
-          .select(col("freq"), split(col("syms"), " ").as("a"))
-          .filter(size(col("a")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(a) - 1), " +
-              "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-        val best = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
-          .select(col("pair").as("bp"), col("cnt").as("bc"))
-          .localCheckpoint()
-        words = words.join(broadcast(best))
-          .select(expr("replace(syms, bp, replace(bp, '> <', ''))").as("syms"),
-            col("freq"))
-          .localCheckpoint()
-        best.select(lit(r.toLong).as("merge_round"),
-          expr("replace(replace(replace(bp, '> <', ''), '<', ''), '>', '')").as("merged"),
-          col("bc").as("cnt"))
-      }
-      rows.reduce(_ union _)
+      bpeTrain(s, vocab)
     }
   }
 

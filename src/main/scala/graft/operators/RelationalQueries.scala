@@ -637,7 +637,49 @@ object RelationalQueries {
         |FROM months LEFT JOIN by_month ON by_month.m = months.m""".stripMargin)
   }
 
+  /** q62: TPC-H Q21-shape multi-correlated quantifiers — EXISTS and NOT
+    * EXISTS subqueries against the SAME fact with DIFFERENT correlated
+    * predicates ("the only supplier with a returned item on a
+    * multi-supplier finished order"; the reference fixture has no
+    * commit/receipt dates, so `l_returnflag = 'R'` plays Q21's late-flag
+    * role — the quantifier structure is identical). q43/q58 pin scalar and
+    * LATERAL decorrelation; this pins Catalyst STACKING both quantifier
+    * rewrites on one fact: RewritePredicateSubquery turns the EXISTS into
+    * a LeftSemi and the NOT EXISTS into a LeftAnti against two more scans
+    * of lineitem, each keyed on l_orderkey — set-at-a-time joins, never
+    * per-row re-execution (PlanShapeSpec pins one semi + one anti and no
+    * nested-loop fallback).
+    *
+    * Scale shape: all three lineitem passes shuffle on l_orderkey, so AQE
+    * can reuse co-partitioning; the semi/anti inner sides carry only
+    * (l_orderkey, l_suppkey[, l_returnflag]) after pruning. At 100 TB the
+    * non-equal `l_suppkey <>` residual rides the equi-join on orderkey —
+    * no theta explosion — and the final supplier join broadcasts the
+    * k-row dimension.
+    */
+  val q62 = {
+    val sql =
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin
+    Q("q62_only_bad_supplier", sql) { (s, dir) =>
+      Seq("supplier", "lineitem", "orders").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43, q54, q58, q59, q60)
+    q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q43, q54, q58, q59, q60,
+    q62)
 }

@@ -417,11 +417,14 @@ object SimilarityOps {
         col("lang"), col("source"), substring(col("text"), 1, 40).as("snippet"))
   }
 
-  /** MMR geometry for e5: candidate pool per query, greedy picks after the
-    * seed, and the relevance/diversity trade-off weight.
+  /** MMR geometry for e5: candidate pool per query and the number of greedy
+    * picks after the seed the REGISTERED query runs. [[mmrRerank]] itself
+    * takes arbitrary k (and stops early on pool exhaustion); this is just
+    * e5's k, interpolated into both the Spark call and the generated oracle
+    * CTE chain so the two can never disagree on depth.
     */
   val MmrCandidates = 20
-  val MmrPicks = 4
+  val MmrPicks = 10
 
   /** λ and (1−λ) are pinned as two literals (not derived) so the Spark
     * `lit` and the DuckDB `::DOUBLE` literal are bit-identical doubles —
@@ -430,30 +433,82 @@ object SimilarityOps {
   val MmrLambda = 0.7
   val MmrMu = 0.3
 
+  /** Greedy MMR selection over a per-query candidate pool
+    * `(qid, doc_id, emb, dn, rel)` for ARBITRARY k: round 0 seeds at pure
+    * relevance; each later round scores every remaining candidate as
+    * `λ·rel − (1−λ)·max_sim_to_selected` and takes the per-query argmax.
+    * Ranking keys are rounded to 4 places with a doc_id tie-break (the
+    * portable-float discipline every similarity query uses). The loop runs
+    * k rounds or until NO query has candidates left — a pick-emptiness
+    * scalar probe (c1's convergence-probe discipline), so k larger than the
+    * pool degrades to pool-sized output instead of spinning empty rounds;
+    * a query whose own pool exhausts first simply stops contributing rows.
+    *
+    * Scale shape: every round works on ≤ |queries| × pool rows, all joins
+    * keyed on qid, per-round cost |cand| × |selected| per query — O(q·k²)
+    * total, independent of corpus size. The greedy recurrence is
+    * inherently sequential in k (each pick conditions the next), so rounds
+    * are driver-launched DAG stages over localCheckpoint'ed row sets —
+    * row data never lands on the driver. localCheckpoint is the RIGHT
+    * primitive locally but its blocks die with an executor; a production
+    * k-deep rerank should `setCheckpointDir` + `checkpoint()` the frontier
+    * (or persist `sel` to a table every few rounds) so a lost executor
+    * replays one round, not the whole recurrence.
+    */
+  def mmrRerank(cand0: DataFrame, k: Int): DataFrame = {
+    val cand = cand0.localCheckpoint()
+    val wSeed = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    var sel = cand.withColumn("rnk", row_number().over(wSeed))
+      .filter(col("rnk") === 1).drop("rnk")
+      .withColumn("sel_round", lit(0L))
+      .localCheckpoint()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val rem = cand.join(sel.select("qid", "doc_id"), Seq("qid", "doc_id"), "left_anti")
+      val msim = rem
+        .join(sel.select(col("qid"), col("emb").as("semb"), col("dn").as("sdn")), Seq("qid"))
+        .select(col("qid"), col("doc_id"),
+          (expr(dotExpr("emb", "semb")) / (col("dn") * col("sdn"))).as("sim"))
+        .groupBy(col("qid"), col("doc_id")).agg(max(col("sim")).as("msim"))
+      val wPick = Window.partitionBy(col("qid")).orderBy(
+        round(lit(MmrLambda) * col("rel") - lit(MmrMu) * col("msim"), 4).desc,
+        col("doc_id"))
+      val pick = rem.join(msim, Seq("qid", "doc_id"))
+        .withColumn("rnk", row_number().over(wPick))
+        .filter(col("rnk") === 1)
+        .select(col("qid"), col("doc_id"), col("emb"), col("dn"), col("rel"))
+        .withColumn("sel_round", lit(r.toLong))
+        .localCheckpoint()
+      if (pick.isEmpty) exhausted = true
+      else sel = sel.union(pick).localCheckpoint()
+      r += 1
+    }
+    sel
+  }
+
   /** e5: MMR diversified re-rank (maximal marginal relevance, Carbonell &
     * Goldstein SIGIR 1998) — the step a retriever runs AFTER e4's top-k:
     * from each query's candidate pool, greedily select results that are
-    * relevant to the query but not redundant with what's already selected
-    * (`score = λ·rel − (1−λ)·max_sim_to_selected`). Four greedy rounds are
-    * unrolled after the pure-relevance seed; ranking keys are rounded to 4
-    * places with a doc_id tie-break (the portable-float discipline every
-    * similarity query uses), and the oracle replays the identical rounds
-    * as a CTE chain — selection ORDER is the checked signal.
+    * relevant to the query but not redundant with what's already selected.
+    * Runs [[mmrRerank]] at k = [[MmrPicks]] over a [[MmrCandidates]]-deep
+    * pool; the oracle replays the identical k rounds as a generated CTE
+    * chain — selection ORDER is the checked signal.
     *
-    * Scale shape: the only corpus-sized stage is candidate generation
+    * Scale note: the only corpus-sized stage is candidate generation
     * (brute force here — the s3/e4 bucketed join is the drop-in at scale);
-    * every MMR round then works on ≤ |queries| × $MmrCandidates rows, all
-    * joins keyed on qid, per-round cost |cand| × |selected| per query —
-    * O(q·k²) total, independent of corpus size. The greedy recurrence is
-    * inherently sequential in k (each pick conditions the next), so rounds
-    * are driver-unrolled DAG stages over localCheckpoint'ed row sets —
-    * data never lands on the driver.
+    * everything after is pool-sized (see [[mmrRerank]]).
     */
   val e5 = {
     def dd(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    // MATERIALIZED on the multi-referenced CTEs (sel_r feeds rem/sim/sel of
+    // round r+1; rem_r feeds sim_r and pick_r; cand feeds every round):
+    // DuckDB inlines CTEs by default, so a k-deep chain would otherwise
+    // expand to 3^k scans
     val roundCtes = (1 to MmrPicks).map { r =>
-      s"""rem$r AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+      s"""rem$r AS MATERIALIZED (SELECT c.* FROM cand c WHERE NOT EXISTS (
          |  SELECT 1 FROM sel${r - 1} s WHERE s.qid = c.qid AND s.doc_id = c.doc_id)),
          |sim$r AS (SELECT m.qid, m.doc_id,
          |    max(${dd("m.emb", "s.emb")} / (m.dn * s.dn)) AS msim
@@ -466,7 +521,7 @@ object SimilarityOps {
          |                 c.doc_id) AS rnk
          |    FROM rem$r c JOIN sim$r m ON m.qid = c.qid AND m.doc_id = c.doc_id) t
          |  WHERE rnk = 1),
-         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
     }.mkString(",\n")
     Q(
       "e5_mmr_rerank",
@@ -475,11 +530,11 @@ object SimilarityOps {
          |p AS (SELECT q.vec_id AS qid, e.vec_id AS doc_id, e.embedding AS emb,
          |        e.nrm AS dn, $duckDot / (q.nrm * e.nrm) AS cos
          |      FROM q JOIN e ON e.vec_id <> q.vec_id),
-         |cand AS (SELECT qid, doc_id, emb, dn, round(cos, 4) AS rel FROM (
+         |cand AS MATERIALIZED (SELECT qid, doc_id, emb, dn, round(cos, 4) AS rel FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qid
          |      ORDER BY round(cos, 4) DESC, doc_id) AS rnk FROM p) t
          |  WHERE rnk <= $MmrCandidates),
-         |sel0 AS (SELECT qid, doc_id, emb, dn, rel, 0::BIGINT AS sel_round FROM (
+         |sel0 AS MATERIALIZED (SELECT qid, doc_id, emb, dn, rel, 0::BIGINT AS sel_round FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qid
          |      ORDER BY rel DESC, doc_id) AS rnk FROM cand) t
          |  WHERE rnk = 1),
@@ -497,31 +552,8 @@ object SimilarityOps {
         .filter(col("rnk") <= MmrCandidates)
         .select(col("qid"), col("doc_id"), col("emb"), col("dn"),
           round(col("cos"), 4).as("rel"))
-        .localCheckpoint()
-      val wSeed = Window.partitionBy(col("qid"))
-        .orderBy(col("rel").desc, col("doc_id"))
-      var sel = cand.withColumn("rnk", row_number().over(wSeed))
-        .filter(col("rnk") === 1).drop("rnk")
-        .withColumn("sel_round", lit(0L))
-        .localCheckpoint()
-      (1 to MmrPicks).foreach { r =>
-        val rem = cand.join(sel.select("qid", "doc_id"), Seq("qid", "doc_id"), "left_anti")
-        val msim = rem
-          .join(sel.select(col("qid"), col("emb").as("semb"), col("dn").as("sdn")), Seq("qid"))
-          .select(col("qid"), col("doc_id"),
-            (expr(dotExpr("emb", "semb")) / (col("dn") * col("sdn"))).as("sim"))
-          .groupBy(col("qid"), col("doc_id")).agg(max(col("sim")).as("msim"))
-        val wPick = Window.partitionBy(col("qid")).orderBy(
-          round(lit(MmrLambda) * col("rel") - lit(MmrMu) * col("msim"), 4).desc,
-          col("doc_id"))
-        val pick = rem.join(msim, Seq("qid", "doc_id"))
-          .withColumn("rnk", row_number().over(wPick))
-          .filter(col("rnk") === 1)
-          .select(col("qid"), col("doc_id"), col("emb"), col("dn"), col("rel"))
-          .withColumn("sel_round", lit(r.toLong))
-        sel = sel.union(pick).localCheckpoint()
-      }
-      sel.select(col("qid"), col("sel_round"), col("doc_id"), col("rel"))
+      mmrRerank(cand, MmrPicks)
+        .select(col("qid"), col("sel_round"), col("doc_id"), col("rel"))
     }
   }
 

@@ -83,6 +83,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"))
   }
 
+  test("q62: stacked EXISTS + NOT EXISTS plan as one semi + one anti join, set-at-a-time") {
+    val p = plan(RelationalQueries.q62)
+    assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must decorrelate to an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "both quantifiers must ride the l_orderkey equi key (the l_suppkey <> " +
+        "residual is a join condition, not a nested-loop driver)")
+  }
+
   test("q9: tiny band table plans as broadcast nested loop, fact not shuffled") {
     val p = plan(RelationalQueries.q9)
     assert(p.contains("BroadcastNestedLoopJoin"))
