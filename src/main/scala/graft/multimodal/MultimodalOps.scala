@@ -15,13 +15,18 @@ import graft.core.{Q, Tables}
   * header fields, synthesized deterministically from the fixture — see
   * [[MediaContainers]]) and [[MagicDecoder]] dispatches on the magic bytes
   * and reads width/height/sample-rate out of the binary header exactly the
-  * way a production magic-byte router would. What stays stubbed is only the
-  * PIXEL/SAMPLE layer (the payload body is document text, not a rendered
-  * raster — no image/audio libs in this container); swapping the body for
-  * real media changes none of the pipeline, schema, or header logic. The
-  * DuckDB oracle replays the header-construction arithmetic from the source
-  * columns, so a single endianness or offset bug in either the writer or
-  * the parser breaks the hash.
+  * way a production magic-byte router would. Since round 8 the BMP payloads
+  * carry a REAL raster too: a bottom-up, row-padded 24bpp pixel grid whose
+  * byte at image position (x, y, channel) is the closed form
+  * `(doc_id + 7x + 13y + 31c) mod 256` — so [[Thumbnailer]] does genuine
+  * 2-D nearest-neighbor resampling over padded rows and the m4 oracle
+  * replays the full (x, y) index arithmetic, not just header fields. What
+  * stays stubbed offline is only the WAV sample layer (its body is document
+  * text, not rendered PCM — no audio libs in this container); swapping that
+  * body for real media changes none of the pipeline, schema, or header
+  * logic. The DuckDB oracles replay the container-construction arithmetic
+  * from the source columns, so a single endianness, offset, stride, or
+  * row-order bug in either the writer or the parser breaks the hash.
   */
 object MultimodalOps {
 
@@ -59,11 +64,43 @@ object MultimodalOps {
         body
     }
 
+    /** Row stride of a 24bpp BMP raster: pixel rows pad to 4-byte
+      * alignment (the BMP spec rule the 2-D sampler must honor).
+      */
+    def stride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+    /** Deterministic 24bpp BOTTOM-UP padded raster (real BMP layout):
+      * storage row r holds image row y = h−1−r; byte at image position
+      * (x, y, channel c∈{B,G,R}) is `(docId + 7x + 13y + 31c) mod 256`,
+      * padding bytes 0. The closed form is what lets the DuckDB oracle
+      * predict every sampled byte of a thumbnail without reading binary.
+      */
+    def raster(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val st = stride(w)
+      val out = new Array[Byte](st * h)
+      var r = 0
+      while (r < h) {
+        val y = h - 1 - r
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            out(r * st + x * 3 + c) = ((docId + 7L * x + 13L * y + 31L * c) % 256).toByte
+            c += 1
+          }
+          x += 1
+        }
+        r += 1
+      }
+      out
+    }
+
     /** Deterministic fixture → container mapping (the oracle's contract):
-      * doc_id % 3 = 0 → BMP with width = n_chars % 512 + 16, height =
-      * doc_id % 256 + 16; = 1 → 16-bit WAV with sampleRate = 8000 +
-      * (n_chars % 8) * 4000, channels = 1 + doc_id % 2; = 2 → bare bytes
-      * (no container — exercises the decoder's unknown-format fallback).
+      * doc_id % 3 = 0 → BMP with width = n_chars % 96 + 16, height =
+      * doc_id % 64 + 16 over a real [[raster]] body; = 1 → 16-bit WAV with
+      * sampleRate = 8000 + (n_chars % 8) * 4000, channels = 1 + doc_id % 2;
+      * = 2 → bare bytes (no container — exercises the decoder's
+      * unknown-format fallback).
       *
       * CONTENT-DEPENDENT INVARIANT (not structural): the m1/m3/m4 oracles
       * pin modality by doc_id % 3, while [[MagicDecoder]] dispatches on
@@ -78,7 +115,9 @@ object MultimodalOps {
       */
     def payloadFor(docId: Long, nChars: Long, body: Array[Byte]): Array[Byte] =
       (docId % 3) match {
-        case 0 => bmp((nChars % 512).toInt + 16, (docId % 256).toInt + 16, body)
+        case 0 =>
+          val (w, h) = ((nChars % 96).toInt + 16, (docId % 64).toInt + 16)
+          bmp(w, h, raster(docId, w, h))
         case 1 => wav(8000 + (nChars % 8).toInt * 4000, 1 + (docId % 2).toInt, 16, body)
         case _ => body
       }
@@ -146,11 +185,12 @@ object MultimodalOps {
     "m1_multimodal_features",
     """SELECT doc_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
-      |  CASE doc_id % 3 WHEN 0 THEN 54 + octet_length(encode(text))
-      |                  WHEN 1 THEN 44 + octet_length(encode(text))
-      |                  ELSE octet_length(encode(text)) END AS n_bytes,
-      |  CASE WHEN doc_id % 3 = 0 THEN n_chars % 512 + 16 END AS width,
-      |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 256 + 16 END AS height,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
+      |    WHEN 1 THEN 44 + octet_length(encode(text))
+      |    ELSE octet_length(encode(text)) END AS n_bytes,
+      |  CASE WHEN doc_id % 3 = 0 THEN n_chars % 96 + 16 END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 16 END AS height,
       |  CASE WHEN doc_id % 3 = 1 THEN 8000 + (n_chars % 8) * 4000 END AS sample_rate,
       |  CASE doc_id % 3 WHEN 0 THEN 1
       |                  WHEN 1 THEN octet_length(encode(text)) // ((1 + doc_id % 2) * 2)
@@ -195,15 +235,17 @@ object MultimodalOps {
   /** m4: RESIZE — the brief's third multimodal verb (decode /
     * feature-extract / resize / frame-sample). For each image payload:
     * parse the real BMP header, compute thumbnail dimensions (longest side
-    * <= 64, aspect preserved), 1-D nearest-neighbor-resample the body to
-    * the area ratio, and write a NEW valid BMP container around it; audio
-    * and unknown payloads pass through. The resized payload is then fed
-    * BACK through [[MagicDecoder]] — the emitted dims come from re-parsing
-    * the bytes just written, so the resize is certified as a
-    * header-consistent container round-trip, not trusted arithmetic. Only
-    * pixel interpolation quality is out of scope offline (the body is a
-    * byte stream, not a raster); the resample INDEX arithmetic is the real
-    * nearest-neighbor formula and is property-tested.
+    * <= 64, aspect preserved), 2-D nearest-neighbor-sample the bottom-up
+    * padded raster into a new padded raster, and write a NEW valid BMP
+    * container around it; audio and unknown payloads pass through. The
+    * resized payload is then fed BACK through [[MagicDecoder]] — the
+    * emitted dims come from re-parsing the bytes just written — and
+    * `thumb_digest` is an md5 over the OUTPUT raster's byte values, which
+    * the oracle recomputes by replaying the full 2-D index arithmetic
+    * (storage row → image row flip, per-axis (i·m)/n source index, row
+    * padding) against the closed-form pixel field — so a stride, row-order,
+    * axis-swap, or off-by-one sampling bug breaks the hash, not just the
+    * header fields.
     *
     * Scale shape: one pipelined map stage, shuffle-free; blobs never leave
     * the executor, and output payloads are strictly smaller than inputs —
@@ -212,47 +254,62 @@ object MultimodalOps {
     */
   val m4 = Q(
     "m4_resize_thumbnail",
-    """SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN n_chars % 512 + 16 END AS src_width,
-      |  CASE WHEN doc_id % 3 = 0 THEN
-      |    CASE WHEN greatest(n_chars % 512 + 16, doc_id % 256 + 16) <= 64
-      |         THEN n_chars % 512 + 16
-      |         ELSE greatest((n_chars % 512 + 16) * 64
-      |                // greatest(n_chars % 512 + 16, doc_id % 256 + 16), 1) END
-      |  END AS width,
-      |  CASE WHEN doc_id % 3 = 0 THEN
-      |    CASE WHEN greatest(n_chars % 512 + 16, doc_id % 256 + 16) <= 64
-      |         THEN doc_id % 256 + 16
-      |         ELSE greatest((doc_id % 256 + 16) * 64
-      |                // greatest(n_chars % 512 + 16, doc_id % 256 + 16), 1) END
-      |  END AS height,
-      |  CASE WHEN doc_id % 3 = 0 THEN 54 + greatest(
-      |    octet_length(encode(text))
-      |      * (CASE WHEN greatest(n_chars % 512 + 16, doc_id % 256 + 16) <= 64
-      |              THEN n_chars % 512 + 16
-      |              ELSE greatest((n_chars % 512 + 16) * 64
-      |                     // greatest(n_chars % 512 + 16, doc_id % 256 + 16), 1) END)
-      |      * (CASE WHEN greatest(n_chars % 512 + 16, doc_id % 256 + 16) <= 64
-      |              THEN doc_id % 256 + 16
-      |              ELSE greatest((doc_id % 256 + 16) * 64
-      |                     // greatest(n_chars % 512 + 16, doc_id % 256 + 16), 1) END)
-      |      // ((n_chars % 512 + 16) * (doc_id % 256 + 16)), 1)
-      |  WHEN doc_id % 3 = 1 THEN 44 + octet_length(encode(text))
-      |  ELSE octet_length(encode(text)) END AS n_bytes,
-      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality
-      |FROM documents""".stripMargin) { (s, dir) =>
+    """WITH geom AS (
+      |  SELECT doc_id, n_chars % 96 + 16 AS w, doc_id % 64 + 16 AS h,
+      |    greatest(n_chars % 96 + 16, doc_id % 64 + 16) AS longest
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |dims AS (
+      |  SELECT doc_id, w, h,
+      |    CASE WHEN longest <= 64 THEN w ELSE greatest(w * 64 // longest, 1) END AS nw,
+      |    CASE WHEN longest <= 64 THEN h ELSE greatest(h * 64 // longest, 1) END AS nh
+      |  FROM geom),
+      |img AS (
+      |  SELECT doc_id, w AS src_width, nw AS width, nh AS height,
+      |    54 + ((nw * 3 + 3) // 4) * 4 * nh AS n_bytes,
+      |    md5(array_to_string(
+      |      list_transform(generate_series(0, ((nw * 3 + 3) // 4) * 4 * nh - 1), o ->
+      |        CASE WHEN (o % (((nw * 3 + 3) // 4) * 4)) >= nw * 3 THEN 0
+      |        ELSE (doc_id
+      |          + 7 * (((o % (((nw * 3 + 3) // 4) * 4)) // 3) * w // nw)
+      |          + 13 * (((nh - 1 - (o // (((nw * 3 + 3) // 4) * 4))) * h) // nh)
+      |          + 31 * ((o % (((nw * 3 + 3) // 4) * 4)) % 3)) % 256 END),
+      |      ',')) AS thumb_digest
+      |  FROM dims)
+      |SELECT d.doc_id, img.src_width, img.width, img.height,
+      |  CASE WHEN d.doc_id % 3 = 0 THEN img.n_bytes
+      |       WHEN d.doc_id % 3 = 1 THEN 44 + octet_length(encode(d.text))
+      |       ELSE octet_length(encode(d.text)) END AS n_bytes,
+      |  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
+      |  img.thumb_digest
+      |FROM documents d LEFT JOIN img ON img.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     withPayloads(s, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val src = MagicDecoder.decode(id, payload)
-        val thumb = MagicDecoder.decode(id, Thumbnailer.resize(payload))
-        (id, src.width, thumb.width, thumb.height, thumb.n_bytes, thumb.modality)
+        val resized = Thumbnailer.resize(payload)
+        val thumb = MagicDecoder.decode(id, resized)
+        // canonical digest input: comma-joined unsigned byte values of the
+        // output raster (string form — portable to the oracle, no NUL issues)
+        val pix =
+          if (thumb.modality == "image")
+            Some(resized.drop(54).map(b => (b & 0xff).toString).mkString(","))
+          else None
+        (id, src.width, thumb.width, thumb.height, thumb.n_bytes, thumb.modality, pix)
       })
-      .toDF("doc_id", "src_width", "width", "height", "n_bytes", "modality")
+      .toDF("doc_id", "src_width", "width", "height", "n_bytes", "modality", "pix")
+      .withColumn("thumb_digest", md5(col("pix")))
+      .drop("pix")
   }
 
-  /** Header-consistent BMP thumbnailing over raw container bytes. */
+  /** Header-consistent BMP thumbnailing over raw container bytes — TRUE
+    * 2-D nearest-neighbor over the bottom-up, 4-byte-row-padded 24bpp
+    * raster: target image pixel (tx, ty) samples source image pixel
+    * ((tx·w)/nw, (ty·h)/nh), honoring the storage row flip and both
+    * strides. A payload whose body is not a consistent w×h padded raster
+    * (malformed container) passes through untouched — resampling garbage
+    * would fabricate pixels the container never had.
+    */
   object Thumbnailer {
     /** Nearest-neighbor source index for target position i of n out of m:
       * the standard (i * m) / n forward map.
@@ -266,23 +323,31 @@ object MultimodalOps {
         (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
           ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
       val (w, h) = (le32(18), le32(22))
+      val srcStride = MediaContainers.stride(w)
+      val body = payload.drop(54)
+      if (w <= 0 || h <= 0 || body.length != srcStride * h) return payload
       val longest = math.max(w, h)
       if (longest <= MultimodalOps.ThumbMax) return payload
       val nw = math.max(w * MultimodalOps.ThumbMax / longest, 1)
       val nh = math.max(h * MultimodalOps.ThumbMax / longest, 1)
-      val body = payload.drop(54)
-      // area-ratio 1-D nearest-neighbor resample of the byte stream (the
-      // raster layer is stubbed offline; the index math is the real thing)
-      val newLen = math.max((body.length.toLong * nw * nh /
-        (w.toLong * h)).toInt, 1)
-      // newLen is floored at 1 even for an empty body (the oracle's
-      // 54 + greatest(..., 1) arithmetic expects a 1-byte result) — there
-      // is nothing to sample from, so emit zero bytes instead of indexing
-      // into the empty array
-      if (body.isEmpty) return MediaContainers.bmp(nw, nh, new Array[Byte](newLen))
-      val out = new Array[Byte](newLen)
-      var i = 0
-      while (i < newLen) { out(i) = body(nnIndex(i, newLen, body.length)); i += 1 }
+      val nstride = MediaContainers.stride(nw)
+      val out = new Array[Byte](nstride * nh) // padding bytes stay 0
+      var r = 0
+      while (r < nh) {
+        val sy = nnIndex(nh - 1 - r, nh, h) // storage row r = image row nh-1-r
+        val srcOff = (h - 1 - sy) * srcStride // source row sy, stored bottom-up
+        var tx = 0
+        while (tx < nw) {
+          val sx = nnIndex(tx, nw, w)
+          var c = 0
+          while (c < 3) {
+            out(r * nstride + tx * 3 + c) = body(srcOff + sx * 3 + c)
+            c += 1
+          }
+          tx += 1
+        }
+        r += 1
+      }
       MediaContainers.bmp(nw, nh, out)
     }
   }
@@ -313,9 +378,10 @@ object MultimodalOps {
     "m3_modality_census",
     """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
       |  count(*) AS n_items,
-      |  sum(CASE doc_id % 3 WHEN 0 THEN 54 + octet_length(encode(text))
-      |                      WHEN 1 THEN 44 + octet_length(encode(text))
-      |                      ELSE octet_length(encode(text)) END)::BIGINT AS total_bytes,
+      |  sum(CASE doc_id % 3
+      |        WHEN 0 THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
+      |        WHEN 1 THEN 44 + octet_length(encode(text))
+      |        ELSE octet_length(encode(text)) END)::BIGINT AS total_bytes,
       |  sum(CASE doc_id % 3 WHEN 0 THEN 1
       |                      WHEN 1 THEN octet_length(encode(text)) // ((1 + doc_id % 2) * 2)
       |                      ELSE (octet_length(encode(text)) + 63) // 64 END)::BIGINT AS total_frames

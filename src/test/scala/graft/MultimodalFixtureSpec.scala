@@ -4,17 +4,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.MultimodalOps.{MagicDecoder, MediaContainers, Thumbnailer}
 
-/** Guards the multimodal family's two content-dependent edges called out in
-  * round-5 review:
+/** Guards the multimodal family's content-dependent edges:
   *
   *   1. The m1/m3/m4 oracles pin modality by doc_id % 3 while the decoder
   *      dispatches on actual bytes — sound only while no bare-bytes document
   *      (doc_id % 3 == 2) happens to start with a BMP/WAV signature. That is
   *      a property of the fixture CONTENT, so it is asserted here rather
   *      than assumed (see the scaladoc on [[MediaContainers.payloadFor]]).
-  *   2. Thumbnailer.resize on an empty-body BMP: newLen is floored at 1 but
-  *      there are no bytes to sample — must emit a zero-filled byte, not
-  *      throw ArrayIndexOutOfBounds.
+  *   2. Thumbnailer.resize does TRUE 2-D nearest-neighbor over the
+  *      bottom-up padded raster — pinned against an independent
+  *      image-space reference implementation (build pixel grid, sample
+  *      (x, y), re-serialize), including a non-trivial-padding width.
+  *   3. Malformed containers (body is not a consistent w×h padded raster)
+  *      must pass through untouched, never fabricate pixels.
   */
 class MultimodalFixtureSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSpark.spark
@@ -32,14 +34,40 @@ class MultimodalFixtureSpec extends AnyFunSuite {
         "the doc_id%3-keyed oracles are unsound for these rows")
   }
 
-  test("thumbnailer handles an empty BMP body (oracle expects a 1-byte result)") {
-    // width 256 forces a resize (longest side > ThumbMax=64)
-    val emptyBody = MediaContainers.bmp(256, 16, Array.emptyByteArray)
-    val out = Thumbnailer.resize(emptyBody)
-    val feats = MagicDecoder.decode(0L, out)
-    assert(feats.modality === "image")
-    assert(feats.width === Some(64L))
-    assert(feats.height === Some(4L))
-    assert(out.length === 54 + 1, "zero-filled 1-byte body per the oracle's 54 + greatest(...,1)")
+  /** Independent reference: decode the raster to an image-space (y)(x)(c)
+    * grid, 2-D NN sample in image space, re-serialize bottom-up + padded.
+    */
+  private def refResize(docId: Long, w: Int, h: Int, thumbMax: Int): Array[Byte] = {
+    val grid = Array.tabulate(h, w, 3)((y, x, c) => ((docId + 7L * x + 13L * y + 31L * c) % 256).toByte)
+    val longest = math.max(w, h)
+    val (nw, nh) =
+      if (longest <= thumbMax) (w, h)
+      else (math.max(w * thumbMax / longest, 1), math.max(h * thumbMax / longest, 1))
+    val sampled = Array.tabulate(nh, nw, 3)((ty, tx, c) =>
+      grid(ty * h / nh)(tx * w / nw)(c))
+    val st = MediaContainers.stride(nw)
+    val body = new Array[Byte](st * nh)
+    for (r <- 0 until nh; tx <- 0 until nw; c <- 0 until 3)
+      body(r * st + tx * 3 + c) = sampled(nh - 1 - r)(tx)(c)
+    MediaContainers.bmp(nw, nh, body)
+  }
+
+  test("thumbnailer equals the image-space 2-D reference (padding widths included)") {
+    // widths chosen so nw*3 % 4 != 0 (real row padding on BOTH sides of the
+    // resize), plus a tall-then-wide pair to catch axis swaps
+    for ((docId, w, h) <- Seq((3L, 106, 70), (6L, 97, 33), (9L, 30, 78), (12L, 111, 79))) {
+      val src = MediaContainers.bmp(w, h, MediaContainers.raster(docId, w, h))
+      val got = Thumbnailer.resize(src)
+      val want = refResize(docId, w, h, graft.multimodal.MultimodalOps.ThumbMax)
+      assert(got.toSeq === want.toSeq, s"docId=$docId ${w}x$h")
+    }
+  }
+
+  test("small images pass through unchanged; malformed bodies pass through unchanged") {
+    val small = MediaContainers.bmp(64, 40, MediaContainers.raster(1L, 64, 40))
+    assert(Thumbnailer.resize(small) eq small)
+    // a BMP header whose body is NOT stride*h (the old text-body shape)
+    val malformed = MediaContainers.bmp(256, 16, "not a raster".getBytes("UTF-8"))
+    assert(Thumbnailer.resize(malformed) eq malformed)
   }
 }
