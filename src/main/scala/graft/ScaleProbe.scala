@@ -375,6 +375,63 @@ object ScaleProbe {
       (k, t)
     }
 
+    // t15 BPE-loop rung: bpeTrain's per-round work is VOCABULARY-keyed
+    // (pair counts over distinct words), so multiplying the corpus k-fold
+    // must grow a fixed-round train far slower than k — the corpus is
+    // touched once (initial word count); every round after shuffles only
+    // vocab-sized relations. Clone suffix tokens add k-1 words per distinct
+    // word-position, so the vocab grows ~2x (not 16x) at 16x corpus —
+    // measured wall should track vocab, not corpus.
+    val bpeR = (if (phase == "all" || phase == "bpe") Seq(1, 4, 16)
+      else Seq.empty[Int]).map { k =>
+      val docs = docsTimes(spark, dir, k).cache()
+      val nDocs = docs.count()
+      val t = time {
+        val vocab = docs
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 20)
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .select(expr("trim(regexp_replace(w, '(.)', '<$1> '))").as("syms"), col("freq"))
+        graft.functions.TextOps.bpeTrain(spark, vocab, maxRounds = 5, minPairCount = 2L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      docs.unpersist()
+      System.err.println(f"[scale] bpe $k%2dx  docs=$nDocs%8d  $t%6.2f s (5 rounds)")
+      (k, t)
+    }
+
+    // e7 materialization rung: the SAME bm25 pipeline with the inverted
+    // index pinned via localCheckpoint (lineage-free executor blocks; dies
+    // with an executor) vs written-to-parquet-and-read-back (the reliable
+    // production materialization). The delta prices the operator scaladocs'
+    // cluster guidance: parquet pays serialize+commit+rescan once, and in
+    // exchange the index survives executor loss and is servable to every
+    // future query. Run at 4x so the index is big enough to see the cost.
+    val e7Mat = (if (phase == "all" || phase == "e7mat") Seq(4)
+      else Seq.empty[Int]).map { k =>
+      val docs = docsTimes(spark, dir, k).cache()
+      docs.count()
+      // untimed warmup: JIT + codegen compile the whole pipeline once, so
+      // first-timed-run bias can't masquerade as a materializer difference
+      graft.operators.SimilarityOps.bm25Retrieve(docs)
+        .write.format("noop").mode("overwrite").save()
+      val tLocal = time {
+        graft.operators.SimilarityOps.bm25Retrieve(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val matDir = java.nio.file.Files.createTempDirectory("graft-e7mat").toString
+      val tParquet = time {
+        graft.operators.SimilarityOps.bm25Retrieve(docs, df => {
+          df.write.mode("overwrite").parquet(s"$matDir/tf")
+          spark.read.parquet(s"$matDir/tf")
+        }).write.format("noop").mode("overwrite").save()
+      }
+      docs.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(matDir))
+      System.err.println(f"[scale] e7mat $k%2dx  local=$tLocal%6.2f s  parquet=$tParquet%6.2f s")
+      (k, Seq(("local", tLocal), ("parquet", tParquet)))
+    }
+
     val json = (results.map { case (k, steps) =>
       steps.map { case (n, t) => s""""$n":$t""" }
         .mkString(s""""${k}x":{""", ",", "}")
@@ -389,6 +446,11 @@ object ScaleProbe {
         .mkString(s""""$tag":{""", ",", "}")
     } ++ bm25R.map { case (k, t) =>
       s""""bm25_${k}x":{"bm25":$t}"""
+    } ++ bpeR.map { case (k, t) =>
+      s""""bpe_${k}x":{"bpe5":$t}"""
+    } ++ e7Mat.map { case (k, vals) =>
+      vals.map { case (n, v) => s""""$n":$v""" }
+        .mkString(s""""e7mat_${k}x":{""", ",", "}")
     }).mkString("{\"metric\":\"scale_ladder\",", ",", "}")
     println(json)
     spark.stop()

@@ -31,6 +31,17 @@ import graft.core.{Q, Tables}
   * The per-round convergence probe (`isEmpty` of the improved-label
   * frontier) and the checkpoint materializations are scalar driver-side
   * control flow over distributed jobs — no row data is ever collected.
+  *
+  * Production materialization note: `localCheckpoint` keeps the frontier's
+  * blocks in executor storage with NO lineage — correct and fastest in a
+  * single-JVM run, but on a real cluster one lost executor makes the
+  * frontier unrecoverable and the whole O(log d) iteration restarts from
+  * the edges. A cluster deployment should set a DFS checkpoint dir and
+  * `checkpoint()` the frontier every few rounds (or rewrite it to a table),
+  * so recovery replays at most the rounds since the last reliable cut —
+  * the standard iterate-with-periodic-checkpoint discipline (same guidance
+  * as [[graft.operators.SimilarityOps.bm25Retrieve]]'s index, measured by
+  * ScaleProbe's e7mat rung).
   */
 object ClusterOps {
 

@@ -728,16 +728,30 @@ object SimilarityOps {
     * exposed so SimilarityPropertySpec can pin the BM25 axioms (idf
     * ordering, tf saturation, length normalization) on crafted corpora.
     * Queries are the doc_id < 3 documents, matching the registered query.
+    *
+    * `materialize` is how the (doc_id, tok, tf) inverted index gets pinned
+    * before four downstream consumers derive from it. The default —
+    * `localCheckpoint()` — is right for a single-JVM run: blocks live in
+    * executor storage with NO lineage, so an executor loss makes them
+    * unrecoverable and fails the job. A production cluster should pass a
+    * RELIABLE materializer instead: write the index to a parquet table (or
+    * `checkpoint()` against a DFS checkpoint dir) and read it back — that
+    * is also what a lake does anyway, building the index ONCE and
+    * amortizing it across every query it ever serves. ScaleProbe's `e7mat`
+    * rung measures the delta between the two on the same corpus so the
+    * guidance carries a number (see BENCH_NOTES.md).
     */
-  def bm25Retrieve(docs: DataFrame): DataFrame = {
+  def bm25Retrieve(
+      docs: DataFrame,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
     // materialize the index ONCE (the e5 localCheckpoint precedent): dl,
     // dfs, tot, and q all derive from tf — without this the plan re-runs
     // the full-corpus tokenize + (doc, tok) agg four times per execution
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = materialize(
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val tot = tf.agg(countDistinct(col("doc_id")).as("nn"), sum(col("tf")).as("ll"))

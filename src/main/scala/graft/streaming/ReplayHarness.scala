@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Path, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -84,7 +86,8 @@ object ReplayHarness {
       prep: DataFrame => DataFrame = identity,
       requireRocksDB: Boolean = false,
       killAfterBatches: Option[Int] = None,
-      chunkBy: Option[(Long, Long) => org.apache.spark.sql.Column] = None)(
+      chunkBy: Option[(Long, Long) => org.apache.spark.sql.Column] = None,
+      sinkEnrich: Option[(DataFrame, Long) => DataFrame] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
     val events = prep(graft.core.Tables.load(spark, sfDir, "events"))
     // RAM-backed scratch when available: replay cost is dominated by
@@ -140,7 +143,16 @@ object ReplayHarness {
     val in = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
     val transformed = transform(in)
-    val outSchema = transformed.schema
+    // `sinkEnrich` runs INSIDE foreachBatch on the materialized micro-batch
+    // with its batch id — the production per-batch dimension-refresh pattern
+    // (st13): the closure may re-read side data per batch, which a streaming
+    // plan transform cannot express. It must be schema-stable across batch
+    // ids; the output schema is derived by applying it to an empty batch.
+    val outSchema = sinkEnrich match {
+      case Some(f) => f(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], transformed.schema), 0L).schema
+      case None => transformed.schema
+    }
 
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     if (requireRocksDB)
@@ -169,7 +181,8 @@ object ReplayHarness {
           // appending duplicates (blind append would turn any replay into a
           // false 'streaming machinery broke' hash mismatch). One file per
           // batch: replay batches are small (≤ fixture size).
-          batch.coalesce(1).write.mode("overwrite")
+          val enriched = sinkEnrich.map(f => f(batch, batchId)).getOrElse(batch)
+          enriched.coalesce(1).write.mode("overwrite")
             .parquet(outDir.resolve(s"b$batchId").toString)
         }
         .trigger(Trigger.AvailableNow())
@@ -215,11 +228,23 @@ object ReplayHarness {
     }
 
     // recursiveFileLookup reads the per-batch sub-directories WITHOUT
-    // partition discovery (the b<id> dirs are not key=value partitions)
-    if (Files.exists(outDir))
-      spark.read.schema(outSchema).option("recursiveFileLookup", "true")
-        .parquet(outDir.toString)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    // partition discovery (the b<id> dirs are not key=value partitions).
+    // COMPLETE mode re-emits the entire result every micro-batch, so the
+    // sunk dirs are successive whole-result snapshots — the result is the
+    // HIGHEST batch id's dir alone, not the union (which would multi-count
+    // every window once per batch that re-emitted it).
+    if (Files.exists(outDir)) {
+      if (outputMode == "complete") {
+        val listing = Files.list(outDir)
+        val last =
+          try listing.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.matches("b\\d+")).maxBy(_.drop(1).toLong)
+          finally listing.close()
+        spark.read.schema(outSchema).parquet(outDir.resolve(last).toString)
+      } else
+        spark.read.schema(outSchema).option("recursiveFileLookup", "true")
+          .parquet(outDir.toString)
+    } else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -290,5 +290,191 @@ object StreamingQueries {
       .filter(col("event_type") =!= SentinelType)
   }
 
-  val all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12)
+  /** st13: LATE-ARRIVING DIMENSION under stream-static enrichment — st11's
+    * production wrinkle: the dimension GAINS rows between micro-batches, and
+    * each micro-batch must enrich against the dim AS OF ITS OWN batch (an
+    * event enriched before its dim row arrived keeps the null — re-running
+    * history against a newer dim would be silent time travel). The dim is
+    * RE-READ inside the foreachBatch sink per batch (the per-batch
+    * dimension-refresh pattern Spark's docs prescribe for slowly-changing
+    * dims — a static DataFrame in the streaming plan would pin ONE file
+    * listing for the whole run), with arrival modeled deterministically:
+    * customer row k becomes visible at batch k % 3, so batch 0 sees a third
+    * of the dim, batch 1 two thirds, batch 2+ all of it.
+    *
+    * The replay pins chunk ids with INTEGER division (replicating the
+    * default equal-width rule) so the oracle can recompute every event's
+    * batch id exactly: the oracle left-joins customer on
+    * `user_id = c_custkey AND c_custkey % 3 <= batch(ts)` — batch-time
+    * snapshot semantics in one join predicate. StreamingOpsSpec additionally
+    * pins the streamed result against an independent batch replication and
+    * asserts it DIFFERS from the full-dim join (early events must carry
+    * nulls for late dim rows), so the row can never degenerate into st11.
+    * Restart safety: a batch replayed from checkpoint re-reads the dim at
+    * the SAME batch id, so the idempotent sink also re-enriches identically.
+    */
+  val st13 = Q("st13_stream_dim_snapshot",
+    """WITH b AS (SELECT epoch_ms(min(ts)) AS mn, epoch_ms(max(ts)) AS mx FROM events),
+      |e AS (SELECT e.*, least(3, ((epoch_ms(ts) - mn) * 4) // greatest(mx - mn + 1, 1)) AS batch
+      |      FROM events e CROSS JOIN b)
+      |SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment, e.value
+      |FROM e LEFT JOIN customer c
+      |  ON e.user_id = c.c_custkey AND c.c_custkey % 3 <= e.batch""".stripMargin) { (s, dir) =>
+    val enrich = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+      // genuine per-batch refresh: the dim is re-read INSIDE the sink
+      // closure every micro-batch, then restricted to rows that have
+      // "arrived" by this batch id
+      val dim = graft.core.Tables.load(batch.sparkSession, dir, "customer")
+        .filter(col("c_custkey") % 3 <= bid)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      batch.join(broadcast(dim), Seq("user_id"), "left")
+    }
+    replayEvents(s, dir, "append",
+      chunkBy = Some((mn, mx) => {
+        val span = math.max(1L, mx - mn + 1)
+        least(lit(3), expr(s"(unix_millis(ts) - ${mn}L) * 4L div ${span}L"))
+      }),
+      sinkEnrich = Some(enrich))(
+      _.select("event_id", "ts", "user_id", "event_type", "value"))
+      .filter(col("user_id") >= 0)
+      .select("event_id", "user_id", "event_type", "segment", "value")
+  }
+
+  /** st14: COMPLETE output mode — the one output mode never oracle-gated
+    * (append: st6 and every windowed row; update: st5/st9/st10). Complete
+    * mode re-emits the ENTIRE aggregation result every micro-batch and
+    * never evicts state (the watermark has no effect on state retention in
+    * complete mode), so the per-batch sunk dirs are successive
+    * whole-result snapshots and the harness returns the LAST one. The
+    * oracle is st6's batch answer — deliberately the same relation; what
+    * this row certifies is the MACHINERY: full-state re-emission per
+    * batch, no eviction, snapshot-not-union result assembly.
+    * StreamingOpsSpec taps every micro-batch via sinkEnrich and asserts
+    * the snapshots grow monotonically to the final answer — the signature
+    * complete mode has and append mode cannot produce.
+    */
+  val st14 = Q("st14_stream_complete_mode",
+    """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "complete", sentinelTypes = Seq(SentinelType))(
+      StatefulOps.windowedCounts)
+      .filter(col("event_type") =!= SentinelType)
+  }
+
+  /** st15: the EVICTION path of watermark-bounded dedup — the documented
+    * trade st8 never exercises: `dropDuplicatesWithinWatermark` keeps state
+    * only inside the horizon, so a duplicate arriving after its key's state
+    * expired is RE-EMITTED (bounded state, at-least-once dedup), while one
+    * arriving inside the horizon still drops and one behind the late-events
+    * watermark is discarded entirely. The replay: originals stream in order
+    * over batches 0–2; a copy of every 7th event (ts + 20 h, props =
+    * '__dup__') arrives in batch 3, after the watermark passed most
+    * originals.
+    *
+    * The oracle needs only ONE watermark value, and that is itself the
+    * certified semantic: batch 3's late filter uses the PREVIOUS batch's
+    * watermark (SPARK-40925 lag, proven by st12), while the state a batch-3
+    * row can collide with was last cleaned at the END of batch 2 with
+    * batch 2's eviction watermark — and those are the SAME quantity,
+    * W = max(event time over batches ≤ 1) − 10 min. (A first cut with a
+    * 20-minute shift modeled eviction as batch-3-current, predicted 474
+    * re-emits, and got 0 — state cleanup demonstrably runs at batch END,
+    * making the live-state window [W − shift, W − delay) only
+    * shift − delay wide; the 20-hour shift makes all three outcome classes
+    * populated.) Per copy: discarded-late iff ts < W; re-emitted iff
+    * ts ≥ W and the original's expiry (orig ts + 10 min) < W (state
+    * evicted); dropped as a live-state duplicate otherwise (originals near
+    * the end of the stream). StreamingOpsSpec pins the result against an
+    * independent batch replication and asserts all three outcome classes
+    * are non-empty, so the row can never degenerate into st8.
+    */
+  val st15 = Q("st15_stream_dedup_evict",
+    """WITH prepped AS (
+      |  SELECT event_id, ts, user_id, event_type, value, props FROM events
+      |  UNION ALL
+      |  SELECT event_id, ts + INTERVAL 20 HOUR, user_id, event_type, value, '__dup__'
+      |  FROM events WHERE event_id % 7 = 0),
+      |b AS (SELECT epoch_ms(min(ts)) AS mn, epoch_ms(max(ts)) AS mx FROM prepped),
+      |tagged AS (
+      |  SELECT p.*, CASE WHEN props = '__dup__' THEN 3
+      |    ELSE least(2, ((epoch_ms(ts) - mn) * 3) // greatest(mx - mn + 1, 1)) END AS batch
+      |  FROM prepped p CROSS JOIN b),
+      |wm AS (  -- W: max event-time ms over batches <= 1, minus the 10 min delay
+      |  SELECT max(epoch_ms(ts)) - 600000 AS w FROM tagged WHERE batch <= 1)
+      |SELECT event_id, ts, user_id, event_type, value, props
+      |FROM tagged WHERE batch < 3
+      |UNION ALL
+      |SELECT c.event_id, c.ts, c.user_id, c.event_type, c.value, c.props
+      |FROM tagged c
+      |CROSS JOIN wm
+      |JOIN (SELECT event_id, epoch_ms(ts) AS ots FROM tagged WHERE batch < 3) o
+      |  ON o.event_id = c.event_id
+      |WHERE c.batch = 3
+      |  AND epoch_ms(c.ts) >= wm.w
+      |  AND o.ots + 600000 < wm.w""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "append", chunks = 4,
+      prep = df => df.union(df.filter(col("event_id") % 7 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 20 HOURS"))
+        .withColumn("props", lit("__dup__"))),
+      chunkBy = Some((mn, mx) => {
+        val span = math.max(1L, mx - mn + 1)
+        when(col("props") === "__dup__", lit(3))
+          .otherwise(least(lit(2), expr(s"(unix_millis(ts) - ${mn}L) * 3L div ${span}L")))
+      }))(
+      StatefulOps.dedupWithinWatermark)
+      .filter(col("user_id") >= 0)
+  }
+
+  /** st16: stream-stream interval join under OUT-OF-ORDER arrival — the
+    * join-side late-drop path st1–st4's in-order replays can never reach.
+    * Every 5th click is held back to batch 3 (original timestamps, late
+    * arrival only); errors and the other clicks stream in order over
+    * batches 0–2.
+    *
+    * What makes the oracle one subtraction instead of a buffering
+    * simulation is Spark's state-retention calibration, which this row
+    * certifies: the errors evicted at the end of batch 2 (e_ts < W, where
+    * W = min over sides of max event time in batches ≤ 1, minus 10 min —
+    * the per-side watermarks meet in a global min, and the late filter at
+    * batch 3 lags eviction by exactly one batch, st12's SPARK-40925 rule)
+    * are PRECISELY the errors no surviving click can reach: a batch-3
+    * click passes the late filter iff c_ts ≥ W, and its error window
+    * [c_ts, c_ts + 1h] then lies entirely in the retained region
+    * e_ts ≥ W. So a non-late held-back click joins its full error set and
+    * a late one contributes nothing — result = the batch interval join
+    * MINUS pairs whose click is late (modeled verbatim in the oracle's
+    * WHERE NOT clause). StreamingOpsSpec asserts both classes are
+    * populated: some held-back clicks drop (pairs missing vs the full
+    * join) and some survive late arrival and still join.
+    */
+  val st16 = Q("st16_stream_join_late_click",
+    """WITH b AS (SELECT epoch_ms(min(ts)) AS mn, epoch_ms(max(ts)) AS mx FROM events),
+      |tagged AS (
+      |  SELECT e.*, CASE WHEN event_type = 'click' AND event_id % 5 = 0 THEN 3
+      |    ELSE least(2, ((epoch_ms(ts) - mn) * 3) // greatest(mx - mn + 1, 1)) END AS batch
+      |  FROM events e CROSS JOIN b),
+      |wm AS (SELECT least(
+      |    (SELECT max(epoch_ms(ts)) FROM tagged WHERE event_type = 'click' AND batch <= 1),
+      |    (SELECT max(epoch_ms(ts)) FROM tagged WHERE event_type = 'error' AND batch <= 1))
+      |  - 600000 AS w)
+      |SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+      |FROM events e JOIN events c
+      |  ON c.event_type = 'click' AND e.event_type = 'error'
+      | AND c.user_id = e.user_id
+      | AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+      |CROSS JOIN wm
+      |WHERE NOT (c.event_id % 5 = 0 AND epoch_ms(c.ts) < wm.w)""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "append", chunks = 4,
+      chunkBy = Some((mn, mx) => {
+        val span = math.max(1L, mx - mn + 1)
+        when(col("event_type") === "click" && col("event_id") % 5 === 0, lit(3))
+          .otherwise(least(lit(2), expr(s"(unix_millis(ts) - ${mn}L) * 3L div ${span}L")))
+      }))(
+      StatefulOps.clickErrorJoin)
+      .filter(col("user_id") >= 0)
+  }
+
+  val all: Seq[Q] =
+    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16)
 }

@@ -520,4 +520,141 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed === modeled, "streaming drop path diverged from the modeled watermark rule")
     assert(streamed !== batchAll, "st12 must differ from the all-rows batch answer (late rows dropped)")
   }
+
+  test("st13 enriches each batch against its own dim snapshot, not the final dim") {
+    import org.apache.spark.sql.functions._
+    def resultSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), r.getDouble(4))).toSet
+
+    val streamed = resultSet(
+      graft.streaming.StreamingQueries.st13.fn(spark, GraftTestSpark.sf).collect())
+
+    // independent batch replication: integer-division batch id per event,
+    // versioned left join on (key match AND dim row arrived by that batch)
+    val ev = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head
+    val (mn, mx) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val span = math.max(1L, mx - mn + 1)
+    val tagged = ev.withColumn("batch",
+      least(lit(3), expr(s"(unix_millis(ts) - ${mn}L) * 4L div ${span}L")))
+    val dim = graft.core.Tables.load(spark, GraftTestSpark.sf, "customer")
+    def out(joined: org.apache.spark.sql.DataFrame) = resultSet(joined
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"), col("value")).collect())
+    val modeled = out(tagged.join(dim,
+      col("user_id") === col("c_custkey") && col("c_custkey") % 3 <= col("batch"), "left"))
+    val fullDim = out(ev.join(dim, col("user_id") === col("c_custkey"), "left"))
+
+    assert(streamed === modeled, "per-batch snapshot enrichment diverged from the versioned model")
+    assert(streamed !== fullDim,
+      "st13 must differ from full-dim enrichment (early events must miss late dim rows)")
+  }
+
+  test("st14 complete mode re-emits monotonically growing whole-result snapshots") {
+    import org.apache.spark.sql.functions._
+    // tap every micro-batch through sinkEnrich: record each snapshot's size
+    // without changing it (complete-mode batches ARE whole results)
+    val sizes = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val out = graft.streaming.ReplayHarness.replayEvents(
+      spark, GraftTestSpark.sf, "complete",
+      sentinelTypes = Seq(graft.streaming.ReplayHarness.SentinelType),
+      sinkEnrich = Some((b, id) => { sizes.put(id, b.count()); b }))(
+      graft.streaming.StatefulOps.windowedCounts)
+      .filter(col("event_type") =!= graft.streaming.ReplayHarness.SentinelType)
+
+    val batchAll = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .count()
+    assert(out.count() === batchAll, "final complete snapshot must equal the batch answer")
+
+    import scala.jdk.CollectionConverters._
+    val snaps = sizes.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(snaps.size >= 4, s"expected one snapshot per micro-batch, got $snaps")
+    assert(snaps.zip(snaps.tail).forall { case (a, b) => a <= b },
+      s"complete-mode snapshots must grow monotonically: $snaps")
+    assert(snaps.head < snaps.last,
+      s"first snapshot must be a strict subset of the final one: $snaps")
+  }
+
+  test("st15 dedup eviction: late copies discarded, evicted keys re-emitted, live keys deduped") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingQueries.st15.fn(spark, GraftTestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(5))).toSet
+
+    // independent replication of the single-watermark model: W = max event
+    // time over batches 0-1, minus the 10 min delay (late filter at batch 3
+    // AND the end-of-batch-2 state cleanup are the same quantity)
+    val ev = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+    val copies = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 20 HOURS"))
+      .withColumn("props", lit("__dup__"))
+    val prepped = ev.union(copies)
+    val bounds = prepped.agg(min(col("ts")), max(col("ts"))).head
+    val (mn, mx) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val span = math.max(1L, mx - mn + 1)
+    val tagged = prepped.withColumn("batch",
+      when(col("props") === "__dup__", lit(3))
+        .otherwise(least(lit(2), expr(s"(unix_millis(ts) - ${mn}L) * 3L div ${span}L"))))
+    val w = tagged.filter(col("batch") <= 1)
+      .agg(max(unix_millis(col("ts")))).head.getLong(0) - 600000L
+
+    val origTs = ev.select(col("event_id"), unix_millis(col("ts")).as("ots"))
+    val copyFate = copies.join(origTs, "event_id")
+      .withColumn("fate",
+        when(unix_millis(col("ts")) < w, "late")
+          .when(col("ots") + 600000L < w, "reemit")
+          .otherwise("livedup"))
+    val fates = copyFate.groupBy("fate").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("late", "reemit", "livedup").forall(fates.getOrElse(_, 0L) > 0),
+      s"st15 must exercise all three outcome classes, got $fates")
+
+    val modeled = (ev.select(col("event_id"), col("ts"), col("props")).collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getString(2))) ++
+      copyFate.filter(col("fate") === "reemit")
+        .select(col("event_id"), col("ts"), col("props")).collect().map(r =>
+          (r.getLong(0), r.getTimestamp(1), r.getString(2)))).toSet
+    assert(streamed === modeled, "dedup eviction diverged from the single-watermark model")
+    assert(fates("reemit") > 0 && streamed.count(_._3 == "__dup__") === fates("reemit"))
+  }
+
+  test("st16 late clicks lose their joins; on-time held-back clicks still join") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingQueries.st16.fn(spark, GraftTestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // independent replication: W = min over sides of max event time in
+    // batches <= 1 (held-back clicks excluded), minus the 10 min delay;
+    // result = full interval join minus pairs whose click is late
+    val ev = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head
+    val (mn, mx) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val span = math.max(1L, mx - mn + 1)
+    val tagged = ev.withColumn("batch",
+      when(col("event_type") === "click" && col("event_id") % 5 === 0, lit(3))
+        .otherwise(least(lit(2), expr(s"(unix_millis(ts) - ${mn}L) * 3L div ${span}L"))))
+    def sideMax(t: String) = tagged
+      .filter(col("event_type") === t && col("batch") <= 1)
+      .agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val w = math.min(sideMax("click"), sideMax("error")) - 600000L
+
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("ts").as("ets"), col("event_id").as("error_id"))
+    val full = errors.join(clicks,
+      col("cu") === col("eu") && col("cts") <= col("ets") &&
+        col("cts") >= col("ets") - expr("INTERVAL 1 HOUR"))
+      .select(col("error_id"), col("click_id"), col("eu").as("user_id"),
+        (col("click_id") % 5 === 0 && unix_millis(col("cts")) < w).as("late"))
+    val pairs = full.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val modeled = pairs.filter(!_._4).map(p => (p._1, p._2, p._3)).toSet
+
+    assert(pairs.exists(_._4), "no pair involved a late click — st16 degenerated to st1")
+    assert(pairs.filter(!_._4).exists(_._2 % 5 == 0),
+      "no held-back click survived late arrival and joined — the on-time path is unexercised")
+    assert(streamed === modeled, "join late-drop diverged from the full-join-minus-late model")
+  }
 }
