@@ -247,6 +247,75 @@ object ReplayHarness {
     } else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
   }
 
+  /** Replays the batch `documents` fixture through a streaming plan — the
+    * north-star document pipeline's ingest shape (file-stream micro-batches
+    * over a doc corpus; no event time, so no watermark/sentinel machinery).
+    *
+    * Chunk rule: WITHIN-FINGERPRINT-GROUP RANK, not doc_id range — the
+    * first arrival of every content fingerprint is ALONE in its batch, so
+    * a streaming dedup's survivor is deterministically the min doc_id
+    * (st8's equal-ts discipline, keyed on content instead of time;
+    * without it two same-fp docs meeting in one micro-batch leave an
+    * arbitrary survivor and no oracle can pin the result). Later ranks
+    * share batches freely: their fingerprint is already in state, so they
+    * drop regardless of batch-mates.
+    */
+  def replayDocs(spark: SparkSession, sfDir: String, chunks: Int = 4)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val base = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, "graft_docreplay_")
+      else Files.createTempDirectory("graft_docreplay_")
+    }
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val outDir = base.resolve("out")
+    val ckpt = base.resolve("ckpt").toString
+
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+    val withChunk = docs.withColumn("__chunk",
+      least(lit(chunks - 1),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(fp).orderBy(col("doc_id"))) - 1).cast("int"))
+
+    val now = System.currentTimeMillis()
+    (0 until chunks).foreach { i =>
+      val stage = base.resolve(s"stage_$i")
+      withChunk.filter(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.parquet(stage.toString)
+      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 1 - i) * 60000L)
+    }
+
+    val in = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val transformed = transform(in)
+    val outSchema = transformed.schema
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(4, prevShuffle.toInt).toString)
+    try {
+      val q = transformed.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.coalesce(1).write.mode("overwrite")
+            .parquet(outDir.resolve(s"b$batchId").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(streamDir)
+      deleteRecursively(base.resolve("ckpt"))
+    }
+    if (Files.exists(outDir))
+      spark.read.schema(outSchema).option("recursiveFileLookup", "true")
+        .parquet(outDir.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

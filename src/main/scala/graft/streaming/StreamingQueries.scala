@@ -475,6 +475,98 @@ object StreamingQueries {
       .filter(col("user_id") >= 0)
   }
 
+  /** st17: CHAINED time-window aggregation through the replay harness —
+    * two stateful window aggs in ONE streaming query (Spark ≥ 3.4 windows
+    * on the first level's window column), previously only suite-tested on
+    * a MemoryStream. The 1 h level absorbs the raw stream; the 6 h level
+    * aggregates the 1 h partials, so the second state store and shuffle
+    * see one row per (hour, type) — the multi-resolution rollup a metrics
+    * pipeline runs without a second pass over raw events. Both levels
+    * finalize off the single upstream watermark (append mode emits a 6 h
+    * block only after the watermark passes its end — the sentinel flush).
+    * Counts are associative, so the oracle is the direct 6 h batch
+    * aggregate: any double-count or dropped 1 h partial at the seam
+    * between the two state stores breaks the hash.
+    */
+  val st17 = Q("st17_stream_chained_windows",
+    """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "append", sentinelTypes = Seq(SentinelType))(
+      StatefulOps.chainedWindowCounts)
+      .filter(col("event_type") =!= SentinelType)
+  }
+
+  /** st18: SLIDING-window aggregation through the replay harness — w2 pins
+    * the window expression in batch; this pins the streaming machinery: a
+    * 6 h window sliding every 3 h puts each event in exactly TWO window
+    * states (the overlap factor), accumulated across micro-batches and
+    * watermark-finalized independently. The oracle materializes the
+    * overlap explicitly — each event contributes to time_bucket(3h, ts)
+    * and the bucket 3 h earlier (both always contain ts for a 6 h / 3 h
+    * geometry on the epoch grid) — so a missing or doubled overlap window
+    * breaks the hash.
+    */
+  val st18 = Q("st18_stream_sliding_window",
+    """SELECT ws AS window_start, event_type, count(*) AS n FROM (
+      |  SELECT time_bucket(INTERVAL 3 HOUR, ts) AS ws, event_type FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 3 HOUR, ts) - INTERVAL 3 HOUR, event_type FROM events) t
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "append", sentinelTypes = Seq(SentinelType))(
+      StatefulOps.slidingCounts)
+      .filter(col("event_type") =!= SentinelType)
+  }
+
+  /** st19: UNBOUNDED streaming dedup — the documented contrast to st15:
+    * `dropDuplicates` without a watermark never evicts, so a duplicate id
+    * is dropped NO MATTER how late it arrives, at the cost of state that
+    * grows with distinct keys forever. Same replay shape as st15 (copies
+    * of every 7th event arrive in batch 3, tagged '__dup__'), but with no
+    * watermark there is no late filter and no eviction: every copy finds
+    * its key in state and drops, and the oracle is simply the original
+    * table — a single surviving '__dup__' row (eviction) or missing
+    * original (false late-drop) breaks the hash. Registered next to st15,
+    * the pair certifies both halves of SURVEY §2.2's dedup row: bounded
+    * state with at-least-once re-emission vs exact dedup with unbounded
+    * state.
+    */
+  val st19 = Q("st19_stream_dedup_unbounded",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
+    replayEvents(s, dir, "append", chunks = 4,
+      prep = df => df.union(df.filter(col("event_id") % 7 === 0)
+        .withColumn("props", lit("__dup__"))),
+      chunkBy = Some((mn, mx) => {
+        val span = math.max(1L, mx - mn + 1)
+        when(col("props") === "__dup__", lit(3))
+          .otherwise(least(lit(2), expr(s"(unix_millis(ts) - ${mn}L) * 3L div ${span}L")))
+      }))(
+      StatefulOps.dedupUnbounded)
+      .filter(col("user_id") >= 0)
+  }
+
+  /** st20: STREAMING normalized document dedup — the reference's
+    * north-star dedup as an INGEST-TIME stream (previously only
+    * suite-tested on a MemoryStream): each arriving doc is fingerprinted
+    * with the same order-insensitive token-set md5 the batch family uses
+    * (d2 census, d8 keeper rule, t4), and `dropDuplicates(fp)` keeps the
+    * first arrival of each content class across micro-batches. The replay
+    * chunks by within-fingerprint-group rank so the survivor is
+    * deterministically the min doc_id (see [[ReplayHarness.replayDocs]]),
+    * which makes the oracle exactly d8's keeper relation — the streaming
+    * twin of batch dedup, certified equal on the same corpus.
+    */
+  val st20 = Q("st20_stream_doc_dedup",
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source, min(doc_id) OVER (PARTITION BY
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS keeper
+      |  FROM documents) t
+      |WHERE doc_id = keeper""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayDocs(s, dir)(StatefulOps.dedupDocStream)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   val all: Seq[Q] =
-    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13, st14, st15, st16)
+    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
+      st14, st15, st16, st17, st18, st19, st20)
 }
