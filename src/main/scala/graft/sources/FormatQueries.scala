@@ -225,5 +225,56 @@ object FormatQueries {
         sum(col("o_orderkey")).as("key_checksum"))
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6)
+  /** f7: XML round-trip of the supplier table — Spark 4 ships the XML data
+    * source built in, and XML is still what ERP/B2B feeds land as. The
+    * string column must survive element encoding byte-exactly, which the
+    * checksum of portable content hashes pins (not just lengths — one
+    * mangled character moves the sum). Doubles and keys take the same text
+    * round-trip discipline as CSV; `rowTag` applies to both sides.
+    */
+  val f7 = Q(
+    "f7_xml_roundtrip",
+    s"""SELECT s_nationkey, count(*) AS n,
+      |  round(sum(s_acctbal), 2) AS acctbal_sum,
+      |  sum(s_suppkey)::BIGINT AS key_checksum,
+      |  sum(${graft.core.PortableHash.duck("s_name")})::BIGINT AS name_checksum
+      |FROM supplier GROUP BY 1""".stripMargin) { (s, dir) =>
+    roundTrip(Tables.load(s, dir, "supplier"), "xml", Map("rowTag" -> "supplier"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s_acctbal")), 2).as("acctbal_sum"),
+        sum(col("s_suppkey")).as("key_checksum"),
+        sum(expr(graft.core.PortableHash.spark("s_name"))).as("name_checksum"))
+  }
+
+  /** f8: raw TEXT-format round-trip — the lowest rung of the landing zone:
+    * rows serialized to delimited lines with concat_ws, written with the
+    * `text` source (one string column, no structure), read back as lines,
+    * and re-parsed with split + casts. This is the classic
+    * "logs-as-lines → typed lake" stage; the hash certifies the full
+    * serialize → line file → parse pipeline re-types every value exactly
+    * (dates via ISO string, doubles via shortest-representation text).
+    */
+  val f8 = Q(
+    "f8_text_roundtrip",
+    """SELECT o_orderstatus, year(o_orderdate)::BIGINT AS o_year,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS price_sum,
+      |  sum(o_orderkey)::BIGINT AS key_checksum
+      |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val lines = Tables.load(s, dir, "orders").select(concat_ws("|",
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate")).as("value"))
+    roundTrip(lines, "text")
+      .select(split(col("value"), "\\|").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("o_orderkey"),
+        element_at(col("f"), 2).as("o_orderstatus"),
+        element_at(col("f"), 3).cast("double").as("o_totalprice"),
+        element_at(col("f"), 4).cast("date").as("o_orderdate"))
+      .groupBy(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("price_sum"),
+        sum(col("o_orderkey")).as("key_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8)
 }
