@@ -393,7 +393,11 @@ class StreamingOpsSpec extends AnyFunSuite {
           batch.collect().foreach(u => emitted.add(u.n_events))
         }
         .start()
-      val deadline = System.currentTimeMillis + 60000
+      // 180 s: RocksDB checkpoint restore on the second incarnation has
+      // been observed to starve for >60 s when the full suite saturates
+      // all 32 threads — the generous deadline only ever costs time on a
+      // genuine hang
+      val deadline = System.currentTimeMillis + 180000
       while (emitted.size == before) {
         q.exception.foreach(throw _)
         assert(System.currentTimeMillis < deadline, "timed out waiting for foreachBatch output")
@@ -404,10 +408,11 @@ class StreamingOpsSpec extends AnyFunSuite {
     ms.addData(Event(1, ts("2024-01-01 01:00:00"), 5, "click", 2.0))
     runUntilRow()
     assert(emitted.toArray.toSeq === Seq(1L))
-    // let the 500 ms TTL lapse in wall-clock time — 5x margin because the
+    // let the 500 ms TTL lapse in wall-clock time — 8x margin because the
     // TTL clock is the state-store commit time, which under parallel-suite
-    // load can land well after the sink row appears (observed flake at 2.4x)
-    Thread.sleep(2500)
+    // load can land well after the sink row appears (observed flake at 2.4x,
+    // and once more at the earlier 5x margin under a 20-suite parallel run)
+    Thread.sleep(4000)
     ms.addData(Event(2, ts("2024-01-01 01:01:00"), 5, "view", 3.0))
     runUntilRow()
     // the first write expired before the second arrived: the counter
