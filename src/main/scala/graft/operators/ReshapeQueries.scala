@@ -234,5 +234,36 @@ object ReshapeQueries {
         expr("max_by(value, unix_micros(ts))").as("value"))
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q37, q38, q41, q47, q48, q49)
+  /** q63: forward-fill (LOCF) via `last_value(... IGNORE NULLS)` — the
+    * gap-filling idiom every sensor/metrics lake runs: carry each user's
+    * last observed reading forward across rows that did not report one
+    * ('view' events play the non-reporting role). IGNORE NULLS is the one
+    * window-function modifier the frame family (q12/q13/q41) never
+    * touches; the frame is the running ROWS prefix over a TOTAL per-user
+    * order (ts, event_id), so the fill is well-defined on every input,
+    * and users whose first events are non-reporting keep NULL (the oracle
+    * counts those heads too — both engines must agree where the fill has
+    * nothing to carry).
+    *
+    * Scale shape: one window over the user_id partitioning — single
+    * shuffle on a high-cardinality key, no global sort; identical to the
+    * q12 running-sum plan with a different aggregate.
+    */
+  val q63 = Q(
+    "q63_forward_fill",
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type <> 'view' THEN round(value, 2) END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM events""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        last(when(col("event_type") =!= "view", round(col("value"), 2)),
+          ignoreNulls = true).over(w).as("filled"))
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q37, q38, q41, q47, q48, q49, q63)
 }
