@@ -63,6 +63,20 @@ class MultimodalFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("thumbnailer equals the 2-D reference on randomized and extreme-aspect shapes") {
+    val rng = new scala.util.Random(0x2d5a8b1L)
+    val cases = (1 to 12).map(_ =>
+      (rng.nextInt(1000).toLong, 1 + rng.nextInt(130), 1 + rng.nextInt(90))) ++
+      // extreme aspect ratios: the short axis clamps at max(.., 1)
+      Seq((7L, 200, 3), (8L, 2, 180), (9L, 1, 100), (10L, 128, 1))
+    for ((docId, w, h) <- cases) {
+      val src = MediaContainers.bmp(w, h, MediaContainers.raster(docId, w, h))
+      val got = Thumbnailer.resize(src)
+      val want = refResize(docId, w, h, graft.multimodal.MultimodalOps.ThumbMax)
+      assert(got.toSeq === want.toSeq, s"docId=$docId ${w}x$h")
+    }
+  }
+
   test("small images pass through unchanged; malformed bodies pass through unchanged") {
     val small = MediaContainers.bmp(64, 40, MediaContainers.raster(1L, 64, 40))
     assert(Thumbnailer.resize(small) eq small)
