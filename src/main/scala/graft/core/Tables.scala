@@ -45,7 +45,17 @@ object Tables {
       // pinned-UTC session; keeps window()/watermark semantics identical to
       // the nanos-era pipeline)
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      // already session-zoned micros: the normalized shape, pass through
+      case TimestampType => raw
+      // fail FAST on a third encoding (e.g. INT96 also lands on
+      // TimestampType upstream of the vectorized reader, but an entirely
+      // new fixture generation could ship anything): silently passing an
+      // unnormalized ts through would surface only as downstream oracle
+      // hash mismatches, the worst possible diagnostic
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected parquet-decoded type $other; known fixture " +
+          "encodings are nanos-as-long and naive micros — add an explicit " +
+          "normalization case before trusting downstream event-time semantics")
     }
   }
 

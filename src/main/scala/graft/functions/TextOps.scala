@@ -609,10 +609,15 @@ object TextOps {
       if (best.isEmpty || best.head.getAs[Long]("cnt") < minPairCount) saturated = true
       else {
         val bp = best.head.getAs[String]("pair")
-        words = words
+        val next = words
           .select(replace(col("syms"), lit(bp), lit(bp.replace("> <", ""))).as("syms"),
             col("freq"))
           .localCheckpoint()
+        // the eager checkpoint above materialized `next` from the old
+        // frontier's blocks — release them now so a long train holds ONE
+        // vocab copy in executor storage, not one per round
+        graft.core.Checkpoints.release(words)
+        words = next
         merges += ((merges.length + 1L,
           bp.replace("> <", "").replace("<", "").replace(">", ""),
           best.head.getAs[Long]("cnt")))

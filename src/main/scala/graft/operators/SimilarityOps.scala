@@ -481,10 +481,22 @@ object SimilarityOps {
         .select(col("qid"), col("doc_id"), col("emb"), col("dn"), col("rel"))
         .withColumn("sel_round", lit(r.toLong))
         .localCheckpoint()
-      if (pick.isEmpty) exhausted = true
-      else sel = sel.union(pick).localCheckpoint()
+      if (pick.isEmpty) { exhausted = true; graft.core.Checkpoints.release(pick) }
+      else {
+        val next = sel.union(pick).localCheckpoint()
+        // eager checkpoint: `next` is materialized, so the superseded
+        // frontier and the one-round pick can release their blocks —
+        // without this, k rounds pin k+1 selected-set copies in executor
+        // storage for the session lifetime
+        graft.core.Checkpoints.release(sel)
+        graft.core.Checkpoints.release(pick)
+        sel = next
+      }
       r += 1
     }
+    // the returned selection is its own checkpoint; the candidate pool's
+    // blocks serve no further reader
+    graft.core.Checkpoints.release(cand)
     sel
   }
 

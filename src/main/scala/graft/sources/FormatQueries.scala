@@ -254,6 +254,14 @@ object FormatQueries {
     * "logs-as-lines → typed lake" stage; the hash certifies the full
     * serialize → line file → parse pipeline re-types every value exactly
     * (dates via ISO string, doubles via shortest-representation text).
+    *
+    * NULLABILITY PRECONDITION: `concat_ws` silently SKIPS null inputs, so a
+    * null field would shift every later field on re-parse instead of
+    * round-tripping as null. The four orders columns used here are non-null
+    * by fixture construction, which is what makes the bare form safe; to
+    * reuse this pattern on nullable data, wrap each nullable column in
+    * `coalesce(col, lit(SENTINEL))` (and reverse the sentinel after the
+    * parse) so field positions are stable regardless of null content.
     */
   val f8 = Q(
     "f8_text_roundtrip",

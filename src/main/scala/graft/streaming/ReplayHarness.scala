@@ -182,6 +182,17 @@ object ReplayHarness {
           // false 'streaming machinery broke' hash mismatch). One file per
           // batch: replay batches are small (≤ fixture size).
           val enriched = sinkEnrich.map(f => f(batch, batchId)).getOrElse(batch)
+          // the read-back path trusts the empty-batch schema probe above;
+          // enforce the documented schema-stability convention at runtime so
+          // a closure whose shape depends on batch id / batch data fails
+          // HERE with a named batch instead of as a downstream read error
+          // (nullability excluded — the read-back supplies the schema
+          // explicitly, so only names/types/order matter)
+          val got = enriched.schema.fields.map(f => (f.name, f.dataType)).toSeq
+          val want = outSchema.fields.map(f => (f.name, f.dataType)).toSeq
+          if (got != want) throw new IllegalStateException(
+            s"sinkEnrich output schema for batch $batchId diverged from the " +
+              s"empty-batch probe: got ${got.mkString(",")} want ${want.mkString(",")}")
           enriched.coalesce(1).write.mode("overwrite")
             .parquet(outDir.resolve(s"b$batchId").toString)
         }

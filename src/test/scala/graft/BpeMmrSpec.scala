@@ -175,6 +175,31 @@ class BpeMmrSpec extends AnyFunSuite {
     }
   }
 
+  test("iteration loops release superseded localCheckpoint blocks (bounded storage)") {
+    // Dataset.unpersist is a no-op for local checkpoints (the blocks hang
+    // off the RDD, invisible to the CacheManager) — so without the explicit
+    // Checkpoints.release every round would pin one dead frontier copy in
+    // executor storage for the session lifetime. Assert the net growth in
+    // persistent RDDs per call is O(1), not O(rounds).
+    def persistentCount = spark.sparkContext.getPersistentRDDs.size
+    val pool = candPool((0L until 12L).map(i =>
+      (0L, 100L + i, Seq(i.toFloat, 1f, 0f, 0f), 1.0 - i * 0.01)))
+    val before = persistentCount
+    SimilarityOps.mmrRerank(pool, 10).collect()
+    val after = persistentCount
+    assert(after - before <= 2,
+      s"mmrRerank leaked checkpoints: $before -> $after persistent RDDs for k=10")
+
+    import spark.implicits._
+    val vocab = Seq(("<a> <b> <a> <b>", 10L), ("<a> <b> <c>", 5L), ("<b> <c> <a>", 3L))
+      .toDF("syms", "freq")
+    val b0 = persistentCount
+    TextOps.bpeTrain(spark, vocab, maxRounds = 6, minPairCount = 1L).collect()
+    val b1 = persistentCount
+    assert(b1 - b0 <= 2,
+      s"bpeTrain leaked checkpoints: $b0 -> $b1 persistent RDDs for 6 rounds")
+  }
+
   test("mmrRerank reproduces the greedy MMR recurrence on a crafted pool") {
     // two near-identical high-relevance docs (A, A') and one orthogonal
     // lower-relevance doc B: pure relevance would pick A then A'; MMR with
