@@ -20,13 +20,16 @@ import graft.core.{Q, Tables}
   * byte at image position (x, y, channel) is the closed form
   * `(doc_id + 7x + 13y + 31c) mod 256` — so [[Thumbnailer]] does genuine
   * 2-D nearest-neighbor resampling over padded rows and the m4 oracle
-  * replays the full (x, y) index arithmetic, not just header fields. What
-  * stays stubbed offline is only the WAV sample layer (its body is document
-  * text, not rendered PCM — no audio libs in this container); swapping that
-  * body for real media changes none of the pipeline, schema, or header
-  * logic. The DuckDB oracles replay the container-construction arithmetic
-  * from the source columns, so a single endianness, offset, stride, or
-  * row-order bug in either the writer or the parser breaks the hash.
+  * replays the full (x, y) index arithmetic, not just header fields. Since
+  * round 9 the WAV bodies are real PCM as well: interleaved little-endian
+  * signed 16-bit frames whose sample at (frame f, channel c) is the closed
+  * form `((doc_id·31 + 7f + 13c) mod 4096) − 2048`, so m5 extracts genuine
+  * per-channel audio features (peak / energy over decoded samples) and its
+  * oracle replays the sample arithmetic — the whole multimodal family now
+  * round-trips real container bytes end-to-end. The DuckDB oracles replay
+  * the container-construction arithmetic from the source columns, so a
+  * single endianness, offset, stride, interleave, or row-order bug in
+  * either the writer or the parser breaks the hash.
   */
 object MultimodalOps {
 
@@ -69,6 +72,36 @@ object MultimodalOps {
       */
     def stride(w: Int): Int = ((w * 3 + 3) / 4) * 4
 
+    /** Frame count of a synthesized WAV payload — bounded and deterministic
+      * from the fixture column so the oracle can predict body length.
+      */
+    def pcmFrames(nChars: Long): Int = (nChars % 97).toInt + 32
+
+    /** Deterministic interleaved s16le PCM (real WAV data layout): the
+      * sample at (frame f, channel c) is the closed form
+      * `((docId·31 + 7f + 13c) mod 4096) − 2048`, stored little-endian
+      * two's-complement at byte offset (f·channels + c)·2. Every operand is
+      * non-negative before the subtraction, so Scala's `%` and SQL's `%`
+      * agree and the DuckDB oracle can replay every sample without reading
+      * binary.
+      */
+    def pcm(docId: Long, frames: Int, channels: Int): Array[Byte] = {
+      val out = new Array[Byte](frames * channels * 2)
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < channels) {
+          val v = ((docId * 31L + 7L * f + 13L * c) % 4096L).toInt - 2048
+          val off = (f * channels + c) * 2
+          out(off) = (v & 0xff).toByte
+          out(off + 1) = ((v >> 8) & 0xff).toByte
+          c += 1
+        }
+        f += 1
+      }
+      out
+    }
+
     /** Deterministic 24bpp BOTTOM-UP padded raster (real BMP layout):
       * storage row r holds image row y = h−1−r; byte at image position
       * (x, y, channel c∈{B,G,R}) is `(docId + 7x + 13y + 31c) mod 256`,
@@ -98,9 +131,9 @@ object MultimodalOps {
     /** Deterministic fixture → container mapping (the oracle's contract):
       * doc_id % 3 = 0 → BMP with width = n_chars % 96 + 16, height =
       * doc_id % 64 + 16 over a real [[raster]] body; = 1 → 16-bit WAV with
-      * sampleRate = 8000 + (n_chars % 8) * 4000, channels = 1 + doc_id % 2;
-      * = 2 → bare bytes (no container — exercises the decoder's
-      * unknown-format fallback).
+      * sampleRate = 8000 + (n_chars % 8) * 4000, channels = 1 + doc_id % 2,
+      * over a real [[pcm]] body of [[pcmFrames]] frames; = 2 → bare bytes
+      * (no container — exercises the decoder's unknown-format fallback).
       *
       * CONTENT-DEPENDENT INVARIANT (not structural): the m1/m3/m4 oracles
       * pin modality by doc_id % 3, while [[MagicDecoder]] dispatches on
@@ -118,7 +151,10 @@ object MultimodalOps {
         case 0 =>
           val (w, h) = ((nChars % 96).toInt + 16, (docId % 64).toInt + 16)
           bmp(w, h, raster(docId, w, h))
-        case 1 => wav(8000 + (nChars % 8).toInt * 4000, 1 + (docId % 2).toInt, 16, body)
+        case 1 =>
+          val ch = 1 + (docId % 2).toInt
+          wav(8000 + (nChars % 8).toInt * 4000, ch, 16,
+            pcm(docId, pcmFrames(nChars), ch))
         case _ => body
       }
   }
@@ -187,13 +223,13 @@ object MultimodalOps {
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
       |  CASE doc_id % 3
       |    WHEN 0 THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
-      |    WHEN 1 THEN 44 + octet_length(encode(text))
+      |    WHEN 1 THEN 44 + (n_chars % 97 + 32) * (1 + doc_id % 2) * 2
       |    ELSE octet_length(encode(text)) END AS n_bytes,
       |  CASE WHEN doc_id % 3 = 0 THEN n_chars % 96 + 16 END AS width,
       |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 16 END AS height,
       |  CASE WHEN doc_id % 3 = 1 THEN 8000 + (n_chars % 8) * 4000 END AS sample_rate,
       |  CASE doc_id % 3 WHEN 0 THEN 1
-      |                  WHEN 1 THEN octet_length(encode(text)) // ((1 + doc_id % 2) * 2)
+      |                  WHEN 1 THEN n_chars % 97 + 32
       |                  ELSE (octet_length(encode(text)) + 63) // 64 END AS n_frames
       |FROM documents""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -277,7 +313,7 @@ object MultimodalOps {
       |  FROM dims)
       |SELECT d.doc_id, img.src_width, img.width, img.height,
       |  CASE WHEN d.doc_id % 3 = 0 THEN img.n_bytes
-      |       WHEN d.doc_id % 3 = 1 THEN 44 + octet_length(encode(d.text))
+      |       WHEN d.doc_id % 3 = 1 THEN 44 + (d.n_chars % 97 + 32) * (1 + d.doc_id % 2) * 2
       |       ELSE octet_length(encode(d.text)) END AS n_bytes,
       |  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
       |  img.thumb_digest
@@ -352,6 +388,93 @@ object MultimodalOps {
     }
   }
 
+  /** Per-channel audio feature row from a decoded PCM body — the
+    * integer-exact statistics (peak amplitude, energy = Σ sample²) that
+    * make the oracle a closed-form replay rather than a float tolerance.
+    */
+  final case class AudioStats(doc_id: Long, channel: Long, n_frames: Long,
+      peak: Long, energy: Long)
+
+  /** WAV sample-layer decode — pure JVM, no audio libs: parse channels /
+    * bits / dataSize out of the canonical header, then walk the interleaved
+    * s16le frames accumulating per-channel peak and energy. Non-WAV (and
+    * non-16-bit) payloads contribute nothing. One pass over the body per
+    * payload, O(channels) accumulator state.
+    */
+  object AudioFeatures {
+    private def le16(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    private def isWav(p: Array[Byte]): Boolean =
+      p.length >= 44 &&
+        "RIFF".indices.forall(i => p(i) == "RIFF".charAt(i).toByte) &&
+        "WAVE".indices.forall(i => p(8 + i) == "WAVE".charAt(i).toByte)
+
+    def channelStats(docId: Long, p: Array[Byte]): Iterator[AudioStats] = {
+      if (!isWav(p) || le16(p, 34) != 16) return Iterator.empty
+      val channels = le16(p, 22)
+      val blockAlign = le16(p, 32) // channels * 2 for s16
+      val frames = (le32(p, 40) / blockAlign).toInt
+      val peak = new Array[Long](channels)
+      val energy = new Array[Long](channels)
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < channels) {
+          val off = 44 + (f * channels + c) * 2
+          // little-endian signed 16-bit: low byte unsigned, high byte signed
+          val v = ((p(off + 1).toInt << 8) | (p(off) & 0xff)).toLong
+          val a = math.abs(v)
+          if (a > peak(c)) peak(c) = a
+          energy(c) += v * v
+          c += 1
+        }
+        f += 1
+      }
+      (0 until channels).iterator.map(c =>
+        AudioStats(docId, c.toLong, frames.toLong, peak(c), energy(c)))
+    }
+  }
+
+  /** m5: per-channel audio FEATURE EXTRACTION over the decoded PCM sample
+    * layer — the audio analogue of m4's pixel-level work, completing the
+    * multimodal family's "every layer real" contract: header fields (m1),
+    * frame fan-out (m2), signature census (m3), raster resample (m4), and
+    * now sample-level statistics. Peak and energy are exact integers (s16
+    * samples, BIGINT sums), so the oracle replays the closed-form sample
+    * field `((doc_id·31 + 7f + 13c) mod 4096) − 2048` per (frame, channel)
+    * and the hash pins every byte of the interleave/endianness path — a
+    * swapped channel, a sign-extension bug, or an off-by-one frame count
+    * all break it.
+    *
+    * Scale shape: one pipelined map stage, shuffle-free (PlanShapeSpec);
+    * blobs never leave the executor and the output is ≤ 2 narrow rows per
+    * audio item. This is the fingerprint/loudness pre-pass an audio lake
+    * runs before any model sees a waveform.
+    */
+  val m5 = Q(
+    "m5_audio_features",
+    """WITH aud AS (
+      |  SELECT doc_id, n_chars % 97 + 32 AS nf, 1 + doc_id % 2 AS nch
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |fr AS (SELECT doc_id, nch, unnest(generate_series(0, nf - 1)) AS f FROM aud),
+      |sm AS (SELECT doc_id, f, unnest(generate_series(0, nch - 1)) AS c FROM fr),
+      |v AS (SELECT doc_id, c, ((doc_id * 31 + 7 * f + 13 * c) % 4096) - 2048 AS v
+      |      FROM sm)
+      |SELECT doc_id, c AS channel, count(*) AS n_frames,
+      |  max(abs(v))::BIGINT AS peak, sum(v * v)::BIGINT AS energy
+      |FROM v GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    withPayloads(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        AudioFeatures.channelStats(id, payload)
+      })
+      .toDF()
+  }
+
   /** Little-endian integer read over a binary column as a pure Catalyst
     * expression (hex → conv per byte) — header fields parsed at the scan
     * without any closure.
@@ -380,10 +503,10 @@ object MultimodalOps {
       |  count(*) AS n_items,
       |  sum(CASE doc_id % 3
       |        WHEN 0 THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
-      |        WHEN 1 THEN 44 + octet_length(encode(text))
+      |        WHEN 1 THEN 44 + (n_chars % 97 + 32) * (1 + doc_id % 2) * 2
       |        ELSE octet_length(encode(text)) END)::BIGINT AS total_bytes,
       |  sum(CASE doc_id % 3 WHEN 0 THEN 1
-      |                      WHEN 1 THEN octet_length(encode(text)) // ((1 + doc_id % 2) * 2)
+      |                      WHEN 1 THEN n_chars % 97 + 32
       |                      ELSE (octet_length(encode(text)) + 63) // 64 END)::BIGINT AS total_frames
       |FROM documents
       |GROUP BY 1""".stripMargin) { (s, dir) =>
@@ -404,5 +527,5 @@ object MultimodalOps {
         sum(col("n_frames")).as("total_frames"))
   }
 
-  val all: Seq[Q] = Seq(m1, m2, m3, m4)
+  val all: Seq[Q] = Seq(m1, m2, m3, m4, m5)
 }

@@ -77,6 +77,35 @@ class MultimodalFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("PCM writer/decoder round-trip equals the closed-form sample statistics") {
+    import graft.multimodal.MultimodalOps.AudioFeatures
+    // independent reference: compute peak/energy straight from the closed
+    // form, never touching bytes — catches interleave, endianness, and
+    // sign-extension bugs in either the writer or the reader
+    def ref(docId: Long, frames: Int, channels: Int): Seq[(Long, Long, Long, Long, Long)] =
+      (0 until channels).map { c =>
+        val samples = (0 until frames).map(f =>
+          ((docId * 31L + 7L * f + 13L * c) % 4096L) - 2048L)
+        (docId, c.toLong, frames.toLong,
+          samples.map(math.abs).max, samples.map(v => v * v).sum)
+      }
+    val rng = new scala.util.Random(0x9e37L)
+    val cases = (1 to 10).map(_ =>
+      (rng.nextInt(100000).toLong, 1 + rng.nextInt(200), 1 + rng.nextInt(2))) ++
+      Seq((0L, 1, 1), (4096L, 32, 2), (65L, 128, 2)) // edge: min frames, doc_id mod boundary
+    for ((docId, frames, channels) <- cases) {
+      val payload = MediaContainers.wav(8000, channels, 16,
+        MediaContainers.pcm(docId, frames, channels))
+      val got = AudioFeatures.channelStats(docId, payload)
+        .map(a => (a.doc_id, a.channel, a.n_frames, a.peak, a.energy)).toSeq
+      assert(got === ref(docId, frames, channels), s"docId=$docId f=$frames ch=$channels")
+    }
+    // non-audio payloads contribute nothing
+    assert(AudioFeatures.channelStats(1L, "just text".getBytes("UTF-8")).isEmpty)
+    assert(AudioFeatures.channelStats(3L,
+      MediaContainers.bmp(16, 16, MediaContainers.raster(3L, 16, 16))).isEmpty)
+  }
+
   test("small images pass through unchanged; malformed bodies pass through unchanged") {
     val small = MediaContainers.bmp(64, 40, MediaContainers.raster(1L, 64, 40))
     assert(Thumbnailer.resize(small) eq small)

@@ -300,6 +300,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "media decode must be pipelined map stages with zero exchanges")
   }
 
+  test("m5: PCM decode + per-channel stats is shuffle-free (samples never leave the executor)") {
+    val df = graft.multimodal.MultimodalOps.m5.fn(spark, sf)
+    val shuffles = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      "audio feature extraction must be pipelined map stages with zero exchanges " +
+        "(per-channel accumulation happens inside the decode closure, not in an agg)")
+  }
+
   test("m3: header sniff shuffles only the 3-key census agg, never payload bytes") {
     val df = graft.multimodal.MultimodalOps.m3.fn(spark, sf)
     val shuffles = allNodes(df.queryExecution.executedPlan)
