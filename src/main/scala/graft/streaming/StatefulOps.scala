@@ -107,6 +107,35 @@ object StatefulOps {
       .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
   }
 
+  /** Stream-stream interval join feeding a DOWNSTREAM windowed aggregation
+    * in the SAME streaming query — two stateful operators chained
+    * join→window (st17 chains window→window; this is the other composite
+    * shape, the "join the firehose, then rate it" pipeline). Spark runs it
+    * via watermark PROPAGATION (SPARK-42376): the aggregation cannot use
+    * the raw source watermark, because the join keeps emitting pairs whose
+    * event time lags it by up to the 1-hour join interval — so the
+    * simulated output watermark of the join (min over sides, minus the
+    * interval) is what gates the agg's late filter and window eviction.
+    * Per-operator watermarking would finalize windows while the join can
+    * still emit into them, losing pairs; st21's oracle-gated replay is
+    * exactly the proof that the propagated value decides.
+    */
+  def joinWindowCounts(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("error_id"))
+      .withWatermark("e_ts", "10 minutes")
+    errors.join(clicks,
+      col("c_user") === col("e_user") &&
+        col("c_ts") <= col("e_ts") && col("c_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(window(col("e_ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("error_id") + col("click_id")).as("id_checksum"))
+      .select(col("window.start").as("window_start"), col("n_pairs"), col("id_checksum"))
+  }
+
   /** STREAMING normalized dedup — the reference's north-star dedup applied
     * to a document stream: each doc is fingerprinted with the SAME
     * order-insensitive token-set md5 the batch family uses (d2 census, d8

@@ -566,7 +566,194 @@ object StreamingQueries {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** st21: watermark PROPAGATION through a stream-stream join into a
+    * downstream windowed aggregation — the one composite streaming shape
+    * not yet oracle-gated (st17 chains window→window; st1–st4/st16 end at
+    * the join). One streaming query runs interval-join THEN 6-hour window
+    * counts over the joined pairs ([[StatefulOps.joinWindowCounts]]),
+    * replayed with st16's OUT-OF-ORDER chunk rule (every 5th click held
+    * back to batch 3) so the row certifies propagation under late data,
+    * not just plumbing:
+    *
+    *   - the JOIN's late filter drops held-back clicks with
+    *     c_ts < W = min-over-sides max(batches ≤ 1) − 10 min (st16's
+    *     certified rule), so the window counts are the batch join MINUS
+    *     late-click pairs — modeled verbatim in the oracle;
+    *   - the AGGREGATION must accept every pair the join emits at batch 3
+    *     (e_ts ≥ c_ts ≥ W). That only works because Spark feeds the agg
+    *     the join's SIMULATED OUTPUT watermark (source watermark − the
+    *     1-hour join interval, SPARK-42376) with the SPARK-40925 one-batch
+    *     lag: the agg's batch-3 late filter is exactly batch 2's eviction
+    *     watermark, so an accepted pair always finds its window still
+    *     live. Were the agg gated per-operator on the raw source
+    *     watermark, windows with end ∈ (W − 1 h, W] would already be
+    *     finalized when the late pairs arrive and the counts would come up
+    *     short — a hash mismatch. StreamingOpsSpec additionally pins the
+    *     in-order composite against the full batch answer and asserts the
+    *     two differ (no degeneracy into st6's event windows or st16's
+    *     pair list).
+    */
+  val st21 = Q("st21_stream_join_window",
+    """WITH b AS (SELECT epoch_ms(min(ts)) AS mn, epoch_ms(max(ts)) AS mx FROM events),
+      |tagged AS (
+      |  SELECT e.*, CASE WHEN event_type = 'click' AND event_id % 5 = 0 THEN 3
+      |    ELSE least(2, ((epoch_ms(ts) - mn) * 3) // greatest(mx - mn + 1, 1)) END AS batch
+      |  FROM events e CROSS JOIN b),
+      |wm AS (SELECT least(
+      |    (SELECT max(epoch_ms(ts)) FROM tagged WHERE event_type = 'click' AND batch <= 1),
+      |    (SELECT max(epoch_ms(ts)) FROM tagged WHERE event_type = 'error' AND batch <= 1))
+      |  - 600000 AS w),
+      |pairs AS (
+      |  SELECT e.event_id AS error_id, c.event_id AS click_id, e.ts AS e_ts
+      |  FROM events e JOIN events c
+      |    ON c.event_type = 'click' AND e.event_type = 'error'
+      |   AND c.user_id = e.user_id
+      |   AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+      |  CROSS JOIN wm
+      |  WHERE NOT (c.event_id % 5 = 0 AND epoch_ms(c.ts) < wm.w))
+      |SELECT time_bucket(INTERVAL 6 HOUR, e_ts) AS window_start,
+      |  count(*) AS n_pairs, sum(error_id + click_id)::BIGINT AS id_checksum
+      |FROM pairs GROUP BY 1""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "append", chunks = 4,
+      chunkBy = Some((mn, mx) => {
+        val span = math.max(1L, mx - mn + 1)
+        when(col("event_type") === "click" && col("event_id") % 5 === 0, lit(3))
+          .otherwise(least(lit(2), expr(s"(unix_millis(ts) - ${mn}L) * 3L div ${span}L")))
+      }))(
+      StatefulOps.joinWindowCounts)
+  }
+
+  /** st22: SESSION-WINDOW MERGE under out-of-order arrival — the defining
+    * stateful behavior of `session_window` that st7's in-order replay can
+    * never reach: a late-arriving event BRIDGING two previously-separate
+    * OPEN sessions into one merged extent.
+    *
+    * The replay plants, per user with `user_id % 10 = 0`, three synthetic
+    * events A/B/C at max(ts) + 1h/+1h20/+1h40 — consecutive gaps 20 min
+    * (< the 30 min session gap), outer gap 40 min (≥ gap). A and C arrive
+    * in batch 0 and stand in state as TWO separate open sessions
+    * ([A, A+30) and [C, C+30)); the bridge B is held back to batch 1
+    * (arriving AFTER the later-timestamped C — genuine out-of-order
+    * arrival, though never late: batch 1's late filter is the batch −1
+    * watermark, which does not exist yet, SPARK-40925). The store must
+    * merge all three into one session [A, C+30). Two batches by design:
+    * no eviction can run before the bridge arrives (the batch-0 eviction
+    * watermark is also the nonexistent batch −1 value), so the fragments
+    * are provably OPEN at merge time — and the oracle is then exactly the
+    * batch gaps-and-islands rule over events + synthetics (st7's SQL with
+    * the synthetic rows replayed in a CTE). StreamingOpsSpec asserts ≥ 1
+    * merge actually happened: the final session count is strictly BELOW
+    * the bridge-less answer's, and every planted user's triple lands in
+    * ONE n=3 session.
+    */
+  val st22 = Q("st22_stream_session_merge",
+    """WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events),
+      |su AS (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0),
+      |synth AS (
+      |  SELECT 20000000 + user_id * 3 + g.i AS event_id,
+      |    make_timestamp(m + 3600000000 + g.i * 1200000000::BIGINT) AS ts,
+      |    user_id
+      |  FROM su CROSS JOIN mx
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) g),
+      |prepped AS (
+      |  SELECT event_id, ts, user_id FROM events
+      |  UNION ALL SELECT event_id, ts, user_id FROM synth),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM prepped
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_no
+      |  FROM flagged)
+      |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, count(*) AS n
+      |FROM sessions GROUP BY user_id, session_no""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "append", chunks = 2,
+      sentinelTypes = Seq(SentinelType),
+      prep = df => df.unionByName(sessionBridgeSynthetics(df)),
+      chunkBy = Some((_, _) =>
+        when(col("props") === "__bridge__", lit(1)).otherwise(lit(0))))(
+      StatefulOps.sessionCounts)
+      .filter(col("user_id") >= 0)
+  }
+
+  /** st22's planted A/B/C triples (see [[st22]]): microsecond-exact offsets
+    * from max(ts) so the DuckDB oracle can regenerate the identical rows.
+    */
+  def sessionBridgeSynthetics(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mxUs = events.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    events.filter(col("user_id") % 10 === 0).select("user_id").distinct()
+      .crossJoin(events.sparkSession.range(0, 3).toDF("i"))
+      .select(
+        (lit(20000000L) + col("user_id") * 3 + col("i")).as("event_id"),
+        timestamp_micros(lit(mxUs + 3600000000L) + col("i") * lit(1200000000L)).as("ts"),
+        col("user_id"),
+        lit("view").as("event_type"),
+        lit(0.0).as("value"),
+        when(col("i") === 1, lit("__bridge__")).otherwise(lit("__syn__")).as("props"))
+      .select(events.columns.map(col).toSeq: _*)
+  }
+
+  /** st23: UPDATE-mode WINDOWED aggregation — the last empty cell of the
+    * output-mode × window matrix (append = st6, complete = st14; update was
+    * only certified on non-windowed totals st5/st9/st10). Update mode
+    * emits, per micro-batch, the CURRENT cumulative value of every window
+    * changed in that batch — so a window touched by three batches emits
+    * three successively larger rows, and the final answer is the LAST
+    * emission per window key. The sink tags each batch's rows with its
+    * batch id (sinkEnrich) and the harness result is assembled as
+    * max_by(value, batch_id) per (window, type) — the update-mode
+    * re-emission discipline st14's snapshot logic uses, keyed instead of
+    * whole-result. The oracle is st6's batch relation — deliberately: what
+    * this row certifies is the MACHINERY (per-batch changed-set emission,
+    * state carried across batches, last-write-wins assembly), and
+    * StreamingOpsSpec asserts intermediate emissions existed (total
+    * emitted rows strictly exceed distinct window keys) so the mode is
+    * provably exercised, not short-circuited.
+    *
+    * Replay geometry: the default equal-width chunks are ~7.5 days wide
+    * vs 6-hour windows, so in time order nearly every window lands whole
+    * inside one batch and would emit exactly once — silently degenerating
+    * to a per-window single shot. The chunk rule therefore bumps every
+    * 5th event ONE batch later than its time-range quarter: under the
+    * SPARK-40925 two-watermark lag the bumped rows are never late (their
+    * ts exceeds the preceding quarter's max, which is exactly the
+    * late-filter value at their arrival batch) and their windows are
+    * still live (eviction trails by the same margin), so most windows
+    * are now touched by two batches — two update emissions — while the
+    * final values still equal the batch answer exactly.
+    */
+  val st23 = Q("st23_stream_update_windows",
+    """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val perBatch = replayEvents(s, dir, "update", chunks = 5,
+      sentinelTypes = Seq(SentinelType),
+      chunkBy = Some(st23ChunkRule),
+      sinkEnrich = Some((b, bid) => b.withColumn("__bid", lit(bid))))(
+      StatefulOps.windowedCounts)
+    perBatch.filter(col("event_type") =!= SentinelType)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(expr("max_by(n, __bid)").as("n"),
+        expr("max_by(total_value, __bid)").as("total_value"))
+  }
+
+  /** st23's chunk rule (see there): time-range quarter + one-batch bump for
+    * every 5th event — exposed so the suite replays the identical geometry.
+    */
+  val st23ChunkRule: (Long, Long) => org.apache.spark.sql.Column = (mn, mx) => {
+    val span = math.max(1L, mx - mn + 1)
+    least(lit(3), expr(s"(unix_millis(ts) - ${mn}L) * 4L div ${span}L")) +
+      when(col("event_id") % 5 === 0, lit(1)).otherwise(lit(0))
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
-      st14, st15, st16, st17, st18, st19, st20)
+      st14, st15, st16, st17, st18, st19, st20, st21, st22, st23)
 }

@@ -625,6 +625,142 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(fates("reemit") > 0 && streamed.count(_._3 == "__dup__") === fates("reemit"))
   }
 
+  test("st21 join->window composite: propagated watermark accepts late pairs, join drops still flow through") {
+    import org.apache.spark.sql.functions._
+    def resultSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+
+    // 1. registered (out-of-order) composite
+    val streamed = resultSet(
+      graft.streaming.StreamingQueries.st21.fn(spark, GraftTestSpark.sf).collect())
+
+    // independent model: full batch interval join minus pairs whose click is
+    // late under st16's certified watermark rule, then 6h-windowed
+    val ev = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head
+    val (mn, mx) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val span = math.max(1L, mx - mn + 1)
+    val tagged = ev.withColumn("batch",
+      when(col("event_type") === "click" && col("event_id") % 5 === 0, lit(3))
+        .otherwise(least(lit(2), expr(s"(unix_millis(ts) - ${mn}L) * 3L div ${span}L"))))
+    def sideMax(t: String) = tagged
+      .filter(col("event_type") === t && col("batch") <= 1)
+      .agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val w = math.min(sideMax("click"), sideMax("error")) - 600000L
+
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("ts").as("ets"), col("event_id").as("error_id"))
+    val full = errors.join(clicks,
+      col("cu") === col("eu") && col("cts") <= col("ets") &&
+        col("cts") >= col("ets") - expr("INTERVAL 1 HOUR"))
+    def windowed(pairs: org.apache.spark.sql.DataFrame) = resultSet(pairs
+      .groupBy(window(col("ets"), "6 hours"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("error_id") + col("click_id")).as("id_checksum"))
+      .select(col("window.start"), col("n_pairs"), col("id_checksum")).collect())
+    val modeled = windowed(full.filter(
+      !(col("click_id") % 5 === 0 && unix_millis(col("cts")) < w)))
+    val allPairs = windowed(full)
+
+    assert(streamed === modeled,
+      "join->window composite diverged from join-minus-late-pairs, windowed")
+    assert(streamed !== allPairs,
+      "out-of-order replay produced no propagated drops — st21 degenerated to the in-order composite")
+
+    // 2. in-order composite == full batch answer (nothing late by harness
+    // construction) — and the propagated-watermark acceptance is what lets
+    // every eagerly-emitted pair land in a still-live window
+    val inOrder = resultSet(graft.streaming.ReplayHarness.replayEvents(
+      spark, GraftTestSpark.sf, "append")(
+      graft.streaming.StatefulOps.joinWindowCounts).collect())
+    assert(inOrder === allPairs, "in-order composite must equal the full batch join, windowed")
+
+    // 3. no degeneracy vs the neighboring certified rows: the pair-window
+    // relation is neither st6's event windows nor st16's flat pair list
+    val st6Windows = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type")).count().count()
+    assert(streamed.map(_._2).sum < full.count(),
+      "windowed pair counts must reflect join drops, not raw pair volume")
+    assert(streamed.size != st6Windows,
+      "st21 must aggregate joined pairs, not raw events")
+  }
+
+  test("st22 late bridge merges two previously-open sessions (count strictly below bridge-less)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = graft.streaming.StreamingQueries.st22.fn(spark, GraftTestSpark.sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+
+    // independent batch gaps-and-islands over events + synthetics
+    val ev = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+    val synth = graft.streaming.StreamingQueries.sessionBridgeSynthetics(ev)
+    def sessions(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      df.withColumn("ns",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sn", sum(col("ns")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sn"))
+        .agg(min(col("ts")).as("session_start"),
+          (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("session_end"),
+          count(lit(1)).as("n"))
+    }
+    val full = sessions(ev.unionByName(synth))
+    val modeled = full
+      .select(col("session_start"), col("session_end"), col("user_id"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === modeled, "streaming session merge diverged from the batch gap rule")
+
+    // >=1 merge happened: removing the bridges leaves strictly MORE sessions
+    // (each bridge fused two open fragments; none opened a session of its own)
+    val withoutBridges = sessions(
+      ev.unionByName(synth.filter(col("props") =!= "__bridge__"))).count()
+    val nUsers = synth.select("user_id").distinct().count()
+    assert(nUsers > 0, "no synthetic users planted — st22 degenerated to st7")
+    assert(full.count() === withoutBridges - nUsers,
+      s"expected exactly one merge per planted user ($nUsers), " +
+        s"got ${withoutBridges - full.count()}")
+
+    // every planted triple landed in ONE merged n=3 session spanning A..C+30
+    val planted = streamed.filter { case (_, _, u, n) => u % 10 == 0 && n == 3 }
+    assert(planted.size.toLong === nUsers,
+      s"each planted user must end with one merged 3-event session, got ${planted.size}/$nUsers")
+  }
+
+  test("st23 update mode emits intermediate window values; last emission wins") {
+    import org.apache.spark.sql.functions._
+    // replicate st23's replay but keep the raw per-batch emissions
+    val perBatch = graft.streaming.ReplayHarness.replayEvents(
+      spark, GraftTestSpark.sf, "update", chunks = 5,
+      sentinelTypes = Seq(graft.streaming.ReplayHarness.SentinelType),
+      chunkBy = Some(graft.streaming.StreamingQueries.st23ChunkRule),
+      sinkEnrich = Some((b, bid) => b.withColumn("__bid", lit(bid))))(
+      graft.streaming.StatefulOps.windowedCounts)
+      .filter(col("event_type") =!= graft.streaming.ReplayHarness.SentinelType)
+      .cache()
+    try {
+      val emissions = perBatch.count()
+      val keys = perBatch.select("window_start", "event_type").distinct().count()
+      assert(emissions > keys,
+        s"update mode must re-emit changed windows across batches ($emissions emissions, $keys keys)")
+      // last-emission assembly equals the batch answer
+      val assembled = perBatch.groupBy(col("window_start"), col("event_type"))
+        .agg(expr("max_by(n, __bid)").as("n"), expr("max_by(total_value, __bid)").as("total_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start"), col("event_type"), col("n"), col("total_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(assembled === batch, "last-emission-per-window must equal the batch aggregate")
+    } finally { perBatch.unpersist(); () }
+  }
+
   test("st16 late clicks lose their joins; on-time held-back clicks still join") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.StreamingQueries.st16.fn(spark, GraftTestSpark.sf)
