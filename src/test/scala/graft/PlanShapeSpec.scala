@@ -92,6 +92,46 @@ class PlanShapeSpec extends AnyFunSuite {
         "residual is a join condition, not a nested-loop driver)")
   }
 
+  test("q62 at scale: semi/anti degrade to shuffle joins on l_orderkey, never BNLJ") {
+    // At sf0.01 the planner broadcasts lineitem as the semi/anti build side —
+    // fine at fixture scale, impossible at 100 TB. Shrinking the broadcast
+    // thresholds simulates the at-scale planner: the stacked quantifiers
+    // must survive as SHUFFLE joins riding the l_orderkey equi key (the
+    // l_suppkey <> residual as a join condition), with no
+    // BroadcastNestedLoopJoin fallback anywhere in the plan.
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = RelationalQueries.q62.fn(spark, sf)
+      df.collect()
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val p = nodes.mkString("\n")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "with broadcasts off, the quantifiers must not fall back to a nested loop")
+      val joins = nodes.collect { case j: BaseJoinExec => j }
+      def shuffled(t: String) = joins.filter(_.joinType.toString == t)
+      for (t <- Seq("LeftSemi", "LeftAnti")) {
+        val js = shuffled(t)
+        assert(js.nonEmpty, s"expected a $t join in the plan")
+        js.foreach { j =>
+          assert(j.isInstanceOf[SortMergeJoinExec] || j.isInstanceOf[ShuffledHashJoinExec],
+            s"$t must plan as a shuffle join at scale, got ${j.nodeName}")
+          assert(j.leftKeys.map(_.sql).mkString(",").contains("l_orderkey"),
+            s"$t must key on l_orderkey, got ${j.leftKeys.map(_.sql)}")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("q9: tiny band table plans as broadcast nested loop, fact not shuffled") {
     val p = plan(RelationalQueries.q9)
     assert(p.contains("BroadcastNestedLoopJoin"))
