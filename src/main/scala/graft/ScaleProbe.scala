@@ -400,6 +400,41 @@ object ScaleProbe {
       (k, t)
     }
 
+    // mmr k-ladder: mmrRerank over a FIXED depth-24 candidate pool at
+    // k = 5/10/20 — prices the O(q·k²) claim (SimilarityOps.mmrRerank
+    // scaladoc) in isolation from candidate generation. Two cost terms:
+    // per-round fixed driver/DAG overhead (linear in k — each round is two
+    // jobs over a <=q*24-row frontier) and the rem x selected scoring join
+    // (quadratic in k). At fixture pool sizes the fixed term dominates, so
+    // measured growth should be ~LINEAR in k, bounding the claimed
+    // quadratic from below; the quadratic term only surfaces at pool
+    // sizes x query counts where q*k² rows outweigh per-job overhead.
+    val mmrR = {
+      val ks = if (phase == "all" || phase == "mmr") Seq(5, 10, 20) else Seq.empty[Int]
+      if (ks.isEmpty) Seq.empty[(Int, Double)]
+      else {
+        val pool = graft.operators.SimilarityOps.mmrCandidatePool(spark, dir, 24)
+          .cache()
+        pool.count()
+        // untimed warmup: JIT + codegen compile the whole round pipeline
+        // once, so first-rung bias can't masquerade as k-scaling
+        graft.operators.SimilarityOps.mmrRerank(pool, 3)
+          .write.format("noop").mode("overwrite").save()
+        val out = ks.map { k =>
+          def once = time {
+            graft.operators.SimilarityOps.mmrRerank(pool, k)
+              .write.format("noop").mode("overwrite").save()
+          }
+          val t = math.min(once, once) // best of 2: driver-launched rounds
+          System.gc()                  // are contention-sensitive on this box
+          System.err.println(f"[scale] mmr k=$k%2d  $t%6.2f s (fixed 24-deep pool)")
+          (k, t)
+        }
+        pool.unpersist()
+        out
+      }
+    }
+
     // e7 materialization rung: the SAME bm25 pipeline with the inverted
     // index pinned via localCheckpoint (lineage-free executor blocks; dies
     // with an executor) vs written-to-parquet-and-read-back (the reliable
@@ -448,6 +483,8 @@ object ScaleProbe {
       s""""bm25_${k}x":{"bm25":$t}"""
     } ++ bpeR.map { case (k, t) =>
       s""""bpe_${k}x":{"bpe5":$t}"""
+    } ++ mmrR.map { case (k, t) =>
+      s""""mmr_k$k":{"mmr":$t}"""
     } ++ e7Mat.map { case (k, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""e7mat_${k}x":{""", ",", "}")

@@ -552,21 +552,31 @@ object SimilarityOps {
          |  WHERE rnk = 1),
          |$roundCtes
          |SELECT qid, sel_round, doc_id, rel FROM sel$MmrPicks""".stripMargin) { (s, dir) =>
-      val e = withNorm(s, dir)
-      val q = e.filter(col("vec_id") < 3)
-        .selectExpr("vec_id AS qid", "embedding AS qemb", "nrm AS qnrm")
-      val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .selectExpr("qid", "vec_id AS doc_id", "embedding AS emb", "nrm AS dn",
-          s"${dotExpr("qemb", "embedding")} / (qnrm * nrm) AS cos")
-      val wCand = Window.partitionBy(col("qid"))
-        .orderBy(round(col("cos"), 4).desc, col("doc_id"))
-      val cand = pairs.withColumn("rnk", row_number().over(wCand))
-        .filter(col("rnk") <= MmrCandidates)
-        .select(col("qid"), col("doc_id"), col("emb"), col("dn"),
-          round(col("cos"), 4).as("rel"))
-      mmrRerank(cand, MmrPicks)
+      mmrRerank(mmrCandidatePool(s, dir, MmrCandidates), MmrPicks)
         .select(col("qid"), col("sel_round"), col("doc_id"), col("rel"))
     }
+  }
+
+  /** e5's candidate-pool construction at arbitrary depth — per query
+    * (vec_id < 3), the top-`depth` exact-cosine candidates with embedding
+    * and norm attached: `(qid, doc_id, emb, dn, rel)`. Exposed separately
+    * so the ScaleProbe k-ladder can hold the pool FIXED while varying
+    * [[mmrRerank]]'s k (pricing the O(q·k²) claim in isolation from
+    * candidate generation, the only corpus-sized stage).
+    */
+  def mmrCandidatePool(s: SparkSession, dir: String, depth: Int): DataFrame = {
+    val e = withNorm(s, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .selectExpr("vec_id AS qid", "embedding AS qemb", "nrm AS qnrm")
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id AS doc_id", "embedding AS emb", "nrm AS dn",
+        s"${dotExpr("qemb", "embedding")} / (qnrm * nrm) AS cos")
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 4).desc, col("doc_id"))
+    pairs.withColumn("rnk", row_number().over(wCand))
+      .filter(col("rnk") <= depth)
+      .select(col("qid"), col("doc_id"), col("emb"), col("dn"),
+        round(col("cos"), 4).as("rel"))
   }
 
   /** RRF constant (Cormack & Clarke SIGIR 2009's k = 60) and list depths. */
