@@ -284,5 +284,71 @@ object FormatQueries {
         sum(col("o_orderkey")).as("key_checksum"))
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8)
+  /** The Avro format identifier usable in THIS environment, resolved the
+    * way Spark's own `DataSource.lookupDataSource` does:
+    *
+    *   1. a `DataSourceRegister` advertising short name `avro` (the real
+    *      external `spark-avro` jar) → `"avro"`;
+    *   2. otherwise, the `AvroFileFormat` class itself. Spark 4.1 ships
+    *      the complete Avro reader/writer INSIDE spark-sql but omits the
+    *      ServiceLoader registration, so the short name throws the
+    *      "external data source module" policy error while the
+    *      fully-qualified class name loads a fully functional format —
+    *      verified by f9's oracle row in this container;
+    *   3. neither class present → None, and [[f9]] fails with an
+    *      actionable message instead of a provider-lookup stack trace
+    *      (the Kafka guard pattern, StreamSources.kafkaAvailable,
+    *      SURVEY §7.1).
+    */
+  def avroFormat: Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val loader = Thread.currentThread().getContextClassLoader
+    val registered = java.util.ServiceLoader
+      .load(classOf[org.apache.spark.sql.sources.DataSourceRegister], loader)
+      .asScala.exists(r =>
+        try r.shortName().equalsIgnoreCase("avro")
+        catch { case _: Throwable => false })
+    if (registered) Some("avro")
+    else
+      try {
+        Class.forName("org.apache.spark.sql.avro.AvroFileFormat", false, loader)
+        Some("org.apache.spark.sql.avro.AvroFileFormat")
+      } catch { case _: ClassNotFoundException => None }
+  }
+
+  def avroAvailable: Boolean = avroFormat.isDefined
+
+  /** f9: Avro round-trip of the part table — the row-oriented interchange
+    * format Kafka/Schema-Registry pipelines land (the reference deploys a
+    * Schema Registry its code never uses, docker-compose.yml:47–81; this
+    * is the batch half of that path, completing the format family:
+    * columnar ORC f3, text CSV/JSON/XML/lines f1/f2/f7/f8, row-binary
+    * Avro here). Avro's own round-trip hazards are all pinned: BIGINT and
+    * INT survive the zig-zag varint encoding (key/size checksums), DOUBLE
+    * survives the little-endian 8-byte encoding exactly (no text
+    * round-trip at all — `price_sum` must match to the bit before
+    * rounding), and strings survive UTF-8 length-prefixed encoding
+    * (portable name checksum). Format resolution via [[avroFormat]].
+    */
+  val f9 = Q(
+    "f9_avro_roundtrip",
+    s"""SELECT p_brand, count(*) AS n,
+      |  round(sum(p_retailprice), 2) AS price_sum,
+      |  sum(p_partkey)::BIGINT AS key_checksum,
+      |  sum(p_size)::BIGINT AS size_sum,
+      |  sum(${graft.core.PortableHash.duck("p_name")})::BIGINT AS name_checksum
+      |FROM part GROUP BY 1""".stripMargin) { (s, dir) =>
+    val fmt = avroFormat.getOrElse(throw new IllegalStateException(
+      "no Avro support on the classpath: need either the spark-avro module " +
+        "(short name) or spark-sql's built-in org.apache.spark.sql.avro classes"))
+    roundTrip(Tables.load(s, dir, "part"), fmt)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("p_retailprice")), 2).as("price_sum"),
+        sum(col("p_partkey")).as("key_checksum"),
+        sum(col("p_size")).cast("long").as("size_sum"),
+        sum(expr(graft.core.PortableHash.spark("p_name"))).as("name_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9)
 }
