@@ -136,6 +136,28 @@ object StatefulOps {
       .select(col("window.start").as("window_start"), col("n_pairs"), col("id_checksum"))
   }
 
+  /** Watermarked dedup feeding a DOWNSTREAM windowed aggregation in the
+    * SAME streaming query — the third composite stateful chain
+    * (join→window = [[joinWindowCounts]], window→window =
+    * [[chainedWindowCounts]]): the at-least-once firehose pattern "drop
+    * transport duplicates, then rate what's left". The dedup operator
+    * passes its input watermark through unchanged (its state horizon is
+    * the watermark itself, no event-time shift), so the aggregation
+    * finalizes off the same propagated value — but rows now reach the agg
+    * only AFTER clearing the dedup state store, so a duplicate leaking
+    * through (or a false drop) shifts a window count by exactly one and
+    * breaks the oracle hash. The ONE `withWatermark` (inside the dedup
+    * stage) governs both operators — Spark rejects redefining the
+    * watermark downstream of a stateful operator, which is itself the
+    * propagation contract this row certifies.
+    */
+  def dedupWindowCounts(events: DataFrame): DataFrame =
+    dedupWithinWatermark(events)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** STREAMING normalized dedup — the reference's north-star dedup applied
     * to a document stream: each doc is fingerprinted with the SAME
     * order-insensitive token-set md5 the batch family uses (d2 census, d8

@@ -753,7 +753,30 @@ object StreamingQueries {
       when(col("event_id") % 5 === 0, lit(1)).otherwise(lit(0))
   }
 
+  /** st24: DEDUP → WINDOWED AGGREGATION composite — with st17
+    * (window→window) and st21 (join→window) this completes the
+    * multi-stateful-operator matrix over the chains a production pipeline
+    * actually runs. The input is doubled before chunking (st8's replay:
+    * equal-ts copies always share a micro-batch, so every duplicate pair
+    * sits inside the dedup horizon); the dedup stage must drop exactly the
+    * copies and the window stage must then count each event ONCE — the
+    * oracle is st6's batch relation over the ORIGINAL events, so a single
+    * leaked duplicate or false drop moves a window count and breaks the
+    * hash. StreamingOpsSpec asserts the result differs from the
+    * doubled-input window counts (the dedup stage provably ran) and
+    * equals the original-input counts (the agg saw clean rows).
+    */
+  val st24 = Q("st24_stream_dedup_window",
+    """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    replayEvents(s, dir, "append", sentinelTypes = Seq(SentinelType),
+      prep = df => df.union(df))(
+      StatefulOps.dedupWindowCounts)
+      .filter(col("event_type") =!= SentinelType)
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
-      st14, st15, st16, st17, st18, st19, st20, st21, st22, st23)
+      st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24)
 }

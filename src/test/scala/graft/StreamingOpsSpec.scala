@@ -761,6 +761,24 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally { perBatch.unpersist(); () }
   }
 
+  test("st24 dedup->window composite: dedup stage ran, agg saw clean rows") {
+    import org.apache.spark.sql.functions._
+    def resultSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = resultSet(
+      graft.streaming.StreamingQueries.st24.fn(spark, GraftTestSpark.sf).collect())
+    val ev = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+    def windowed(df: org.apache.spark.sql.DataFrame) = resultSet(df
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start"), col("event_type"), col("n"), col("total_value"))
+      .collect())
+    assert(streamed === windowed(ev),
+      "composite must count each event once despite the doubled input")
+    assert(streamed !== windowed(ev.union(ev)),
+      "result equals the doubled-input counts — the dedup stage did not run")
+  }
+
   test("st16 late clicks lose their joins; on-time held-back clicks still join") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.StreamingQueries.st16.fn(spark, GraftTestSpark.sf)
