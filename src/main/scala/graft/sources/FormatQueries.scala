@@ -350,5 +350,66 @@ object FormatQueries {
         sum(expr(graft.core.PortableHash.spark("p_name"))).as("name_checksum"))
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9)
+  /** f10: `binaryFile` BLOB-DIRECTORY scan — the ingest shape of a real
+    * media lake, where payloads arrive as millions of individual object
+    * files, not rows in a table. The multimodal payloads (real BMP/WAV
+    * containers, MultimodalOps.withPayloads) are written one FILE per item
+    * from the executors (`foreachPartition` — the write never centralizes
+    * on the driver), then read back with Spark's `binaryFile` source:
+    * (path, length, content) rows, identity recovered from the file name,
+    * modality sniffed from the content's magic bytes with m3's codegen
+    * expressions. The census aggregate (items / bytes / id-checksum per
+    * modality) is hash-compared against DuckDB pricing every container
+    * from the fixture columns — so the row certifies the full
+    * files-to-rows path: per-file write, directory listing, content
+    * read-back byte-exactly, and filename identity.
+    *
+    * Scale shape: binaryFile packs many small files per task
+    * (maxPartitionBytes-bound listing), content stays on the executor, and
+    * the only shuffle is the 3-key census agg. At 100 TB the same plan
+    * reads an object store prefix; the per-file write side is the
+    * thumbnail/shard emitter every media pipeline already runs.
+    */
+  val f10 = Q(
+    "f10_binaryfile_scan",
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
+      |  count(*) AS n_items,
+      |  sum(CASE doc_id % 3
+      |        WHEN 0 THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
+      |        WHEN 1 THEN 44 + (n_chars % 97 + 32) * (1 + doc_id % 2) * 2
+      |        ELSE octet_length(encode(text)) END)::BIGINT AS total_bytes,
+      |  sum(doc_id)::BIGINT AS id_checksum
+      |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+    val scratch = scratchDir("graft_fmt_blobs_")
+    // wipe stale blobs: deterministic names would otherwise silently mix a
+    // previously-written corpus into this read-back
+    Option(new java.io.File(scratch).listFiles)
+      .foreach(_.foreach(f => { f.delete(); () }))
+    import s.implicits._
+    graft.multimodal.MultimodalOps.withPayloads(s, dir)
+      .as[(Long, Array[Byte])]
+      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+        it.foreach { case (id, p) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(scratch, f"doc_$id%09d.bin"), p)
+          ()
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(scratch)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("content"))
+      .select(
+        col("doc_id"),
+        expr("CASE WHEN substring(content, 1, 2) = X'424D' THEN 'image' " +
+          "WHEN substring(content, 1, 4) = X'52494646' AND substring(content, 9, 4) = X'57415645' THEN 'audio' " +
+          "ELSE 'binary' END").as("modality"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("doc_id")).as("id_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10)
 }
