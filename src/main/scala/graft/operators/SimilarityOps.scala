@@ -795,5 +795,157 @@ object SimilarityOps {
       .select(col("qid"), col("rnk"), col("doc_id"), col("score"), col("n_terms"))
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7)
+  /** PQ geometry: 64 dims = [[PqSubspaces]] × [[PqSubDim]]-dim sub-vectors,
+    * [[PqK]] centroids per subspace → one byte-sized code per subspace, an
+    * 8-byte code per vector (32× compression over 64 floats).
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqK = 16
+  val PqTopK = 5
+
+  /** Per-(vector, subspace) sub-vector rows with squared norms — one
+    * generator map stage, no shuffle; every downstream PQ stage works on
+    * these narrow rows instead of full vectors.
+    */
+  private def pqSub(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${PqSubspaces - 1}), " +
+        s"s -> struct(s AS s, slice(embedding, s * $PqSubDim + 1, $PqSubDim) AS sub))")).as("e"))
+      .selectExpr("vec_id", "e.s AS s", "e.sub AS sub", "vec_dot(e.sub, e.sub) AS sq")
+
+  /** Nearest codebook entry per (vector, subspace): scored broadcast join +
+    * top-1 window, c3's assignment discipline (raw-double distance order,
+    * cid tie-break — the ordered-fold dot makes the doubles bit-identical
+    * across engines, so no rounding is needed before the argmin).
+    */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("dist2"), col("cid"))
+    sub.join(broadcast(cb), Seq("s"))
+      .selectExpr("vec_id", "s", "cid", "sq + csq - 2 * vec_dot(sub, cent) AS dist2")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "s", "cid")
+  }
+
+  /** Per-subspace PQ codebooks `(s, cid, cent, csq)`: deterministic seeds
+    * (the 16 lowest vec_ids' sub-vectors) + ONE unrolled Lloyd round with
+    * float-cast means — exactly c3's k-means discipline applied
+    * independently in each of the 8 subspaces, so the oracle replays it
+    * set-at-a-time with `s` as data (no per-subspace unrolling).
+    */
+  def pqCodebooks(embs: DataFrame): DataFrame = {
+    val sub = pqSub(embs)
+    val seedIds = embs.orderBy(col("vec_id")).limit(PqK)
+      .select(col("vec_id").as("seed_id"))
+    val wSeed = Window.partitionBy(col("s")).orderBy(col("seed_id"))
+    val seeds = sub.join(broadcast(seedIds), col("vec_id") === col("seed_id"))
+      .select(col("s"), (row_number().over(wSeed) - 1).as("cid"),
+        col("sub").as("cent"), col("sq").as("csq"))
+    pqAssign(sub, seeds)
+      .join(sub, Seq("vec_id", "s"))
+      .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("i", "x")))
+      .groupBy(col("s"), col("cid"), col("i")).agg(avg(col("x")).cast("float").as("m"))
+      .groupBy(col("s"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)").as("cent"))
+      .selectExpr("s", "cid", "cent", "vec_dot(cent, cent) AS csq")
+  }
+
+  /** e8: PRODUCT QUANTIZATION + ADC retrieval (Jégou, Douze & Schmid,
+    * TPAMI 2011) — the missing quadrant of the ANN family: s1 is exact,
+    * s2/e4 prune WHICH vectors are scored (IVF/LSH) but still score full
+    * vectors; PQ compresses the VECTORS THEMSELVES to 8 one-byte codes and
+    * scores with asymmetric distance computation (ADC): per query, one
+    * 8×16 lookup table of exact query-sub-vector→centroid distances, then
+    * every database vector's approximate distance is just 8 table lookups
+    * summed in subspace order — no float vector is ever touched at scan
+    * time. This is the memory-bound regime's workhorse (IVF-PQ): 100 TB of
+    * float vectors become ~1.5 TB of codes that fit the page cache.
+    *
+    * Determinism end-to-end: codebooks are c3's seeded one-round Lloyd per
+    * subspace (float-cast means absorb cross-engine sum-order noise);
+    * assignments order by raw bit-identical doubles with cid tie-break;
+    * the 8-term ADC sum folds in subspace order on BOTH engines (sorted
+    * struct fold here, `list(d ORDER BY s)` there); the final ranking
+    * rounds to 4 places with doc_id tie-break. The oracle replays the
+    * whole pipeline — sub-vector slicing, seeding, the Lloyd round,
+    * encoding, LUT build, ordered ADC fold, ranking — so one wrong slice
+    * offset, mean, code, or fold order breaks the hash.
+    *
+    * Scale shape: codes are (vec_id, s, cid) scalars — the only
+    * corpus-sized relations; codebooks (128 rows) and LUTs (q×128 rows)
+    * broadcast; scoring is one equi join on (s, cid) + a per-(qid,vec)
+    * 8-row fold, linear in N·m. Nothing full-vector-sized shuffles.
+    */
+  val e8 = {
+    def dot8(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $PqSubDim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    Q(
+      "e8_pq_adc_retrieve",
+      s"""WITH sub AS (
+         |  SELECT vec_id, g.s,
+         |    list_transform(generate_series(1, $PqSubDim), i -> embedding[$PqSubDim * g.s + i]) AS sub
+         |  FROM embeddings, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
+         |subq AS (
+         |  SELECT vec_id, s, sub, ${dot8("sub", "sub")} AS sq FROM sub),
+         |seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK),
+         |seeds AS (
+         |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+         |    sub AS cent, sq AS csq
+         |  FROM subq WHERE vec_id IN (SELECT vec_id FROM seed_ids)),
+         |a1 AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT b.vec_id, b.s, c.cid,
+         |      row_number() OVER (PARTITION BY b.vec_id, b.s
+         |        ORDER BY b.sq + c.csq - 2 * ${dot8("b.sub", "c.cent")}, c.cid) AS rn
+         |    FROM subq b JOIN seeds c ON c.s = b.s) t WHERE rn = 1),
+         |upd AS (
+         |  SELECT a.s, a.cid, i.i, avg(b.sub[i.i])::FLOAT AS m
+         |  FROM a1 a JOIN subq b ON b.vec_id = a.vec_id AND b.s = a.s,
+         |    (SELECT unnest(generate_series(1, $PqSubDim)) AS i) i
+         |  GROUP BY 1, 2, 3),
+         |cb AS (
+         |  SELECT s, cid, list(m ORDER BY i) AS cent,
+         |    list_sum(list_transform(list(m ORDER BY i), x -> x::DOUBLE * x::DOUBLE)) AS csq
+         |  FROM upd GROUP BY 1, 2),
+         |codes AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT b.vec_id, b.s, c.cid,
+         |      row_number() OVER (PARTITION BY b.vec_id, b.s
+         |        ORDER BY b.sq + c.csq - 2 * ${dot8("b.sub", "c.cent")}, c.cid) AS rn
+         |    FROM subq b JOIN cb c ON c.s = b.s) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, s, sub AS qsub, sq AS qsq FROM subq WHERE vec_id < 3),
+         |lut AS (
+         |  SELECT q.qid, c.s, c.cid, q.qsq + c.csq - 2 * ${dot8("q.qsub", "c.cent")} AS d
+         |  FROM q JOIN cb c ON c.s = q.s),
+         |adist AS (
+         |  SELECT l.qid, c.vec_id, list_sum(list(l.d ORDER BY l.s)) AS dist
+         |  FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.cid AND c.vec_id <> l.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid, rnk, vec_id AS doc_id, round(dist, 4) AS adist FROM (
+         |  SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
+         |  FROM adist) t
+         |WHERE rnk <= $PqTopK""".stripMargin) { (s, dir) =>
+      val embs = Tables.load(s, dir, "embeddings")
+      val sub = pqSub(embs)
+      val cb = pqCodebooks(embs)
+      val codes = pqAssign(sub, cb)
+      val q = sub.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("s"), col("sub").as("qsub"), col("sq").as("qsq"))
+      val lut = q.join(broadcast(cb), Seq("s"))
+        .selectExpr("qid", "s", "cid", "qsq + csq - 2 * vec_dot(qsub, cent) AS d")
+      val adist = codes.join(lut, Seq("s", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(expr("aggregate(transform(array_sort(collect_list(struct(s, d))), x -> x.d), " +
+          "0D, (acc, v) -> acc + v)").as("dist"))
+      val w = Window.partitionBy(col("qid")).orderBy(round(col("dist"), 4), col("vec_id"))
+      adist.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= PqTopK)
+        .select(col("qid"), col("rnk"), col("vec_id").as("doc_id"),
+          round(col("dist"), 4).as("adist"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8)
 }

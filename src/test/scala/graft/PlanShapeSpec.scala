@@ -250,6 +250,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected AQE/statistics to choose broadcast for the small measured vocabulary")
   }
 
+  test("e8: only k-bounded PQ relations are hint-broadcast; no nested loop") {
+    val df = graft.operators.SimilarityOps.e8.fn(spark, sf)
+    // the ONLY compile-time broadcasts PQ may claim are bounded by the
+    // m x k geometry (codebooks, 128 rows) or the seed-id list (16 rows) —
+    // codes and sub-vectors are corpus-cardinality and must never be hinted
+    val hints = broadcastHints(df)
+    assert(hints.nonEmpty, "codebooks/seed ids should be explicitly broadcast")
+    hints.foreach { h =>
+      val cols = h.child.output.map(_.name)
+      assert(cols == Seq("seed_id") || cols == Seq("s", "cid", "cent", "csq"),
+        s"only the seed-id list or the (s,cid,cent,csq) codebook may be hinted, got: $cols")
+    }
+    df.collect()
+    val p = allNodes(df.queryExecution.executedPlan).mkString("\n")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "ADC scoring must ride the (s, cid) equi key")
+  }
+
   test("q45: interval join runs as bucket equi-join, never a nested loop") {
     val df = graft.operators.MiscQueries.q45.fn(spark, sf)
     df.collect()
