@@ -688,6 +688,62 @@ object TextOps {
     }
   }
 
+  /** CMS geometry for t16: ε = 1% of total token mass as the overcount
+    * bound, 99% per-query confidence, fixed seed. Spark sizes the sketch
+    * as ceil(2/ε) × ceil(ln(1−conf)/ln(0.5)) counters — ~200×7 longs,
+    * fixed regardless of corpus size.
+    */
+  val CmsEps = 0.01
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+  val CmsTopK = 20
+
+  /** t16: COUNT-MIN-SKETCH heavy hitters — the frequency sketch next to
+    * q28's HLL (distinct counting) and q39's KLL-style percentiles: a
+    * fixed-size mergeable summary that answers "how often does token X
+    * occur" over a corpus too large to exact-count cheaply. Like those
+    * rows, this is a TOLERANCE CERTIFICATE: sketch internals are
+    * engine-specific and can never hash-match an oracle, so Spark computes
+    * BOTH the exact top-[[CmsTopK]] token counts and the CMS estimate for
+    * each, and emits two verdict columns the oracle asserts literally —
+    * `ge_exact` (CMS never under-counts: every estimate is a min over
+    * counters the true count incremented) and `within_eps` (overcount
+    * ≤ ε·N with probability ≥ conf per query; at 20 queries and ε·N in
+    * the hundreds the bound holds with overwhelming margin on any seed).
+    *
+    * Scale shape: the sketch is ONE partial+final aggregate of fixed size
+    * (counter matrices sum element-wise — the mergeability that lets
+    * every shard/day keep its own sketch and the lake OR them together);
+    * the exact side exists for the certificate and rides the t-family's
+    * token shuffle. At 100 TB the production pattern keeps only the
+    * sketch + a candidate set from per-partition local top-k.
+    */
+  val t16 = Q(
+    "t16_cms_heavy_hitters",
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |SELECT tok, count(*)::BIGINT AS exact_cnt,
+       |  'ge_exact' AS lower_check, 'within_eps' AS upper_check
+       |FROM toks GROUP BY 1
+       |ORDER BY exact_cnt DESC, tok LIMIT $CmsTopK""".stripMargin) { (s, dir) =>
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val sketch = toks.agg(
+      expr(s"count_min_sketch(tok, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)").as("sk"),
+      count(lit(1)).as("total"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(CmsTopK)
+    val estimate = udf((sk: Array[Byte], tok: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sk)).estimateCount(tok))
+    top.join(broadcast(sketch))
+      .withColumn("est", estimate(col("sk"), col("tok")))
+      .select(col("tok"), col("exact_cnt"),
+        when(col("est") >= col("exact_cnt"), "ge_exact")
+          .otherwise("undercount").as("lower_check"),
+        when(col("est") <= col("exact_cnt") + ceil(lit(CmsEps) * col("total")), "within_eps")
+          .otherwise("over_eps").as("upper_check"))
+  }
+
   val all: Seq[Q] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16)
 }
