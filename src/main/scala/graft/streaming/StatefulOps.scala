@@ -365,6 +365,86 @@ object StatefulOps {
 
   final case class UserSession(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
 
+  /** transformWithState with EVENT-TIME TIMERS — the modern
+    * registerTimer/handleExpiredTimer lifecycle (successor of
+    * [[idleSessionSummaries]]'s GroupStateTimeout), emitting per-user
+    * idle-gap session summaries. GAP-AWARE WITHIN A BATCH, which is what
+    * makes the operator's output the exact gaps-and-islands relation
+    * independent of how micro-batches cut the stream (a batch spanning
+    * hours may contain several complete sessions of one user):
+    *
+    *   - handleInputRows sorts the batch's rows in event-time order, folds
+    *     them onto the open session from ValueState splitting on the
+    *     30-minute gap, EMITS every session the fold closes (closure is
+    *     proven by a later same-user event, no watermark needed), keeps
+    *     the last one open in state, and registers a timer at its
+    *     last-event-time + gap;
+    *   - handleExpiredTimer fires once the watermark passes a registered
+    *     deadline: if the CURRENT open session's deadline matches, it is
+    *     emitted and the state CLEARED — the state-lifecycle discipline
+    *     (one idle gap past the last event, never forever). Timers
+    *     registered before later events arrived fire stale; they are
+    *     recognized (expiry < current deadline, or no state) and ignored.
+    */
+  class IdleSessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserSession] {
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[UserSession] = _
+    private val GapMs = 30L * 60 * 1000
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      sess = getHandle.getValueState[UserSession]("sess",
+        Encoders.product[UserSession], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      var open = Option(sess.get())
+      sorted.foreach { e =>
+        open match {
+          case Some(cur) if e.ts.getTime >= cur.last_ts.getTime + GapMs =>
+            closed += cur // a later event proves the gap: session closed
+            open = Some(UserSession(key, 1L, e.ts))
+          case Some(cur) =>
+            open = Some(UserSession(key, cur.n_events + 1,
+              if (e.ts.after(cur.last_ts)) e.ts else cur.last_ts))
+          case None =>
+            open = Some(UserSession(key, 1L, e.ts))
+        }
+      }
+      open.foreach { cur =>
+        sess.update(cur)
+        getHandle.registerTimer(cur.last_ts.getTime + GapMs)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserSession] = {
+      val cur = sess.get()
+      if (cur != null && info.getExpiryTimeInMs >= cur.last_ts.getTime + GapMs) {
+        sess.clear()
+        Iterator.single(cur)
+      } else Iterator.empty // stale deadline from before a later event arrived
+    }
+  }
+
+  /** transformWithState wiring for [[IdleSessionProcessor]]: event-time
+    * mode (timers fire off the watermark), RocksDB-backed like every TWS
+    * operator.
+    */
+  def idleSessionsTWS(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleSessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Arbitrary state with EVENT-TIME TIMEOUT eviction: per-user idle-session
     * summary. Events accumulate silently in state; when the watermark passes
     * last-event-time + 30 minutes the timeout callback fires ONCE, emits the

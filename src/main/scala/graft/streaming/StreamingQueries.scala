@@ -776,7 +776,47 @@ object StreamingQueries {
       .filter(col("event_type") =!= SentinelType)
   }
 
+  /** st25: transformWithState EVENT-TIME TIMERS, oracle-gated — st5/st9/
+    * st10 certify TWS ValueState and the suite covers MapState/ListState/
+    * TTL, but the registerTimer → watermark → handleExpiredTimer lifecycle
+    * (the modern replacement for GroupStateTimeout) previously ran only in
+    * MemoryStream tests. [[StatefulOps.IdleSessionProcessor]] emits
+    * per-user idle-gap session summaries: intra-batch gaps close sessions
+    * in the fold (a later event proves the gap), the final open session
+    * per user closes only when the watermark drives its timer — so the
+    * sentinel flush, stale-timer suppression, and state-clear-on-fire all
+    * sit under the hash. Oracle: the exact gaps-and-islands session
+    * relation aggregated to (user, n_events, last_ts) — st7's rule through
+    * a completely different machine (timers + ValueState instead of the
+    * session-window store), certified equal on the same replay.
+    */
+  val st25 = Q("st25_stream_timer_sessions",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s2 AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_no
+      |  FROM flagged)
+      |SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+      |FROM s2 GROUP BY user_id, session_no""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    replayEvents(s, dir, "update", requireRocksDB = true,
+      sentinelTypes = Seq(SentinelType)) { df =>
+      StatefulOps.idleSessionsTWS(
+        df.select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StatefulOps.Event]).toDF
+    }
+      .filter(col("user_id") >= 0)
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
-      st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24)
+      st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25)
 }

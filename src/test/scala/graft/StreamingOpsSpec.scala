@@ -779,6 +779,36 @@ class StreamingOpsSpec extends AnyFunSuite {
       "result equals the doubled-input counts — the dedup stage did not run")
   }
 
+  test("st25 TWS timers: fold closes mid-stream sessions, timers close each user's final one") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingQueries.st25.fn(spark, GraftTestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+
+    // batch gaps-and-islands twin
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val modeled = ev.withColumn("ns",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sn", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sn"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("n_events"), col("last_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    assert(streamed === modeled, "timer-driven sessionization diverged from the batch gap rule")
+
+    // both closure paths exercised: each user's chronologically-last session
+    // can only close via a TIMER fire (no later event exists to prove its
+    // gap), and any user with >1 session had earlier ones closed by the fold
+    val users = streamed.map(_._1)
+    assert(users.nonEmpty, "no sessions emitted")
+    assert(streamed.size > users.size,
+      "every user had one session — the intra-batch fold-closure path is unexercised")
+  }
+
   test("st16 late clicks lose their joins; on-time held-back clicks still join") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.StreamingQueries.st16.fn(spark, GraftTestSpark.sf)
