@@ -198,7 +198,7 @@ object ClusterOps {
     * clustering — `a2` is the final (vec_id, cid) assignment, `e` carries
     * each vector's squared norm.
     */
-  private val duckKmeansCtes: String =
+  private[operators] val duckKmeansCtes: String =
     s"""e AS (
        |  SELECT vec_id, embedding,
        |    ${duckDot("embedding", "embedding")} AS sq

@@ -808,10 +808,15 @@ object SimilarityOps {
     * generator map stage, no shuffle; every downstream PQ stage works on
     * these narrow rows instead of full vectors.
     */
+  /** Generator expression slicing `colName` (array<float>, 64 elems) into
+    * the 8 per-subspace sub-vectors.
+    */
+  private def pqSlice(colName: String): String =
+    s"transform(sequence(0, ${PqSubspaces - 1}), " +
+      s"s -> struct(s AS s, slice($colName, s * $PqSubDim + 1, $PqSubDim) AS sub))"
+
   private def pqSub(embs: DataFrame): DataFrame =
-    embs.select(col("vec_id"), explode(expr(
-      s"transform(sequence(0, ${PqSubspaces - 1}), " +
-        s"s -> struct(s AS s, slice(embedding, s * $PqSubDim + 1, $PqSubDim) AS sub))")).as("e"))
+    embs.select(col("vec_id"), explode(expr(pqSlice("embedding"))).as("e"))
       .selectExpr("vec_id", "e.s AS s", "e.sub AS sub", "vec_dot(e.sub, e.sub) AS sq")
 
   /** Nearest codebook entry per (vector, subspace): scored broadcast join +
@@ -947,5 +952,155 @@ object SimilarityOps {
     }
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8)
+  /** Cells an e9 query probes (s2/c5's 2-probe convention). */
+  val IvfPqProbes = 2
+
+  /** e9: IVF-PQ — the production ANN index, composed from parts this
+    * engine already certifies separately: c3's coarse k-means partitions
+    * the corpus into cells (the IVF inverted lists), each vector is PQ-
+    * encoded on its RESIDUAL x − centroid(cell(x)) (residual magnitudes
+    * are much smaller than raw vectors, so the same 8-byte code carries
+    * far more precision — the reason every FAISS-style index encodes
+    * residuals), and a query probes its [[IvfPqProbes]] nearest cells,
+    * scoring ONLY their members by ADC with a per-(query, cell) lookup
+    * table built from the query's residual against that cell.
+    *
+    * Everything reuses certified machinery: the coarse quantizer is
+    * literally [[ClusterOps.finalCentroids]]/[[ClusterOps.kmeansAssign]]
+    * (c3's oracle chain, spliced into this oracle verbatim), the
+    * codebooks are [[pqCodebooks]] on the residual frame (e8's seeded
+    * Lloyd), and the scoring is e8's ordered 8-term fold. Residuals are
+    * computed element-wise as double-subtract-then-float-cast on both
+    * engines (the exact difference of two floats fits a double, so the
+    * float rounding is identical). Per-query output is the top-5 by
+    * rounded ADC distance with doc_id tie-break.
+    *
+    * Scale shape — why this is THE 100 TB read path: the corpus exists at
+    * scan time only as (vec_id, cell, 8 codes) scalars; a query touches
+    * |probed cells| / k of those rows via an equi join on the cell key;
+    * LUTs are q × probes × 128 bounded rows, broadcast; centroids and
+    * codebooks are k-bounded broadcasts. No float vector is read after
+    * the one-time encode — the index is ~32× smaller than the corpus and
+    * partition-prunable by cell.
+    */
+  val e9 = {
+    def dot8(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $PqSubDim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    def dot64(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    Q(
+      "e9_ivfpq_retrieve",
+      s"""WITH ${ClusterOps.duckKmeansCtes},
+         |res AS (
+         |  SELECT a2.vec_id, a2.cid AS cell,
+         |    list_transform(generate_series(1, 64),
+         |      i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)::FLOAT) AS remb
+         |  FROM a2 JOIN e USING (vec_id) JOIN c2 c ON c.cid = a2.cid),
+         |rsub AS (
+         |  SELECT vec_id, g.s,
+         |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
+         |  FROM res, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
+         |rsubq AS (SELECT vec_id, s, sub, ${dot8("sub", "sub")} AS sq FROM rsub),
+         |seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK),
+         |pseeds AS (
+         |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+         |    sub AS cent, sq AS csq
+         |  FROM rsubq WHERE vec_id IN (SELECT vec_id FROM seed_ids)),
+         |pa1 AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT b.vec_id, b.s, c.cid,
+         |      row_number() OVER (PARTITION BY b.vec_id, b.s
+         |        ORDER BY b.sq + c.csq - 2 * ${dot8("b.sub", "c.cent")}, c.cid) AS rn
+         |    FROM rsubq b JOIN pseeds c ON c.s = b.s) t WHERE rn = 1),
+         |pupd AS (
+         |  SELECT a.s, a.cid, i.i, avg(b.sub[i.i])::FLOAT AS m
+         |  FROM pa1 a JOIN rsubq b ON b.vec_id = a.vec_id AND b.s = a.s,
+         |    (SELECT unnest(generate_series(1, $PqSubDim)) AS i) i
+         |  GROUP BY 1, 2, 3),
+         |pcb AS (
+         |  SELECT s, cid, list(m ORDER BY i) AS cent,
+         |    list_sum(list_transform(list(m ORDER BY i), x -> x::DOUBLE * x::DOUBLE)) AS csq
+         |  FROM pupd GROUP BY 1, 2),
+         |codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT b.vec_id, b.s, c.cid,
+         |      row_number() OVER (PARTITION BY b.vec_id, b.s
+         |        ORDER BY b.sq + c.csq - 2 * ${dot8("b.sub", "c.cent")}, c.cid) AS rn
+         |    FROM rsubq b JOIN pcb c ON c.s = b.s) t WHERE rn = 1),
+         |qp AS (
+         |  SELECT qid, cell, ccent FROM (
+         |    SELECT e.vec_id AS qid, c.cid AS cell, c.cent AS ccent,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY e.sq + c.csq - 2 * ${dot64("e.embedding", "c.cent")}, c.cid) AS rn
+         |    FROM e, c2 c WHERE e.vec_id < 3) t WHERE rn <= $IvfPqProbes),
+         |qres AS (
+         |  SELECT qp.qid, qp.cell,
+         |    list_transform(generate_series(1, 64),
+         |      i -> (e.embedding[i]::DOUBLE - qp.ccent[i]::DOUBLE)::FLOAT) AS remb
+         |  FROM qp JOIN e ON e.vec_id = qp.qid),
+         |qrsub AS (
+         |  SELECT qid, cell, g.s,
+         |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
+         |  FROM qres, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
+         |qrsubq AS (SELECT qid, cell, s, sub, ${dot8("sub", "sub")} AS sq FROM qrsub),
+         |lut AS (
+         |  SELECT q.qid, q.cell, c.s, c.cid AS code,
+         |    q.sq + c.csq - 2 * ${dot8("q.sub", "c.cent")} AS d
+         |  FROM qrsubq q JOIN pcb c ON c.s = q.s),
+         |scored AS (
+         |  SELECT l.qid, c.vec_id, l.s, l.d
+         |  FROM codes c
+         |  JOIN res r ON r.vec_id = c.vec_id
+         |  JOIN lut l ON l.cell = r.cell AND l.s = c.s AND l.code = c.code
+         |    AND c.vec_id <> l.qid),
+         |adist AS (
+         |  SELECT qid, vec_id, list_sum(list(d ORDER BY s)) AS dist
+         |  FROM scored GROUP BY 1, 2)
+         |SELECT qid, rnk, vec_id AS doc_id, round(dist, 4) AS adist FROM (
+         |  SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
+         |  FROM adist) t
+         |WHERE rnk <= $PqTopK""".stripMargin) { (s, dir) =>
+      val embs = Tables.load(s, dir, "embeddings")
+      val cents = ClusterOps.finalCentroids(embs).localCheckpoint()
+      val assign = ClusterOps.kmeansAssign(embs)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val res = embs.join(assign, Seq("vec_id"))
+        .join(broadcast(cents.selectExpr("cid AS cell", "cent AS ccent")), Seq("cell"))
+        .selectExpr("vec_id", "cell",
+          "zip_with(embedding, ccent, (a, b) -> CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT)) AS remb")
+      val rEmb = res.selectExpr("vec_id", "remb AS embedding")
+      val cb = pqCodebooks(rEmb).localCheckpoint()
+      val codes = pqAssign(pqSub(rEmb), cb)
+        .select(col("vec_id"), col("s"), col("cid").as("code"))
+      val q = embs.filter(col("vec_id") < 3)
+        .selectExpr("vec_id AS qid", "embedding AS qemb", "vec_dot(embedding, embedding) AS qsq")
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("cell"))
+      val probes = q.join(broadcast(cents.selectExpr("cid AS cell", "cent AS ccent", "csq AS ccsq")))
+        .selectExpr("qid", "qemb", "cell", "ccent",
+          "qsq + ccsq - 2 * vec_dot(qemb, ccent) AS d")
+        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= IvfPqProbes)
+      val qrsub = probes
+        .selectExpr("qid", "cell",
+          "zip_with(qemb, ccent, (a, b) -> CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT)) AS remb")
+        .select(col("qid"), col("cell"), explode(expr(pqSlice("remb"))).as("e"))
+        .selectExpr("qid", "cell", "e.s AS s", "e.sub AS sub", "vec_dot(e.sub, e.sub) AS sq")
+      val lut = qrsub.join(broadcast(cb), Seq("s"))
+        .selectExpr("qid", "cell", "s", "cid AS code",
+          "sq + csq - 2 * vec_dot(sub, cent) AS d")
+      val adist = codes.join(res.select("vec_id", "cell"), Seq("vec_id"))
+        .join(lut, Seq("cell", "s", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(expr("aggregate(transform(array_sort(collect_list(struct(s, d))), x -> x.d), " +
+          "0D, (acc, v) -> acc + v)").as("dist"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(round(col("dist"), 4), col("vec_id"))
+      adist.withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= PqTopK)
+        .select(col("qid"), col("rnk"), col("vec_id").as("doc_id"),
+          round(col("dist"), 4).as("adist"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9)
 }

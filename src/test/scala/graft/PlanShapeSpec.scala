@@ -268,6 +268,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "ADC scoring must ride the (s, cid) equi key")
   }
 
+  test("e9: IVF-PQ broadcasts only k-bounded index relations; scoring rides the cell/code keys") {
+    val df = graft.operators.SimilarityOps.e9.fn(spark, sf)
+    // bounded-by-construction relations only: coarse centroids (k rows, in
+    // both (cid,...) and (cell,...) renamings), PQ codebooks (m x k rows),
+    // seed ids (16) — codes/residuals are corpus-cardinality, never hinted
+    val allowed = Set(
+      Seq("seed_id"), Seq("s", "cid", "cent", "csq"),
+      Seq("cid", "cent", "csq"), Seq("cell", "ccent"), Seq("cell", "ccent", "ccsq"))
+    broadcastHints(df).foreach { h =>
+      val cols = h.child.output.map(_.name)
+      assert(allowed.contains(cols),
+        s"unexpected broadcast hint (corpus-sized relation?): $cols")
+    }
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val p = nodes.mkString("\n")
+    assert(!p.contains("CartesianProduct"), "no unbounded cartesian anywhere")
+    // BNLJ appears ONLY as the k-row centroid cross during probe/assign
+    // (c3's canonical assignment shape — bounded 8x fan-out); every such
+    // node must have a broadcast child, never two corpus-sized sides
+    nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.foreach { j =>
+      val out = (j.left.output ++ j.right.output).map(_.name)
+      assert(out.exists(n => n == "cell" || n == "cid"),
+        s"BNLJ outside the bounded centroid cross: ${out.mkString(",")}")
+    }
+  }
+
   test("q45: interval join runs as bucket equi-join, never a nested loop") {
     val df = graft.operators.MiscQueries.q45.fn(spark, sf)
     df.collect()
