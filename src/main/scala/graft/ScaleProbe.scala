@@ -435,6 +435,28 @@ object ScaleProbe {
       }
     }
 
+    // ivfpq corpus ladder: the e9 pipeline (coarse k-means + residual PQ
+    // train + encode + 2-probe ADC retrieval) over 1x/4x/16x embeddings
+    // with the query set FIXED (vec_id < 3 lives in clone 0). Every stage
+    // is corpus-LINEAR — centroid/codebook training and encoding are
+    // scored broadcast joins against k-bounded relations, and the scan
+    // touches probes/k of the code rows — so wall should grow ~linearly
+    // in k, never quadratically. (In production the build runs once and
+    // amortizes over every query; this rung prices the build.)
+    val ivfpqR = (if (phase == "all" || phase == "ivfpq") Seq(1, 4, 16)
+      else Seq.empty[Int]).map { k =>
+      val vecs = vecsTimes(spark, dir, k).cache()
+      val n = vecs.count()
+      val t = time {
+        graft.operators.SimilarityOps.ivfpqRetrieve(vecs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      vecs.unpersist()
+      System.gc()
+      System.err.println(f"[scale] ivfpq $k%2dx  vecs=$n%8d  $t%6.2f s")
+      (k, t)
+    }
+
     // e7 materialization rung: the SAME bm25 pipeline with the inverted
     // index pinned via localCheckpoint (lineage-free executor blocks; dies
     // with an executor) vs written-to-parquet-and-read-back (the reliable
@@ -485,6 +507,8 @@ object ScaleProbe {
       s""""bpe_${k}x":{"bpe5":$t}"""
     } ++ mmrR.map { case (k, t) =>
       s""""mmr_k$k":{"mmr":$t}"""
+    } ++ ivfpqR.map { case (k, t) =>
+      s""""ivfpq_${k}x":{"ivfpq":$t}"""
     } ++ e7Mat.map { case (k, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""e7mat_${k}x":{""", ",", "}")

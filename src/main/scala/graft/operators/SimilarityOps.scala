@@ -832,6 +832,13 @@ object SimilarityOps {
       .select("vec_id", "s", "cid")
   }
 
+  /** Public PQ encode: codes `(vec_id, s, cid)` for an `embeddings`-shaped
+    * frame under the given codebooks (the suite's reconstruction checks
+    * and any downstream consumer of the compressed index).
+    */
+  def pqEncode(embs: DataFrame, cb: DataFrame): DataFrame =
+    pqAssign(pqSub(embs), cb)
+
   /** Per-subspace PQ codebooks `(s, cid, cent, csq)`: deterministic seeds
     * (the 16 lowest vec_ids' sub-vectors) + ONE unrolled Lloyd round with
     * float-cast means — exactly c3's k-means discipline applied
@@ -1061,7 +1068,16 @@ object SimilarityOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
          |  FROM adist) t
          |WHERE rnk <= $PqTopK""".stripMargin) { (s, dir) =>
-      val embs = Tables.load(s, dir, "embeddings")
+      ivfpqRetrieve(Tables.load(s, dir, "embeddings"))
+    }
+  }
+
+  /** e9's full pipeline over any `embeddings`-shaped relation (exposed for
+    * the ScaleProbe corpus ladder: queries stay fixed at vec_id < 3 while
+    * the corpus multiplies, so the rung isolates index-BUILD cost — the
+    * corpus-linear stage — from the cell-bounded scan).
+    */
+  def ivfpqRetrieve(embs: DataFrame): DataFrame = {
       val cents = ClusterOps.finalCentroids(embs).localCheckpoint()
       val assign = ClusterOps.kmeansAssign(embs)
         .select(col("vec_id"), col("cid").as("cell"))
@@ -1099,7 +1115,6 @@ object SimilarityOps {
         .filter(col("rnk") <= PqTopK)
         .select(col("qid"), col("rnk"), col("vec_id").as("doc_id"),
           round(col("dist"), 4).as("adist"))
-    }
   }
 
   val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9)
