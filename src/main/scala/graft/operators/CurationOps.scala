@@ -297,5 +297,49 @@ object CurationOps {
         sum(when(keep, col("doc_id")).otherwise(0L)).as("kept_checksum"))
   }
 
-  val all: Seq[Q] = Seq(p1, p2, p3, p4, p5, p6, p7)
+  /** Epoch count for p8's reshuffle schedule. */
+  val NEpochs = 3
+
+  /** p8: MULTI-EPOCH deterministic reshuffle — p3 fixes ONE epoch's order;
+    * a training run makes E passes and each must see a DIFFERENT
+    * permutation that any worker can recompute from (doc_id, epoch) alone:
+    * the portable hash key is salted with the epoch, so every epoch gets a
+    * fresh pseudo-random shard assignment and within-shard order while
+    * staying byte-reproducible — no stored shuffle files, no seed
+    * coordination, and a worker resuming epoch 2 / shard 5 after a restart
+    * recomputes its exact order from the ids. The oracle replays the
+    * salted-hash arithmetic for all E epochs, so the row certifies both
+    * the reshuffle (epochs really differ — different salts, different
+    * hashes) and its reproducibility.
+    *
+    * Scale shape: the epoch dimension is an E-row generator cross (exactly
+    * the intended ×E expansion, nothing quadratic), shard = hash % N stays
+    * a pure map, and positions come from windows partitioned by
+    * (epoch, shard) — E·N independent local sorts; the global per-epoch
+    * order is never materialized on one node.
+    */
+  val p8 = Q(
+    "p8_epoch_reshuffle",
+    s"""WITH e AS (SELECT unnest(generate_series(0, ${NEpochs - 1})) AS epoch),
+       |h AS (
+       |  SELECT e.epoch, d.doc_id,
+       |    ${graft.core.PortableHash.duck("d.doc_id::VARCHAR || ':' || e.epoch::VARCHAR")} AS hv
+       |  FROM documents d CROSS JOIN e)
+       |SELECT epoch::BIGINT AS epoch, doc_id, (hv % $NShards)::BIGINT AS shard,
+       |  (row_number() OVER (PARTITION BY epoch, hv % $NShards
+       |                      ORDER BY hv, doc_id))::BIGINT AS pos
+       |FROM h""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${NEpochs - 1})")).as("epoch"))
+      .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
+        expr(graft.core.PortableHash.spark(
+          "concat(CAST(doc_id AS STRING), ':', CAST(epoch AS STRING))")).as("hv"))
+      .withColumn("shard", expr(s"hv % $NShards"))
+    val w = Window.partitionBy(col("epoch"), col("shard")).orderBy(col("hv"), col("doc_id"))
+    h.select(col("epoch"), col("doc_id"), col("shard"),
+      row_number().over(w).cast("long").as("pos"))
+  }
+
+  val all: Seq[Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8)
 }
