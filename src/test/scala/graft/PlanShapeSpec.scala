@@ -407,6 +407,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("f10: blob content never rides the census shuffle (m3's discipline on the file path)") {
+    val df = graft.sources.FormatQueries.f10.fn(spark, sf)
+    val shuffles = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    shuffles.foreach { e =>
+      assert(!e.child.output.exists(_.name == "content"),
+        "binaryFile content must be reduced to (modality, n_bytes, doc_id) before the exchange")
+    }
+  }
+
   test("f4: the partitioned read-back scan prunes on the partition column") {
     // the plan snapshot's Location normalizer swallows the rest of the scan
     // line, so the pruning evidence is pinned here on the raw plan string
