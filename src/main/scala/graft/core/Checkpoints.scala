@@ -25,10 +25,29 @@ object Checkpoints {
 
   /** Unpersist the checkpointed RDD behind `df` (no-op for frames that are
     * not local checkpoints). Non-blocking: block removal proceeds async.
+    *
+    * Fails loudly on a MARKED-but-unmaterialized local checkpoint (a
+    * `localCheckpoint(eager = false)` frame before any action): the cached
+    * blocks would become the checkpoint's only copy once truncation runs,
+    * so unpersisting here silently destroys data and resurfaces later as
+    * an unrelated-looking "checkpoint block not found". Callers must
+    * release only after the superseding eager checkpoint materialized.
     */
   def release(df: DataFrame): Unit =
     df.queryExecution.logical match {
-      case r: LogicalRDD => r.rdd.unpersist(blocking = false)
-      case _             => ()
+      case r: LogicalRDD =>
+        val rdd = r.rdd
+        // persisted but not yet checkpointed = a lazy localCheckpoint whose
+        // cached blocks are still the future checkpoint's ONLY source
+        // (isLocallyCheckpointed is private[spark]; storageLevel + public
+        // isCheckpointed distinguish the same state)
+        if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+            !rdd.isCheckpointed)
+          throw new IllegalStateException(
+            s"Checkpoints.release on RDD ${rdd.id}: local checkpoint marked " +
+              "but not yet materialized (lazy localCheckpoint before an " +
+              "action); releasing now would destroy its only copy")
+        rdd.unpersist(blocking = false)
+      case _ => ()
     }
 }

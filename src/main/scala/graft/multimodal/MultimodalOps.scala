@@ -416,7 +416,15 @@ object MultimodalOps {
       if (!isWav(p) || le16(p, 34) != 16) return Iterator.empty
       val channels = le16(p, 22)
       val blockAlign = le16(p, 32) // channels * 2 for s16
-      val frames = (le32(p, 40) / blockAlign).toInt
+      // a content-sniffed payload may carry a corrupt header: zero/garbage
+      // blockAlign or a data-size field larger than the body. Malformed
+      // containers pass through as empty, same as the other decoders —
+      // never throw from an executor on untrusted bytes.
+      if (channels <= 0 || blockAlign <= 0) return Iterator.empty
+      // clamp by the loop's actual stride (channels * 2), not the declared
+      // blockAlign — a corrupt blockAlign must not re-widen the bound
+      val frames = math.min(
+        le32(p, 40) / blockAlign, (p.length - 44L) / (channels * 2L)).toInt
       val peak = new Array[Long](channels)
       val energy = new Array[Long](channels)
       var f = 0

@@ -72,6 +72,11 @@ object ClusterOps {
     var comp = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("node"), least(col("u"), col("mn")).as("comp"))
       .localCheckpoint()
+    // the checkpointed frame whose blocks the loop supersedes each round —
+    // released once the next round's checkpoint has materialized, so a
+    // deep graph holds ONE frontier copy in executor storage, not one per
+    // round (bpeTrain/mmrRerank's release discipline)
+    var frontier = comp
     var round = 0
     while (round < MaxRounds) {
       // min label over the closed neighborhood: every node is its own
@@ -101,13 +106,23 @@ object ClusterOps {
           (col("a.improved") ||
             coalesce(col("b.pcomp"), col("a.comp")) < col("a.comp")).as("improved"))
         .localCheckpoint()
+      // `next` materialized eagerly from prop's blocks (and prop from the
+      // old frontier's) — both superseded copies release now
+      graft.core.Checkpoints.release(prop)
+      graft.core.Checkpoints.release(frontier)
+      frontier = next
       val done = next.filter(col("improved")).isEmpty
       comp = next.select(col("node"), col("comp"))
       round += 1
       System.err.println(s"[cluster] hash-min round $round done=$done")
-      if (done)
+      if (done) {
+        // the returned frame reads only the final frontier's blocks
+        graft.core.Checkpoints.release(edges)
         return comp.select(col("node").as("doc_id"), col("comp").as("component"))
+      }
     }
+    graft.core.Checkpoints.release(edges)
+    graft.core.Checkpoints.release(frontier)
     throw new IllegalStateException(
       s"connectedComponents did not converge in $MaxRounds rounds - graph diameter exceeds the guard")
   }

@@ -255,33 +255,50 @@ object FormatQueries {
     * serialize → line file → parse pipeline re-types every value exactly
     * (dates via ISO string, doubles via shortest-representation text).
     *
-    * NULLABILITY PRECONDITION: `concat_ws` silently SKIPS null inputs, so a
-    * null field would shift every later field on re-parse instead of
-    * round-tripping as null. The four orders columns used here are non-null
-    * by fixture construction, which is what makes the bare form safe; to
-    * reuse this pattern on nullable data, wrap each nullable column in
-    * `coalesce(col, lit(SENTINEL))` (and reverse the sentinel after the
-    * parse) so field positions are stable regardless of null content.
+    * NULL HANDLING: `concat_ws` silently SKIPS null inputs, which would
+    * shift every later field on re-parse instead of round-tripping as
+    * null. Each field is therefore sentinel-encoded —
+    * `coalesce(cast(col AS string), '\\N')` on serialize, `nullif(_, '\\N')`
+    * on parse — so field positions are stable regardless of null content
+    * (the `\\N` convention PostgreSQL COPY / Hive LazySimpleSerDe use).
+    * The null path is EXERCISED, not just guarded: o_orderpriority is
+    * planted null on every o_orderkey % 7 == 0 row before serialization,
+    * and the census prices the non-null count and a content checksum that
+    * only agree with the oracle if every planted null survived the line
+    * round-trip as a true null (count/sum skip nulls in both engines).
     */
   val f8 = Q(
     "f8_text_roundtrip",
-    """SELECT o_orderstatus, year(o_orderdate)::BIGINT AS o_year,
+    s"""SELECT o_orderstatus, year(o_orderdate)::BIGINT AS o_year,
       |  count(*) AS n, round(sum(o_totalprice), 2) AS price_sum,
-      |  sum(o_orderkey)::BIGINT AS key_checksum
+      |  sum(o_orderkey)::BIGINT AS key_checksum,
+      |  count(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END)::BIGINT AS prio_n,
+      |  sum(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |        ELSE ${graft.core.PortableHash.duck("o_orderpriority")} END)::BIGINT AS prio_checksum
       |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-    val lines = Tables.load(s, dir, "orders").select(concat_ws("|",
-      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-      col("o_orderdate")).as("value"))
+    val sentinel = "\\N"
+    def enc(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit(sentinel))
+    val lines = Tables.load(s, dir, "orders")
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_orderpriority")))
+      .select(concat_ws("|",
+        enc(col("o_orderkey")), enc(col("o_orderstatus")),
+        enc(col("o_totalprice")), enc(col("o_orderdate")),
+        enc(col("o_orderpriority"))).as("value"))
     roundTrip(lines, "text")
       .select(split(col("value"), "\\|").as("f"))
       .select(element_at(col("f"), 1).cast("long").as("o_orderkey"),
         element_at(col("f"), 2).as("o_orderstatus"),
         element_at(col("f"), 3).cast("double").as("o_totalprice"),
-        element_at(col("f"), 4).cast("date").as("o_orderdate"))
+        element_at(col("f"), 4).cast("date").as("o_orderdate"),
+        nullif(element_at(col("f"), 5), lit(sentinel)).as("o_orderpriority"))
       .groupBy(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("price_sum"),
-        sum(col("o_orderkey")).as("key_checksum"))
+        sum(col("o_orderkey")).as("key_checksum"),
+        count(col("o_orderpriority")).as("prio_n"),
+        sum(expr(graft.core.PortableHash.spark("o_orderpriority"))).as("prio_checksum"))
   }
 
   /** The Avro format identifier usable in THIS environment, resolved the
@@ -380,21 +397,34 @@ object FormatQueries {
       |        ELSE octet_length(encode(text)) END)::BIGINT AS total_bytes,
       |  sum(doc_id)::BIGINT AS id_checksum
       |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+    // SHARED-FILESYSTEM PRECONDITION: the blob directory is a
+    // driver-resolved tmp path that executor closures write into — valid
+    // because local mode shares one filesystem. On a real cluster this
+    // path must be a shared store (object-store prefix / DFS dir); the
+    // written-vs-listed census below fails FAST on a partial corpus
+    // instead of letting the oracle hash catch a silently-wrong census.
     val scratch = scratchDir("graft_fmt_blobs_")
     // wipe stale blobs: deterministic names would otherwise silently mix a
     // previously-written corpus into this read-back
     Option(new java.io.File(scratch).listFiles)
       .foreach(_.foreach(f => { f.delete(); () }))
     import s.implicits._
+    val written = s.sparkContext.longAccumulator("f10_blobs_written")
     graft.multimodal.MultimodalOps.withPayloads(s, dir)
       .as[(Long, Array[Byte])]
       .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
         it.foreach { case (id, p) =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(scratch, f"doc_$id%09d.bin"), p)
-          ()
+          written.add(1L)
         }
       }
+    val listed =
+      Option(new java.io.File(scratch).listFiles).fold(0L)(_.count(_.getName.endsWith(".bin")).toLong)
+    if (listed != written.value) throw new IllegalStateException(
+      s"f10 blob read-back sees $listed files but executors wrote " +
+        s"${written.value} - the blob directory is not shared between " +
+        "driver and executors (use a shared store outside local mode)")
     s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(scratch)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),

@@ -57,6 +57,25 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object ReplayHarness {
 
+  /** Deep nullability normalizer (public-API stand-in for the
+    * private[spark] `DataType.asNullable`): recursively forces
+    * StructField.nullable, ArrayType.containsNull and
+    * MapType.valueContainsNull so schema-stability checks compare only
+    * names/types/order.
+    */
+  private def normType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = normType(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normType(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(normType(m.keyType), normType(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   /** Event type used for sentinel rows when the operator under test does not
     * pre-filter on event_type (windows, sessions); operators that DO filter
     * (the click/error joins) need sentinel rows of the filtered types so the
@@ -187,9 +206,13 @@ object ReplayHarness {
           // a closure whose shape depends on batch id / batch data fails
           // HERE with a named batch instead of as a downstream read error
           // (nullability excluded — the read-back supplies the schema
-          // explicitly, so only names/types/order matter)
-          val got = enriched.schema.fields.map(f => (f.name, f.dataType)).toSeq
-          val want = outSchema.fields.map(f => (f.name, f.dataType)).toSeq
+          // explicitly, so only names/types/order matter; normType
+          // normalizes NESTED nullability too — array containsNull, inner
+          // StructField.nullable — which raw dataType equality would not)
+          val got =
+            enriched.schema.fields.map(f => (f.name, normType(f.dataType))).toSeq
+          val want =
+            outSchema.fields.map(f => (f.name, normType(f.dataType))).toSeq
           if (got != want) throw new IllegalStateException(
             s"sinkEnrich output schema for batch $batchId diverged from the " +
               s"empty-batch probe: got ${got.mkString(",")} want ${want.mkString(",")}")

@@ -198,6 +198,16 @@ class BpeMmrSpec extends AnyFunSuite {
     val b1 = persistentCount
     assert(b1 - b0 <= 2,
       s"bpeTrain leaked checkpoints: $b0 -> $b1 persistent RDDs for 6 rounds")
+
+    // connectedComponents: a 16-node path forces several hash-min rounds
+    // (path halving converges in O(log diameter)); each round supersedes
+    // two checkpoints (prop, frontier) that must release
+    val pairs = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
+    val c0 = persistentCount
+    graft.operators.ClusterOps.connectedComponents(pairs).collect()
+    val c1 = persistentCount
+    assert(c1 - c0 <= 2,
+      s"connectedComponents leaked checkpoints: $c0 -> $c1 persistent RDDs")
   }
 
   test("mmrRerank reproduces the greedy MMR recurrence on a crafted pool") {
