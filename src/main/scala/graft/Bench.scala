@@ -95,7 +95,12 @@ object Bench {
         contended: Boolean, firstPass: Option[Double], remeasure: Option[Double],
         stillSlow: Boolean)
     val adjudicated = results.map { case (name, fn, t) =>
-      val gate = ref.get(name).map(r => 3 * r + 0.5)
+      // suspect gate: 3x the reference, padded by 0.5 s only for sub-0.3 s
+      // references where JVM noise dominates. The old unconditional pad let
+      // a 3.67x draw on a 0.55 s reference (2.02 s < 3*0.55+0.5) skip
+      // re-measure entirely — refs >= 0.3 s are big enough that 3x alone
+      // separates contention from noise.
+      val gate = ref.get(name).map(r => if (r >= 0.3) 3 * r else 3 * r + 0.5)
       val suspect = t >= 0 && gate.exists(t > _)
       if (!suspect) Adjudicated(name, t, contended = false, None, None, stillSlow = false)
       else {

@@ -457,6 +457,109 @@ object ScaleProbe {
       (k, t)
     }
 
+    // ivfpq probes ladder: the nprobe dial every IVF deployment tunes —
+    // build the index ONCE over the fixture corpus, then sweep
+    // probes = 1/2/4/8 measuring recall@5 (vs brute-force exact squared-L2
+    // top-5) against the scored-candidate count (the cost denominator: a
+    // probe touches one cell's code rows). Recall must be monotone
+    // non-decreasing in probes while cost stays cell-bounded (~probes/k of
+    // the corpus) — the curve that justifies shipping probes=2 as the
+    // default and turning the dial up only for recall-critical queries.
+    val ivfpqProbesR = {
+      val ps = if (phase == "all" || phase == "ivfpqprobes") Seq(1, 2, 4, 8)
+        else Seq.empty[Int]
+      if (ps.isEmpty) Seq.empty[(Int, (Double, Double, Long, Double))]
+      else {
+        val sim = graft.operators.SimilarityOps
+        val vecs = graft.core.Tables.load(spark, dir, "embeddings").cache()
+        val n = vecs.count()
+        val idx0 = sim.ivfpqBuild(vecs)
+        val codes = idx0.codes.cache()
+        val nCodes = codes.count()
+        val idx = idx0.copy(codes = codes)
+        val q = vecs.filter(col("vec_id") < 3)
+        // exact ground truth: brute-force squared-L2 top-5 per query over
+        // the raw vectors (3 queries x corpus — fine at probe scale; this
+        // is the oracle the index approximates, not a production path)
+        val wx = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+        val exact: Map[Long, Set[Long]] = q
+          .selectExpr("vec_id AS qid", "embedding AS qemb",
+            "vec_dot(embedding, embedding) AS qsq")
+          .crossJoin(vecs.selectExpr("vec_id", "embedding AS emb",
+            "vec_dot(embedding, embedding) AS sq"))
+          .filter(col("vec_id") =!= col("qid"))
+          .selectExpr("qid", "vec_id", "qsq + sq - 2 * vec_dot(qemb, emb) AS dist")
+          .withColumn("rnk", row_number().over(wx))
+          .filter(col("rnk") <= sim.PqTopK)
+          .collect().groupBy(_.getAs[Long]("qid"))
+          .map { case (k, rs) => k -> rs.map(_.getAs[Long]("vec_id")).toSet }
+        def meanOverlap(got: Map[Long, Set[Long]]): Double =
+          exact.map { case (k, want) =>
+            got.getOrElse(k, Set.empty).count(want).toDouble / want.size
+          }.sum / exact.size
+        val out = ps.map { p =>
+          val got = sim.ivfpqScan(q, idx, p).collect()
+            .groupBy(_.getAs[Long]("qid"))
+            .map { case (k, rs) => k -> rs.map(_.getAs[Long]("doc_id")).toSet }
+          val recall = meanOverlap(got)
+          // every (qid, vec_id) the ADC fold touched: its count is the
+          // probe cost, its exact-top-5 overlap is cell COVERAGE — recall
+          // with PQ distortion factored out (what an exact re-rank over
+          // the probed cells would achieve)
+          val candRows = sim.ivfpqScan(q, idx, p, Int.MaxValue)
+            .select("qid", "doc_id").collect()
+          val cand = candRows.length.toLong
+          val coverage = meanOverlap(candRows.groupBy(_.getAs[Long]("qid"))
+            .map { case (k, rs) => k -> rs.map(_.getAs[Long]("doc_id")).toSet })
+          val t = time {
+            sim.ivfpqScan(q, idx, p).write.format("noop").mode("overwrite").save()
+          }
+          System.err.println(
+            f"[scale] ivfpqprobes p=$p%d  recall@5=$recall%.3f  coverage@5=$coverage%.3f  cand=$cand%6d  scan=$t%6.2f s (corpus=$n, codes=$nCodes)")
+          (p, (recall, coverage, cand, t))
+        }
+        codes.unpersist(); vecs.unpersist()
+        out
+      }
+    }
+
+    // ivfpq scan-only rung: the number that matters at 100 TB — per-query
+    // latency against a MATERIALIZED index (parquet-persisted cells,
+    // codebooks, codes; the bench's e9 row conflates this with the
+    // one-time build). Build once, persist, read back, then time the
+    // 2-probe scan warm (best of 2 after an untimed warmup).
+    val ivfpqScanR = (if (phase == "all" || phase == "ivfpqscan") Seq(1)
+      else Seq.empty[Int]).map { _ =>
+      val sim = graft.operators.SimilarityOps
+      val vecs = graft.core.Tables.load(spark, dir, "embeddings").cache()
+      vecs.count()
+      val matDir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      val tBuild = time {
+        val idx = sim.ivfpqBuild(vecs)
+        idx.cents.write.mode("overwrite").parquet(s"$matDir/cents")
+        idx.cb.write.mode("overwrite").parquet(s"$matDir/cb")
+        // partitioned by cell: a probe prunes to its cells' files — the
+        // layout a 100 TB deployment relies on
+        idx.codes.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$matDir/codes")
+      }
+      val idx = sim.IvfPqIndex(
+        spark.read.parquet(s"$matDir/cents"),
+        spark.read.parquet(s"$matDir/cb"),
+        spark.read.parquet(s"$matDir/codes"))
+      val q = vecs.filter(col("vec_id") < 3)
+      sim.ivfpqScan(q, idx).write.format("noop").mode("overwrite").save() // warmup
+      def once = time {
+        sim.ivfpqScan(q, idx).write.format("noop").mode("overwrite").save()
+      }
+      val tScan = math.min(once, once)
+      vecs.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(matDir))
+      System.err.println(f"[scale] ivfpqscan build=$tBuild%6.2f s  scan=$tScan%6.2f s (2-probe, materialized index)")
+      ("ivfpqscan", Seq(("build", tBuild), ("scan", tScan)))
+    }
+
     // e7 materialization rung: the SAME bm25 pipeline with the inverted
     // index pinned via localCheckpoint (lineage-free executor blocks; dies
     // with an executor) vs written-to-parquet-and-read-back (the reliable
@@ -509,6 +612,11 @@ object ScaleProbe {
       s""""mmr_k$k":{"mmr":$t}"""
     } ++ ivfpqR.map { case (k, t) =>
       s""""ivfpq_${k}x":{"ivfpq":$t}"""
+    } ++ ivfpqProbesR.map { case (p, (recall, coverage, cand, t)) =>
+      s""""ivfpqprobes_p$p":{"recall5":$recall,"coverage5":$coverage,"cand":$cand,"scan":$t}"""
+    } ++ ivfpqScanR.map { case (tag, vals) =>
+      vals.map { case (n, v) => s""""$n":$v""" }
+        .mkString(s""""$tag":{""", ",", "}")
     } ++ e7Mat.map { case (k, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""e7mat_${k}x":{""", ",", "}")

@@ -1072,12 +1072,22 @@ object SimilarityOps {
     }
   }
 
-  /** e9's full pipeline over any `embeddings`-shaped relation (exposed for
-    * the ScaleProbe corpus ladder: queries stay fixed at vec_id < 3 while
-    * the corpus multiplies, so the rung isolates index-BUILD cost — the
-    * corpus-linear stage — from the cell-bounded scan).
+  /** e9's materialized index: coarse cell centroids (`cid, cent, csq`),
+    * residual PQ codebooks (`s, cid, cent, csq`), and the coded corpus as
+    * `(vec_id, cell, s, code)` scalars — the three relations a production
+    * deployment persists once (parquet, partitioned by cell) and serves
+    * every query from. The ScaleProbe `ivfpqscan` rung prices exactly that
+    * split: build-once vs read-back-and-scan.
     */
-  def ivfpqRetrieve(embs: DataFrame): DataFrame = {
+  final case class IvfPqIndex(cents: DataFrame, cb: DataFrame, codes: DataFrame)
+
+  /** Index BUILD — the corpus-linear stage (coarse k-means, residual PQ
+    * codebook train, encode). Centroids/codebooks are k-bounded and
+    * localCheckpoint'ed; `codes` is returned lazy so callers choose the
+    * materialization (the registered query folds it into one job, the
+    * scan rung persists it to parquet).
+    */
+  def ivfpqBuild(embs: DataFrame): IvfPqIndex = {
       val cents = ClusterOps.finalCentroids(embs).localCheckpoint()
       val assign = ClusterOps.kmeansAssign(embs)
         .select(col("vec_id"), col("cid").as("cell"))
@@ -1089,22 +1099,35 @@ object SimilarityOps {
       val cb = pqCodebooks(rEmb).localCheckpoint()
       val codes = pqAssign(pqSub(rEmb), cb)
         .select(col("vec_id"), col("s"), col("cid").as("code"))
-      val q = embs.filter(col("vec_id") < 3)
+        .join(res.select("vec_id", "cell"), Seq("vec_id"))
+      IvfPqIndex(cents, cb, codes)
+  }
+
+  /** Index SCAN — the per-query read path: probe the `nProbes` nearest
+    * cells, build the per-(query, cell) residual LUT against the broadcast
+    * codebooks, and score ONLY the probed cells' code rows via one
+    * (cell, s, code) equi join + the ordered 8-term fold. `topK` is the
+    * returned depth; pass a large value to see every scored candidate
+    * (the probes-ladder's cost denominator).
+    */
+  def ivfpqScan(queries: DataFrame, idx: IvfPqIndex,
+      nProbes: Int = IvfPqProbes, topK: Int = PqTopK): DataFrame = {
+      val q = queries
         .selectExpr("vec_id AS qid", "embedding AS qemb", "vec_dot(embedding, embedding) AS qsq")
       val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("cell"))
-      val probes = q.join(broadcast(cents.selectExpr("cid AS cell", "cent AS ccent", "csq AS ccsq")))
+      val probes = q.join(broadcast(idx.cents.selectExpr("cid AS cell", "cent AS ccent", "csq AS ccsq")))
         .selectExpr("qid", "qemb", "cell", "ccent",
           "qsq + ccsq - 2 * vec_dot(qemb, ccent) AS d")
-        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= IvfPqProbes)
+        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbes)
       val qrsub = probes
         .selectExpr("qid", "cell",
           "zip_with(qemb, ccent, (a, b) -> CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT)) AS remb")
         .select(col("qid"), col("cell"), explode(expr(pqSlice("remb"))).as("e"))
         .selectExpr("qid", "cell", "e.s AS s", "e.sub AS sub", "vec_dot(e.sub, e.sub) AS sq")
-      val lut = qrsub.join(broadcast(cb), Seq("s"))
+      val lut = qrsub.join(broadcast(idx.cb), Seq("s"))
         .selectExpr("qid", "cell", "s", "cid AS code",
           "sq + csq - 2 * vec_dot(sub, cent) AS d")
-      val adist = codes.join(res.select("vec_id", "cell"), Seq("vec_id"))
+      val adist = idx.codes
         .join(lut, Seq("cell", "s", "code"))
         .filter(col("vec_id") =!= col("qid"))
         .groupBy(col("qid"), col("vec_id"))
@@ -1112,10 +1135,18 @@ object SimilarityOps {
           "0D, (acc, v) -> acc + v)").as("dist"))
       val wTop = Window.partitionBy(col("qid")).orderBy(round(col("dist"), 4), col("vec_id"))
       adist.withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= PqTopK)
+        .filter(col("rnk") <= topK)
         .select(col("qid"), col("rnk"), col("vec_id").as("doc_id"),
           round(col("dist"), 4).as("adist"))
   }
+
+  /** e9's full pipeline over any `embeddings`-shaped relation (exposed for
+    * the ScaleProbe corpus ladder: queries stay fixed at vec_id < 3 while
+    * the corpus multiplies, so the rung isolates index-BUILD cost — the
+    * corpus-linear stage — from the cell-bounded scan).
+    */
+  def ivfpqRetrieve(embs: DataFrame, nProbes: Int = IvfPqProbes): DataFrame =
+    ivfpqScan(embs.filter(col("vec_id") < 3), ivfpqBuild(embs), nProbes)
 
   val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9)
 }
