@@ -281,6 +281,111 @@ object ReplayHarness {
     } else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
   }
 
+  /** Two-phase STATE-SCHEMA-EVOLUTION replay: phase 1 publishes the first
+    * `phase1Chunks` time-range chunks and runs `transform1` to completion
+    * (AvailableNow drains exactly the published files — the restart
+    * boundary is chunk-deterministic, unlike killAfterBatches' poll race);
+    * phase 2 publishes the remaining chunks and resumes FROM THE SAME
+    * CHECKPOINT with `transform2` — a pipeline whose stateful processor
+    * carries an EVOLVED state schema. This is the production upgrade path:
+    * stop a stream, deploy code whose state case class gained a field,
+    * restart on the existing checkpoint; the state store must read every
+    * old-schema row into the widened type (Avro encoding is what makes
+    * that a schema RESOLUTION instead of a byte-layout mismatch — set
+    * here via spark.sql.streaming.stateStore.encodingFormat, pinned into
+    * the checkpoint from the first batch).
+    *
+    * RocksDB provider + Avro encoding are forced for both phases. The
+    * read-back uses phase 2's schema: phase-1 batch files lack the new
+    * columns and surface them as null — exactly the "old emissions
+    * predate the upgrade" shape a production lake would show.
+    */
+  def replayEventsTwoPhase(
+      spark: SparkSession,
+      sfDir: String,
+      chunks: Int = 4,
+      phase1Chunks: Int = 2)(
+      transform1: DataFrame => DataFrame)(
+      transform2: DataFrame => DataFrame): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val base = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, "graft_evolve_")
+      else Files.createTempDirectory("graft_evolve_")
+    }
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val outDir = base.resolve("out")
+    val ckpt = base.resolve("ckpt").toString
+
+    // replayEvents' equal-width time-range chunk rule, verbatim — the
+    // phase boundary (chunk >= phase1Chunks) is thereby a pure function
+    // of ts, which is what lets the oracle SQL reproduce which events the
+    // EVOLVED processor saw
+    val bounds = events.agg(min(col("ts")), max(col("ts"))).collect().head
+    val (minTs, maxTs) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val span = math.max(1L, maxTs - minTs + 1)
+    val withChunk = events.withColumn("__chunk",
+      least(lit(chunks - 1),
+        floor(((unix_millis(col("ts")) - minTs) * chunks).cast("double") / span)).cast("int"))
+    val now = System.currentTimeMillis()
+    def publishChunk(i: Int): Unit = {
+      val stage = base.resolve(s"stage_$i")
+      withChunk.filter(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.parquet(stage.toString)
+      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 2 - i) * 60000L)
+    }
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevEncoding = spark.conf.getOption("spark.sql.streaming.stateStore.encodingFormat")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(4, prevShuffle.toInt).toString)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    try {
+      def runPhase(tr: DataFrame => DataFrame): org.apache.spark.sql.types.StructType = {
+        val in = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val transformed = tr(in)
+        val expect = transformed.schema
+        val q = transformed.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.coalesce(1).write.mode("overwrite")
+              .parquet(outDir.resolve(s"b$batchId").toString)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        expect
+      }
+      (0 until phase1Chunks).foreach(publishChunk)
+      runPhase(transform1)
+      System.err.println(s"[replay] phase 1 drained ($phase1Chunks chunks); " +
+        "restarting from checkpoint with evolved state schema")
+      (phase1Chunks until chunks).foreach(publishChunk)
+      val schema2 = runPhase(transform2)
+      if (Files.exists(outDir))
+        spark.read.schema(schema2).option("recursiveFileLookup", "true")
+          .parquet(outDir.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema2)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      restore("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      restore("spark.sql.streaming.stateStore.encodingFormat", prevEncoding)
+      deleteRecursively(streamDir)
+      deleteRecursively(base.resolve("ckpt"))
+    }
+  }
+
   /** Replays the batch `documents` fixture through a streaming plan — the
     * north-star document pipeline's ingest shape (file-stream micro-batches
     * over a doc corpus; no event time, so no watermark/sentinel machinery).

@@ -363,6 +363,116 @@ object StatefulOps {
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
+  final case class UserFlush(user_id: Long, n_events: Long, flushed: Boolean)
+
+  /** PROCESSING-TIME timers — the other TimeMode (st25 certifies
+    * event-time): the cache-expiry / heartbeat shape, where a key's state
+    * flushes one WALL-CLOCK idle period after its last event regardless of
+    * event time (no watermark exists in this mode). Each input batch
+    * cancels the key's previous deadline (listTimers + deleteTimer — the
+    * reset-on-activity discipline; without it every batch leaves a stale
+    * timer that fires early) and registers last-seen + idleMs; expiry
+    * emits the flush row and CLEARS state, so an idle key costs nothing
+    * after one idle period — the same bounded-state contract TTL gives,
+    * but with an emission on the way out (TTL evicts silently).
+    * Wall-clock behavior is suite-certified, not oracle-gated: a
+    * processing-time deadline is not a deterministic function of the
+    * input, so no replay hash can pin it.
+    */
+  class ProcessingTimeFlushProcessor(idleMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserFlush] {
+    @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserFlush] = {
+      val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + idleMs)
+      Iterator.single(UserFlush(key, n, flushed = false))
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserFlush] = {
+      if (!cnt.exists()) Iterator.empty
+      else {
+        val n = cnt.get()
+        cnt.clear()
+        Iterator.single(UserFlush(key, n, flushed = true))
+      }
+    }
+  }
+
+  /** transformWithState wiring for [[ProcessingTimeFlushProcessor]]. */
+  def processingTimeFlushTWS(events: Dataset[Event], idleMs: Long): Dataset[UserFlush] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ProcessingTimeFlushProcessor(idleMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  /** [[UserRunning]] with an EVOLVED state schema: `max_value` added as an
+    * Option (Avro nullable union with a null default — the evolution shape
+    * the state store can resolve against old rows without a backfill).
+    * State restored from a pre-evolution checkpoint reads max_value = None;
+    * the processor then tracks the running max over every event it sees
+    * POST-upgrade, which is what makes the field oracle-computable: the
+    * two-phase harness's chunk boundary decides exactly which events those
+    * are.
+    */
+  final case class UserRunningV2(
+      user_id: Long, n_events: Long, total_value: Double, max_value: Option[Double])
+
+  /** [[UserCountProcessor]] after the upgrade: same state NAME ("running" —
+    * schema evolution applies to the existing column family; a renamed
+    * state would be a fresh empty store), widened state type, and V1's
+    * exact accumulation arithmetic (per-batch cent rounding) so the
+    * inherited totals continue bit-identically across the restart.
+    */
+  class UserCountProcessorV2
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunningV2] {
+    @transient private var countState: org.apache.spark.sql.streaming.ValueState[UserRunningV2] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      countState = getHandle.getValueState[UserRunningV2](
+        "running", Encoders.product[UserRunningV2],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunningV2] = {
+      val prev = Option(countState.get()).getOrElse(UserRunningV2(key, 0L, 0.0, None))
+      var n = prev.n_events
+      var total = prev.total_value
+      var mx = prev.max_value
+      rows.foreach { e =>
+        n += 1; total += e.value
+        mx = Some(mx.fold(e.value)(math.max(_, e.value)))
+      }
+      val next = UserRunningV2(key, n, math.rint(total * 100) / 100, mx)
+      countState.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** transformWithState wiring for [[UserCountProcessorV2]]. */
+  def runningTotalsTWSV2(events: Dataset[Event]): Dataset[UserRunningV2] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserCountProcessorV2,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class UserSession(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
 
   /** transformWithState with EVENT-TIME TIMERS — the modern

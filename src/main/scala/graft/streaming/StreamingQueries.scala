@@ -816,7 +816,50 @@ object StreamingQueries {
       .filter(col("user_id") >= 0)
   }
 
+  /** st26: STATE-SCHEMA EVOLUTION across a checkpoint restart — st10
+    * certifies restart with an UNCHANGED processor; production streams
+    * restart with evolved state (a field added to the state case class
+    * between deploys). The two-phase harness runs st5's V1 running-totals
+    * processor over the first two time-range chunks, stops, then resumes
+    * the SAME checkpoint with [[StatefulOps.UserCountProcessorV2]], whose
+    * ValueState gained `max_value: Option[Double]` — Avro state encoding
+    * resolves every V1 state row into the widened schema (max_value =
+    * null) instead of failing the byte-layout check.
+    *
+    * The oracle prices all three certifiable facts at once: (a) inherited
+    * counts/totals continue exactly (count/sum over ALL events — any lost
+    * or doubled state across the evolution boundary breaks them), (b) the
+    * evolved field accumulates over exactly the post-upgrade events
+    * (chunk >= 2 of the equal-width time-range rule, reproduced verbatim
+    * in SQL), and (c) users silent after the upgrade surface null — their
+    * final emission predates the new column.
+    */
+  val st26 = Q("st26_stream_state_evolution",
+    """WITH b AS (
+      |  SELECT epoch_ms(min(ts)) AS mn,
+      |    epoch_ms(max(ts)) - epoch_ms(min(ts)) + 1 AS span FROM events)
+      |SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+      |  round(max(CASE WHEN floor(((epoch_ms(ts) - b.mn) * 4)::DOUBLE / b.span) >= 2
+      |            THEN value END), 2) AS max_value_v2
+      |FROM events, b GROUP BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val out = ReplayHarness.replayEventsTwoPhase(s, dir) { df =>
+      StatefulOps.runningTotalsTWS(
+        df.select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StatefulOps.Event]).toDF
+    } { df =>
+      StatefulOps.runningTotalsTWSV2(
+        df.select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StatefulOps.Event]).toDF
+    }
+    out.groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        expr("max_by(total_value, n_events)").as("total_value"),
+        round(expr("max_by(max_value, n_events)"), 2).as("max_value_v2"))
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
-      st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25)
+      st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
+      st26)
 }

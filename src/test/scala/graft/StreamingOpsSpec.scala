@@ -809,6 +809,53 @@ class StreamingOpsSpec extends AnyFunSuite {
       "every user had one session — the intra-batch fold-closure path is unexercised")
   }
 
+  test("TWS processing-time timers: idle key flushes once and state clears") {
+    import spark.implicits._
+    val ms = startStream()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime mode schedules batches continuously (see the TTL test
+    // above), which is what drives timer evaluation with no new input —
+    // poll the foreachBatch sink for each expected emission, never sleep
+    // for a fixed guess
+    val ckpt = GraftTestSpark.tmpDir("pt_timer_ckpt")
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Boolean)]()
+    val q = StatefulOps.processingTimeFlushTWS(ms.toDS(), idleMs = 500)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StatefulOps.UserFlush], _: Long) =>
+        batch.collect().foreach(u => emitted.add((u.user_id, u.n_events, u.flushed)))
+      }
+      .start()
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.currentTimeMillis + 180000
+      while (emitted.size < n) {
+        q.exception.foreach(throw _)
+        assert(System.currentTimeMillis < deadline,
+          s"timed out waiting for emission $n; got ${emitted.toArray.toSeq}")
+        Thread.sleep(50)
+      }
+    }
+    // two events in one batch: one non-flush emission with n=2, and ONE
+    // deadline registered (the second event's input deleted the first's
+    // timer — the reset-on-activity path)
+    ms.addData(Event(1, ts("2024-01-01 01:00:00"), 5, "click", 2.0),
+      Event(2, ts("2024-01-01 01:00:10"), 5, "view", 1.0))
+    awaitRows(1)
+    // no further input: the wall clock passes the 500 ms deadline and the
+    // timer fires exactly once — flush row carries the accumulated count
+    awaitRows(2)
+    assert(emitted.toArray.toSeq.take(2) === Seq((5L, 2L, false), (5L, 2L, true)),
+      s"expected input emission then timer flush, got ${emitted.toArray.toSeq}")
+    // the flush CLEARED state: a later event restarts the counter at 1
+    // (not 3), and registers a fresh deadline that flushes n=1
+    ms.addData(Event(3, ts("2024-01-01 02:00:00"), 5, "click", 4.0))
+    awaitRows(4)
+    assert(emitted.toArray.toSeq.drop(2).take(2) === Seq((5L, 1L, false), (5L, 1L, true)),
+      s"expected the counter to restart after the flush, got ${emitted.toArray.toSeq}")
+    q.stop()
+  }
+
   test("st16 late clicks lose their joins; on-time held-back clicks still join") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.StreamingQueries.st16.fn(spark, GraftTestSpark.sf)
