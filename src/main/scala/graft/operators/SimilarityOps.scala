@@ -990,79 +990,88 @@ object SimilarityOps {
     * the one-time encode — the index is ~32× smaller than the corpus and
     * partition-prunable by cell.
     */
+  private def duckDot8(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, $PqSubDim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+  private def duckDot64(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  /** e9/e10's shared oracle chain: coarse k-means cells (c3's certified
+    * CTEs), residual PQ codebook train + encode, query probes, LUTs, and
+    * the ADC distance relation `adist(qid, vec_id, dist)` — e9 tops it at
+    * PqTopK, e10 shortlists it and exact-re-ranks.
+    */
+  private val duckIvfPqCtes: String =
+    s"""${ClusterOps.duckKmeansCtes},
+       |res AS (
+       |  SELECT a2.vec_id, a2.cid AS cell,
+       |    list_transform(generate_series(1, 64),
+       |      i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)::FLOAT) AS remb
+       |  FROM a2 JOIN e USING (vec_id) JOIN c2 c ON c.cid = a2.cid),
+       |rsub AS (
+       |  SELECT vec_id, g.s,
+       |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
+       |  FROM res, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
+       |rsubq AS (SELECT vec_id, s, sub, ${duckDot8("sub", "sub")} AS sq FROM rsub),
+       |seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |pseeds AS (
+       |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+       |    sub AS cent, sq AS csq
+       |  FROM rsubq WHERE vec_id IN (SELECT vec_id FROM seed_ids)),
+       |pa1 AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT b.vec_id, b.s, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY b.sq + c.csq - 2 * ${duckDot8("b.sub", "c.cent")}, c.cid) AS rn
+       |    FROM rsubq b JOIN pseeds c ON c.s = b.s) t WHERE rn = 1),
+       |pupd AS (
+       |  SELECT a.s, a.cid, i.i, avg(b.sub[i.i])::FLOAT AS m
+       |  FROM pa1 a JOIN rsubq b ON b.vec_id = a.vec_id AND b.s = a.s,
+       |    (SELECT unnest(generate_series(1, $PqSubDim)) AS i) i
+       |  GROUP BY 1, 2, 3),
+       |pcb AS (
+       |  SELECT s, cid, list(m ORDER BY i) AS cent,
+       |    list_sum(list_transform(list(m ORDER BY i), x -> x::DOUBLE * x::DOUBLE)) AS csq
+       |  FROM pupd GROUP BY 1, 2),
+       |codes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT b.vec_id, b.s, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY b.sq + c.csq - 2 * ${duckDot8("b.sub", "c.cent")}, c.cid) AS rn
+       |    FROM rsubq b JOIN pcb c ON c.s = b.s) t WHERE rn = 1),
+       |qp AS (
+       |  SELECT qid, cell, ccent FROM (
+       |    SELECT e.vec_id AS qid, c.cid AS cell, c.cent AS ccent,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY e.sq + c.csq - 2 * ${duckDot64("e.embedding", "c.cent")}, c.cid) AS rn
+       |    FROM e, c2 c WHERE e.vec_id < 3) t WHERE rn <= $IvfPqProbes),
+       |qres AS (
+       |  SELECT qp.qid, qp.cell,
+       |    list_transform(generate_series(1, 64),
+       |      i -> (e.embedding[i]::DOUBLE - qp.ccent[i]::DOUBLE)::FLOAT) AS remb
+       |  FROM qp JOIN e ON e.vec_id = qp.qid),
+       |qrsub AS (
+       |  SELECT qid, cell, g.s,
+       |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
+       |  FROM qres, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
+       |qrsubq AS (SELECT qid, cell, s, sub, ${duckDot8("sub", "sub")} AS sq FROM qrsub),
+       |lut AS (
+       |  SELECT q.qid, q.cell, c.s, c.cid AS code,
+       |    q.sq + c.csq - 2 * ${duckDot8("q.sub", "c.cent")} AS d
+       |  FROM qrsubq q JOIN pcb c ON c.s = q.s),
+       |scored AS (
+       |  SELECT l.qid, c.vec_id, l.s, l.d
+       |  FROM codes c
+       |  JOIN res r ON r.vec_id = c.vec_id
+       |  JOIN lut l ON l.cell = r.cell AND l.s = c.s AND l.code = c.code
+       |    AND c.vec_id <> l.qid),
+       |adist AS (
+       |  SELECT qid, vec_id, list_sum(list(d ORDER BY s)) AS dist
+       |  FROM scored GROUP BY 1, 2)""".stripMargin
+
   val e9 = {
-    def dot8(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, $PqSubDim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
-    def dot64(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
     Q(
       "e9_ivfpq_retrieve",
-      s"""WITH ${ClusterOps.duckKmeansCtes},
-         |res AS (
-         |  SELECT a2.vec_id, a2.cid AS cell,
-         |    list_transform(generate_series(1, 64),
-         |      i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)::FLOAT) AS remb
-         |  FROM a2 JOIN e USING (vec_id) JOIN c2 c ON c.cid = a2.cid),
-         |rsub AS (
-         |  SELECT vec_id, g.s,
-         |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
-         |  FROM res, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
-         |rsubq AS (SELECT vec_id, s, sub, ${dot8("sub", "sub")} AS sq FROM rsub),
-         |seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK),
-         |pseeds AS (
-         |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
-         |    sub AS cent, sq AS csq
-         |  FROM rsubq WHERE vec_id IN (SELECT vec_id FROM seed_ids)),
-         |pa1 AS (
-         |  SELECT vec_id, s, cid FROM (
-         |    SELECT b.vec_id, b.s, c.cid,
-         |      row_number() OVER (PARTITION BY b.vec_id, b.s
-         |        ORDER BY b.sq + c.csq - 2 * ${dot8("b.sub", "c.cent")}, c.cid) AS rn
-         |    FROM rsubq b JOIN pseeds c ON c.s = b.s) t WHERE rn = 1),
-         |pupd AS (
-         |  SELECT a.s, a.cid, i.i, avg(b.sub[i.i])::FLOAT AS m
-         |  FROM pa1 a JOIN rsubq b ON b.vec_id = a.vec_id AND b.s = a.s,
-         |    (SELECT unnest(generate_series(1, $PqSubDim)) AS i) i
-         |  GROUP BY 1, 2, 3),
-         |pcb AS (
-         |  SELECT s, cid, list(m ORDER BY i) AS cent,
-         |    list_sum(list_transform(list(m ORDER BY i), x -> x::DOUBLE * x::DOUBLE)) AS csq
-         |  FROM pupd GROUP BY 1, 2),
-         |codes AS (
-         |  SELECT vec_id, s, cid AS code FROM (
-         |    SELECT b.vec_id, b.s, c.cid,
-         |      row_number() OVER (PARTITION BY b.vec_id, b.s
-         |        ORDER BY b.sq + c.csq - 2 * ${dot8("b.sub", "c.cent")}, c.cid) AS rn
-         |    FROM rsubq b JOIN pcb c ON c.s = b.s) t WHERE rn = 1),
-         |qp AS (
-         |  SELECT qid, cell, ccent FROM (
-         |    SELECT e.vec_id AS qid, c.cid AS cell, c.cent AS ccent,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY e.sq + c.csq - 2 * ${dot64("e.embedding", "c.cent")}, c.cid) AS rn
-         |    FROM e, c2 c WHERE e.vec_id < 3) t WHERE rn <= $IvfPqProbes),
-         |qres AS (
-         |  SELECT qp.qid, qp.cell,
-         |    list_transform(generate_series(1, 64),
-         |      i -> (e.embedding[i]::DOUBLE - qp.ccent[i]::DOUBLE)::FLOAT) AS remb
-         |  FROM qp JOIN e ON e.vec_id = qp.qid),
-         |qrsub AS (
-         |  SELECT qid, cell, g.s,
-         |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
-         |  FROM qres, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
-         |qrsubq AS (SELECT qid, cell, s, sub, ${dot8("sub", "sub")} AS sq FROM qrsub),
-         |lut AS (
-         |  SELECT q.qid, q.cell, c.s, c.cid AS code,
-         |    q.sq + c.csq - 2 * ${dot8("q.sub", "c.cent")} AS d
-         |  FROM qrsubq q JOIN pcb c ON c.s = q.s),
-         |scored AS (
-         |  SELECT l.qid, c.vec_id, l.s, l.d
-         |  FROM codes c
-         |  JOIN res r ON r.vec_id = c.vec_id
-         |  JOIN lut l ON l.cell = r.cell AND l.s = c.s AND l.code = c.code
-         |    AND c.vec_id <> l.qid),
-         |adist AS (
-         |  SELECT qid, vec_id, list_sum(list(d ORDER BY s)) AS dist
-         |  FROM scored GROUP BY 1, 2)
+      s"""WITH $duckIvfPqCtes
          |SELECT qid, rnk, vec_id AS doc_id, round(dist, 4) AS adist FROM (
          |  SELECT qid, vec_id, dist,
          |    row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
@@ -1148,5 +1157,80 @@ object SimilarityOps {
   def ivfpqRetrieve(embs: DataFrame, nProbes: Int = IvfPqProbes): DataFrame =
     ivfpqScan(embs.filter(col("vec_id") < 3), ivfpqBuild(embs), nProbes)
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9)
+  /** e10's ADC shortlist depth — the fetch-cost/recall dial: only this
+    * many float vectors are ever read per query. Measured on the fixture
+    * (worst-case near-uniform vectors, raw ADC recall@5 ~0.20): depth 20
+    * recovers 0.47, depth 50 recovers 0.87 (BENCH_NOTES round 10).
+    */
+  val RefineShortlist = 50
+
+  /** e10: IVF-PQ + EXACT RE-RANK — the FAISS "refine" read path, and the
+    * resolution of the probes-ladder finding (BENCH_NOTES round 10): on
+    * this corpus cell COVERAGE saturates at one probe while raw ADC
+    * recall@5 sits at ~0.2, i.e. the true neighbors are IN the probed
+    * cells but the 8-byte codes rank them imprecisely. The fix every
+    * production deployment ships is two-stage: ADC scores ALL probed code
+    * rows cheaply (8 bytes each, no float vector ever read), keeps a
+    * [[RefineShortlist]]-deep shortlist, and re-ranks ONLY those by exact
+    * squared-L2 against the raw vectors — so the expensive float fetch is
+    * `shortlist` rows per query instead of probes/k of the corpus (s2's
+    * exact-over-all-candidates shape, which stops fitting once cells hold
+    * millions of vectors).
+    *
+    * Scale shape: the shortlist is a per-query top-R over e9's certified
+    * scan — tiny — and the vector fetch is a broadcast-able shortlist
+    * joined to the corpus on its PRIMARY KEY (vec_id), the same
+    * point-lookup join e4 certifies. Query vectors (3 rows) broadcast.
+    * Nothing corpus × corpus; the only corpus-wide work remains the
+    * one-time index build.
+    */
+  val e10 = Q(
+    "e10_ivfpq_refine",
+    s"""WITH $duckIvfPqCtes,
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
+       |    FROM adist) t WHERE rnk <= $RefineShortlist),
+       |rerank AS (
+       |  SELECT s.qid, s.vec_id,
+       |    eq.sq + ev.sq - 2 * ${duckDot64("eq.embedding", "ev.embedding")} AS dist
+       |  FROM short s
+       |  JOIN e eq ON eq.vec_id = s.qid
+       |  JOIN e ev ON ev.vec_id = s.vec_id)
+       |SELECT qid, rnk, vec_id AS doc_id, round(dist, 4) AS edist FROM (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
+       |  FROM rerank) t
+       |WHERE rnk <= $PqTopK""".stripMargin) { (s, dir) =>
+    ivfpqRefine(Tables.load(s, dir, "embeddings"))
+  }
+
+  /** e10's pipeline: e9's build + scan to a `shortlist`-deep ADC list,
+    * then exact re-rank of only those rows.
+    */
+  def ivfpqRefine(embs: DataFrame, nProbes: Int = IvfPqProbes,
+      shortlist: Int = RefineShortlist): DataFrame = {
+    val idx = ivfpqBuild(embs)
+    val q = embs.filter(col("vec_id") < 3)
+    val short = ivfpqScan(q, idx, nProbes, shortlist).select(col("qid"), col("doc_id"))
+    val qv = q.selectExpr("vec_id AS qid", "embedding AS qemb",
+      "vec_dot(embedding, embedding) AS qsq")
+    val dv = embs.selectExpr("vec_id AS doc_id", "embedding AS demb",
+      "vec_dot(embedding, embedding) AS dsq")
+    // broadcast the SHORTLIST, not the corpus: it is <= queries * shortlist
+    // rows by construction, while dv is the full raw-vector table — without
+    // the hint the optimizer's size estimate picks dv at fixture scale,
+    // a shape that inverts at 100 TB
+    val rer = broadcast(short)
+      .join(dv, Seq("doc_id")) // PK point-fetch: shortlist rows, not cells
+      .join(broadcast(qv), Seq("qid"))
+      .selectExpr("qid", "doc_id", "qsq + dsq - 2 * vec_dot(qemb, demb) AS dist")
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("dist"), 4), col("doc_id"))
+    rer.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= PqTopK)
+      .select(col("qid"), col("rnk"), col("doc_id"), round(col("dist"), 4).as("edist"))
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
 }

@@ -147,7 +147,15 @@ class SimilarityPropertySpec extends AnyFunSuite {
     }
     val r8 = recallOf(SimilarityOps.e8.fn(spark, sf))
     val r9 = recallOf(SimilarityOps.e9.fn(spark, sf))
-    info(f"recall@5 vs exact L2: e8 (PQ) $r8%.2f, e9 (IVF-PQ, 2/8 cells probed) $r9%.2f")
+    val r10 = recallOf(SimilarityOps.e10.fn(spark, sf))
+    info(f"recall@5 vs exact L2: e8 (PQ) $r8%.2f, e9 (IVF-PQ, 2/8 cells probed) $r9%.2f, " +
+      f"e10 (refine) $r10%.2f")
+    // the refine stage exists to repair ADC ranking error: exact re-rank
+    // over the 20-deep shortlist must never score below raw ADC, and on
+    // this fixture (cell coverage 1.0 at one probe — BENCH_NOTES r10) it
+    // should recover most of the exact top-5
+    assert(r10 >= r9, f"exact re-rank scored BELOW raw ADC: $r10%.2f < $r9%.2f")
+    assert(r10 >= 0.5, f"e10 refine recall $r10%.2f below 0.5 - shortlist too shallow?")
     // Honest calibration: the fixture's near-uniform synthetic vectors are
     // PQ's WORST case (no cluster structure for 16-cell sub-quantizers to
     // exploit; real embedding corpora are far more compressible), and e9
