@@ -744,6 +744,85 @@ object TextOps {
           .otherwise("over_eps").as("upper_check"))
   }
 
+  /** t17: STRUCTURED PII redaction — the regex member of the scrub family
+    * (t7 replaces blocklisted TOKENS; real pipelines also strip
+    * pattern-shaped identifiers: emails, phone numbers, IPs). The corpus
+    * is word-token text with no PII by construction, so deterministic
+    * spans are injected first (doc_id % 3 → an email, % 5 → a phone,
+    * % 7 → an IP — the multimodal family's synthesize-then-certify
+    * discipline, MultimodalOps.withPayloads), then the redaction chain
+    * runs and the census prices per-language doc counts, per-type match
+    * counts, and a content checksum of the REDACTED text — one engine
+    * disagreeing on a single character of any replacement breaks the hash.
+    *
+    * Pattern dialect: conservative regex only (character classes, bounded
+    * repetition — no lookaround, no backreferences), the subset Java
+    * regex (Spark) and RE2 (DuckDB) evaluate identically; DuckDB's
+    * regexp_replace needs the explicit 'g' flag for Spark's replace-all
+    * semantics. Shuffle-free map stage + one k-row census agg; at scale
+    * this is the same per-partition rewrite pass as t7/t12.
+    */
+  val t17 = {
+    val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,4}"
+    val phone = "555-[0-9]{1,6}"
+    val ip = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    // deterministic injection (SQL shared conceptually by both sides;
+    // written in each dialect below)
+    Q(
+      "t17_pii_redaction",
+      s"""WITH injected AS (
+         |  SELECT doc_id, lang,
+         |    text
+         |      || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+         |      || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || (doc_id % 10000) || ' ext' ELSE '' END
+         |      || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) || ' host' ELSE '' END
+         |      AS text
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '$email')) AS n_email,
+         |    len(regexp_extract_all(text, '$phone')) AS n_phone,
+         |    len(regexp_extract_all(text, '$ip')) AS n_ip,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')
+         |      AS redacted
+         |  FROM injected)
+         |SELECT lang,
+         |  count(*) AS n_docs,
+         |  sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+         |  sum(n_email)::BIGINT AS emails, sum(n_phone)::BIGINT AS phones, sum(n_ip)::BIGINT AS ips,
+         |  sum(${graft.core.PortableHash.duck("redacted")})::BIGINT AS content_checksum
+         |FROM red GROUP BY lang""".stripMargin) { (s, dir) =>
+      val injected = Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now"))).otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"), col("doc_id") % 10000, lit(" ext"))).otherwise(""),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."), col("doc_id") % 256, lit("."),
+              (col("doc_id") / 256).cast("long") % 256, lit(" host"))).otherwise(""))
+          .as("text"))
+      val red = injected.select(
+        col("doc_id"), col("lang"),
+        size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("long").as("n_email"),
+        size(expr(s"regexp_extract_all(text, '$phone', 0)")).cast("long").as("n_phone"),
+        size(expr(s"regexp_extract_all(text, '$ip', 0)")).cast("long").as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("redacted"))
+      red.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"),
+          sum(col("n_email")).as("emails"),
+          sum(col("n_phone")).as("phones"),
+          sum(col("n_ip")).as("ips"),
+          sum(expr(graft.core.PortableHash.spark("redacted"))).as("content_checksum"))
+    }
+  }
+
   val all: Seq[Q] =
-    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16)
+    Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
+      t17)
 }

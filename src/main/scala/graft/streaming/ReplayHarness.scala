@@ -300,14 +300,26 @@ object ReplayHarness {
     * columns and surface them as null — exactly the "old emissions
     * predate the upgrade" shape a production lake would show.
     */
+  /** `transform1 == transform2` degenerates to a pure deterministic-restart
+    * certification (no schema change): the second instance must resume
+    * whatever operator state the first checkpointed — window partial sums,
+    * join buffers, dedup sets — which is how st27/st28 extend st10's
+    * recovery matrix beyond TWS value state. `sentinelTypes` rows are
+    * published LAST (highest mod time) so phase 2 ends with the watermark
+    * flush every append-mode operator needs.
+    */
   def replayEventsTwoPhase(
       spark: SparkSession,
       sfDir: String,
       chunks: Int = 4,
-      phase1Chunks: Int = 2)(
+      phase1Chunks: Int = 2,
+      outputMode: String = "update",
+      sentinelTypes: Seq[String] = Seq.empty,
+      stateEncoding: Option[String] = None,
+      prep: DataFrame => DataFrame = identity)(
       transform1: DataFrame => DataFrame)(
       transform2: DataFrame => DataFrame): DataFrame = {
-    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val events = prep(graft.core.Tables.load(spark, sfDir, "events"))
     val base = {
       val shm = java.nio.file.Paths.get("/dev/shm")
       if (Files.isDirectory(shm) && Files.isWritable(shm))
@@ -340,7 +352,11 @@ object ReplayHarness {
     val prevEncoding = spark.conf.getOption("spark.sql.streaming.stateStore.encodingFormat")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    // Avro encoding is what enables TWS state-schema RESOLUTION (st26),
+    // but Spark rejects it for non-TWS stateful operators (join, agg) —
+    // so it is opt-in per query, not harness-global
+    stateEncoding.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", _))
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(4, prevShuffle.toInt).toString)
@@ -355,7 +371,7 @@ object ReplayHarness {
         val transformed = tr(in)
         val expect = transformed.schema
         val q = transformed.writeStream
-          .outputMode("update")
+          .outputMode(outputMode)
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             batch.coalesce(1).write.mode("overwrite")
@@ -369,8 +385,23 @@ object ReplayHarness {
       (0 until phase1Chunks).foreach(publishChunk)
       runPhase(transform1)
       System.err.println(s"[replay] phase 1 drained ($phase1Chunks chunks); " +
-        "restarting from checkpoint with evolved state schema")
+        "restarting from checkpoint")
       (phase1Chunks until chunks).foreach(publishChunk)
+      if (sentinelTypes.nonEmpty) {
+        // replayEvents' sentinel convention: one row per requested type,
+        // 2 days past the real max ts, published with the HIGHEST mod time
+        // so the restarted instance processes it last and the watermark
+        // flushes every state row before the query stops
+        val sentinelTs = new java.sql.Timestamp(maxTs + 2L * 24 * 3600 * 1000)
+        import spark.implicits._
+        val sentinelStage = base.resolve("stage_sentinel")
+        sentinelTypes.zipWithIndex.map { case (t, i) =>
+          (-(i + 1).toLong, sentinelTs, -1L, t, 0.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .select(events.columns.map(col).toSeq: _*)
+          .coalesce(1).write.parquet(sentinelStage.toString)
+        publish(sentinelStage, streamDir, "batch_zzz_sentinel", now - 60000L)
+      }
       val schema2 = runPhase(transform2)
       if (Files.exists(outDir))
         spark.read.schema(schema2).option("recursiveFileLookup", "true")

@@ -843,7 +843,8 @@ object StreamingQueries {
       |            THEN value END), 2) AS max_value_v2
       |FROM events, b GROUP BY user_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val out = ReplayHarness.replayEventsTwoPhase(s, dir) { df =>
+    val out = ReplayHarness.replayEventsTwoPhase(s, dir,
+      stateEncoding = Some("avro")) { df =>
       StatefulOps.runningTotalsTWS(
         df.select("event_id", "ts", "user_id", "event_type", "value")
           .as[StatefulOps.Event]).toDF
@@ -858,8 +859,115 @@ object StreamingQueries {
         round(expr("max_by(max_value, n_events)"), 2).as("max_value_v2"))
   }
 
+  /** st27: WINDOWED-AGGREGATION state across a deterministic restart —
+    * st10 certifies recovery of TWS ValueState; this row certifies the
+    * OTHER major state format, windowed partial sums. The two-phase
+    * harness (st26's machinery with transform1 == transform2) stops after
+    * the first two time-range chunks and resumes the same checkpoint: a
+    * 6-hour window straddling the phase boundary holds phase-1 partials
+    * only in the restored state store, so matching st6's batch oracle
+    * proves the restarted instance resumed accumulation from checkpointed
+    * window state (and the restored WATERMARK kept append-mode
+    * finalization exactly-once — a reset watermark would re-emit or
+    * re-accept, a lost one would double-count).
+    */
+  val st27 = Q("st27_stream_window_restart",
+    """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayEventsTwoPhase(s, dir, outputMode = "append",
+      sentinelTypes = Seq(SentinelType))(
+      StatefulOps.windowedCounts)(StatefulOps.windowedCounts)
+      .filter(col("event_type") =!= SentinelType)
+  }
+
+  /** st28: STREAM-STREAM JOIN buffers across a deterministic restart — the
+    * third state format (st10: value state, st27: window state). Clicks
+    * arriving in the last hour of phase 1 are still inside the join's
+    * buffer-retention horizon (a click can match errors up to 1 hour
+    * later) when the query stops; errors early in phase 2 can ONLY find
+    * them in the RESTORED join buffers. Matching st1's full batch
+    * interval-join oracle therefore certifies both buffered-row recovery
+    * and correct post-restart eviction (the restored watermark resumes
+    * evicting clicks past c_ts + 1 h, so state stays bounded).
+    */
+  val st28 = Q("st28_stream_join_restart",
+    intervalJoinSql("JOIN", "errors.user_id")) { (s, dir) =>
+    ReplayHarness.replayEventsTwoPhase(s, dir, outputMode = "append",
+      sentinelTypes = Seq("click", "error"))(
+      StatefulOps.clickErrorJoin)(StatefulOps.clickErrorJoin)
+      .filter(col("user_id") >= 0)
+  }
+
+  /** st29: DEDUP state across a deterministic restart — completes the
+    * restart × state-format matrix (st10 value state, st27 window
+    * partials, st28 join buffers). The prep doubles the stream: every
+    * event re-appears ONE FULL SPAN later with the same event_id, so the
+    * equal-width chunk rule puts every original in phase 1 and every copy
+    * in phase 2 — the restarted `dropDuplicates("event_id")` sees ONLY
+    * copies, and can drop them ONLY from the restored dedup state. A lost
+    * store would re-emit the entire corpus and double every census value;
+    * the oracle is the plain original-events census (unbounded dedup —
+    * no watermark, no sentinel — so state is never evicted, st19's
+    * contract).
+    */
+  val st29 = Q("st29_stream_dedup_restart",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+      |  sum(event_id)::BIGINT AS id_checksum
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val doubleSpan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { ev =>
+      // scalar bounds probe (harness discipline): shift = span + 1 min so
+      // every copy lands strictly after every original
+      val b = ev.agg(min(col("ts")), max(col("ts"))).collect().head
+      val shift = b.getTimestamp(1).getTime - b.getTimestamp(0).getTime + 60000L
+      ev.union(ev.withColumn("ts",
+        timestamp_millis(unix_millis(col("ts")) + shift)))
+    }
+    ReplayHarness.replayEventsTwoPhase(s, dir, outputMode = "append",
+      prep = doubleSpan)(
+      _.dropDuplicates("event_id"))(
+      _.dropDuplicates("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+  }
+
+  /** st30: SESSION-WINDOW state across a deterministic restart — the last
+    * cell of the restart × state-format matrix (st10 value, st26 evolved,
+    * st27 window partials, st28 join buffers, st29 dedup set; session
+    * state is its own store with MERGE-ON-INSERT semantics, not a plain
+    * keyed aggregate). A user session open at the phase boundary exists
+    * only as a restored fragment; the restarted instance must extend or
+    * merge it when the user's next event arrives in phase 2 — a lost
+    * store would split every boundary-straddling session in two and break
+    * st7's gaps-and-islands oracle, which this row reuses verbatim.
+    */
+  val st30 = Q("st30_stream_session_restart",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_no
+      |  FROM flagged)
+      |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, count(*) AS n
+      |FROM sessions GROUP BY user_id, session_no""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayEventsTwoPhase(s, dir, outputMode = "append",
+      sentinelTypes = Seq(SentinelType))(
+      StatefulOps.sessionCounts)(StatefulOps.sessionCounts)
+      .filter(col("user_id") >= 0)
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
-      st26)
+      st26, st27, st28, st29, st30)
 }
