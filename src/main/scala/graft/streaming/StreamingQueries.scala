@@ -881,20 +881,86 @@ object StreamingQueries {
       .filter(col("event_type") =!= SentinelType)
   }
 
+  /** Deterministic cross-boundary row injection for the restart rows whose
+    * state loss would otherwise be SILENT on a sparse fixture: an inner
+    * join that loses buffered clicks just emits fewer pairs, and a session
+    * store that loses an open fragment just starts a new session — neither
+    * crashes. The fixture's organic events turn out not to straddle the
+    * mid-span phase boundary at sf0.01 (measured: zero cross-boundary join
+    * pairs / in-gap session bridges), so the certification is made
+    * unconditional instead: rows at exact millisecond offsets around the
+    * boundary (bd = minMs + span/2, the same integer arithmetic as the
+    * chunk rule) are injected on BOTH engines — prep here, a generated CTE
+    * in the oracle — guaranteeing state written in phase 1 MUST be read in
+    * phase 2 for the hash to match.
+    */
+  private def injectAtBoundary(ev: org.apache.spark.sql.DataFrame)(
+      rows: Long => Seq[(Long, java.sql.Timestamp, Long, String, Double, String)])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val b = ev.agg(min(col("ts")), max(col("ts"))).collect().head
+    val mn = b.getTimestamp(0).getTime
+    val bd = mn + (b.getTimestamp(1).getTime - mn + 1) / 2
+    val inj = rows(bd).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(ev.columns.map(col).toSeq: _*)
+    ev.union(inj)
+  }
+
+  /** The oracle-side twin of [[injectAtBoundary]]: a CTE computing the
+    * identical boundary (epoch_ms / make_timestamp are exact integer
+    * arithmetic, so both engines inject bit-identical timestamps).
+    */
+  private val duckBoundaryCte =
+    """b AS (SELECT epoch_ms(min(ts)) AS mn,
+      |  epoch_ms(min(ts)) + (epoch_ms(max(ts)) - epoch_ms(min(ts)) + 1) // 2 AS bd
+      |FROM events)""".stripMargin
+
   /** st28: STREAM-STREAM JOIN buffers across a deterministic restart — the
-    * third state format (st10: value state, st27: window state). Clicks
-    * arriving in the last hour of phase 1 are still inside the join's
-    * buffer-retention horizon (a click can match errors up to 1 hour
-    * later) when the query stops; errors early in phase 2 can ONLY find
-    * them in the RESTORED join buffers. Matching st1's full batch
-    * interval-join oracle therefore certifies both buffered-row recovery
-    * and correct post-restart eviction (the restored watermark resumes
-    * evicting clicks past c_ts + 1 h, so state stays bounded).
+    * third state format (st10: value state, st27: window state). 16
+    * injected click/error pairs bracket the phase boundary (click at
+    * bd − 25 min, error at bd + 25 min, same synthetic user): the click
+    * is buffered but unmatched when phase 1 stops — inside the 1-hour
+    * retention horizon, not yet evictable — and its pair can emit ONLY if
+    * the restarted instance reads it from the RESTORED buffer. Losing the
+    * store drops those 16 pairs silently (inner join — nothing crashes),
+    * and the oracle, which generates the same injected pairs, breaks.
+    * Organic rows additionally certify post-restart eviction and the
+    * restored watermark.
     */
   val st28 = Q("st28_stream_join_restart",
-    intervalJoinSql("JOIN", "errors.user_id")) { (s, dir) =>
+    s"""WITH $duckBoundaryCte,
+       |inj AS (
+       |  SELECT 9000000 + i AS event_id,
+       |    make_timestamp((b.bd - 1500000 - i * 1000) * 1000) AS ts,
+       |    900000 + i AS user_id, 'click' AS event_type
+       |  FROM b, (SELECT unnest(range(16)) AS i)
+       |  UNION ALL
+       |  SELECT 9100000 + i, make_timestamp((b.bd + 1500000 + i * 1000) * 1000),
+       |    900000 + i, 'error'
+       |  FROM b, (SELECT unnest(range(16)) AS i)),
+       |evts AS (
+       |  SELECT event_id, ts, user_id, event_type FROM events
+       |  UNION ALL SELECT event_id, ts, user_id, event_type FROM inj),
+       |errors AS (SELECT event_id AS error_id, ts AS e_ts, user_id
+       |           FROM evts WHERE event_type = 'error'),
+       |clicks AS (SELECT event_id AS click_id, ts AS c_ts, user_id
+       |           FROM evts WHERE event_type = 'click')
+       |SELECT error_id, click_id, errors.user_id AS user_id
+       |FROM errors JOIN clicks ON clicks.user_id = errors.user_id
+       | AND c_ts <= e_ts AND c_ts >= e_ts - INTERVAL 1 HOUR""".stripMargin) { (s, dir) =>
+    val inj: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      injectAtBoundary(_) { bd =>
+        (0 until 16).flatMap { i =>
+          Seq(
+            (9000000L + i, new java.sql.Timestamp(bd - 1500000L - i * 1000L),
+              900000L + i, "click", 1.0, "{}"),
+            (9100000L + i, new java.sql.Timestamp(bd + 1500000L + i * 1000L),
+              900000L + i, "error", 1.0, "{}"))
+        }
+      }
     ReplayHarness.replayEventsTwoPhase(s, dir, outputMode = "append",
-      sentinelTypes = Seq("click", "error"))(
+      sentinelTypes = Seq("click", "error"), prep = inj)(
       StatefulOps.clickErrorJoin)(StatefulOps.clickErrorJoin)
       .filter(col("user_id") >= 0)
   }
@@ -937,19 +1003,35 @@ object StreamingQueries {
     * cell of the restart × state-format matrix (st10 value, st26 evolved,
     * st27 window partials, st28 join buffers, st29 dedup set; session
     * state is its own store with MERGE-ON-INSERT semantics, not a plain
-    * keyed aggregate). A user session open at the phase boundary exists
-    * only as a restored fragment; the restarted instance must extend or
-    * merge it when the user's next event arrives in phase 2 — a lost
-    * store would split every boundary-straddling session in two and break
-    * st7's gaps-and-islands oracle, which this row reuses verbatim.
+    * keyed aggregate). 8 injected users bracket the phase boundary with
+    * events 10 min either side — inside the 30-minute gap — so each
+    * leaves an OPEN session fragment in phase-1 state that the restarted
+    * instance must EXTEND when the user's phase-2 event arrives; a lost
+    * store splits each into two sessions (20-min gap < 30 → the oracle's
+    * gaps-and-islands rule says ONE) and the hash breaks. Restored
+    * organic sessions (open fragments within the last 40 min of phase 1)
+    * additionally certify restore-then-finalize emission.
     */
   val st30 = Q("st30_stream_session_restart",
-    """WITH flagged AS (
+    s"""WITH $duckBoundaryCte,
+      |inj AS (
+      |  SELECT 9200000 + i AS event_id,
+      |    make_timestamp((b.bd - 600000 - i * 1000) * 1000) AS ts,
+      |    950000 + i AS user_id
+      |  FROM b, (SELECT unnest(range(8)) AS i)
+      |  UNION ALL
+      |  SELECT 9300000 + i, make_timestamp((b.bd + 600000 + i * 1000) * 1000),
+      |    950000 + i
+      |  FROM b, (SELECT unnest(range(8)) AS i)),
+      |evts AS (
+      |  SELECT event_id, ts, user_id FROM events
+      |  UNION ALL SELECT event_id, ts, user_id FROM inj),
+      |flagged AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS new_session
-      |  FROM events
+      |  FROM evts
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
@@ -960,8 +1042,18 @@ object StreamingQueries {
       |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
       |  user_id, count(*) AS n
       |FROM sessions GROUP BY user_id, session_no""".stripMargin) { (s, dir) =>
+    val inj: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      injectAtBoundary(_) { bd =>
+        (0 until 8).flatMap { i =>
+          Seq(
+            (9200000L + i, new java.sql.Timestamp(bd - 600000L - i * 1000L),
+              950000L + i, "view", 1.0, "{}"),
+            (9300000L + i, new java.sql.Timestamp(bd + 600000L + i * 1000L),
+              950000L + i, "view", 1.0, "{}"))
+        }
+      }
     ReplayHarness.replayEventsTwoPhase(s, dir, outputMode = "append",
-      sentinelTypes = Seq(SentinelType))(
+      sentinelTypes = Seq(SentinelType), prep = inj)(
       StatefulOps.sessionCounts)(StatefulOps.sessionCounts)
       .filter(col("user_id") >= 0)
   }
