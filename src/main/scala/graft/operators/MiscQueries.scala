@@ -580,7 +580,81 @@ object MiscQueries {
         expr("(n_retained * 1000L) div cohort_size").as("retention_pm"))
   }
 
+  /** q64: DATA-QUALITY CONSTRAINT CENSUS — the Deequ-style unit-test-for-data
+    * gate (Schelter et al., "Automating Large-Scale Data Quality
+    * Verification", VLDB 2018) every production pipeline runs before
+    * accepting a new partition: size, completeness, key uniqueness, value
+    * domain, range, and format constraints verified in ONE aggregation pass
+    * and emitted as a constant-size report of (constraint, metric,
+    * violations, status) rows.
+    *
+    * Shape: every metric is a conditional count folded into a single
+    * partial+final hash aggregate (the one countDistinct adds Spark's
+    * standard Expand-based distinct split), so the scan is one pass over
+    * the fact table with map-side combine and the shuffle carries a handful
+    * of scalars — at 100 TB the cost is the scan itself, which an ingest
+    * job is already paying; q28's HLL sketch is the documented uniqueness
+    * drop-in when exact distinct is too hot. The `max_value_le_100`
+    * constraint FAILS by construction (the fixture's value field tops out
+    * near 500), so the fail path — nonzero violation count surfaced, not
+    * swallowed — is under the hash too, the same discipline as q28/q39's
+    * verdict columns. All metrics are BIGINT; status is a string verdict,
+    * so the report hashes exactly on any engine.
+    */
+  val q64 = Q(
+    "q64_quality_constraints",
+    """WITH m AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |    count(user_id)::BIGINT AS nn_user,
+      |    count(DISTINCT event_id)::BIGINT AS u_event,
+      |    sum(CASE WHEN event_type IN ('click','error','purchase','signup','view')
+      |             THEN 0 ELSE 1 END)::BIGINT AS v_domain,
+      |    sum(CASE WHEN value > 0 AND value <= 500 THEN 0 ELSE 1 END)::BIGINT AS v_range,
+      |    sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT AS v_cap,
+      |    sum(CASE WHEN props LIKE '{%' THEN 0 ELSE 1 END)::BIGINT AS v_json
+      |  FROM events),
+      |r AS (
+      |  SELECT 'row_count' AS constraint_name, n AS metric, 0::BIGINT AS violations FROM m
+      |  UNION ALL SELECT 'completeness_user_id', nn_user, n - nn_user FROM m
+      |  UNION ALL SELECT 'uniqueness_event_id', u_event, n - u_event FROM m
+      |  UNION ALL SELECT 'domain_event_type', n - v_domain, v_domain FROM m
+      |  UNION ALL SELECT 'range_value_0_500', n - v_range, v_range FROM m
+      |  UNION ALL SELECT 'max_value_le_100', n - v_cap, v_cap FROM m
+      |  UNION ALL SELECT 'pattern_props_json', n - v_json, v_json FROM m)
+      |SELECT constraint_name, metric, violations,
+      |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM r""".stripMargin) {
+    (s, dir) =>
+      val m = Tables.load(s, dir, "events").agg(
+        count(lit(1)).as("n"),
+        count(col("user_id")).as("nn_user"),
+        countDistinct(col("event_id")).as("u_event"),
+        sum(when(col("event_type").isin("click", "error", "purchase", "signup", "view"), 0L)
+          .otherwise(1L)).as("v_domain"),
+        sum(when(col("value") > 0 && col("value") <= 500, 0L).otherwise(1L)).as("v_range"),
+        sum(when(col("value") > 100, 1L).otherwise(0L)).as("v_cap"),
+        sum(when(col("props").startsWith("{"), 0L).otherwise(1L)).as("v_json"))
+      val report = m.select(explode(array(
+        struct(lit("row_count").as("constraint_name"), col("n").as("metric"),
+          lit(0L).as("violations")),
+        struct(lit("completeness_user_id").as("constraint_name"), col("nn_user").as("metric"),
+          (col("n") - col("nn_user")).as("violations")),
+        struct(lit("uniqueness_event_id").as("constraint_name"), col("u_event").as("metric"),
+          (col("n") - col("u_event")).as("violations")),
+        struct(lit("domain_event_type").as("constraint_name"),
+          (col("n") - col("v_domain")).as("metric"), col("v_domain").as("violations")),
+        struct(lit("range_value_0_500").as("constraint_name"),
+          (col("n") - col("v_range")).as("metric"), col("v_range").as("violations")),
+        struct(lit("max_value_le_100").as("constraint_name"),
+          (col("n") - col("v_cap")).as("metric"), col("v_cap").as("violations")),
+        struct(lit("pattern_props_json").as("constraint_name"),
+          (col("n") - col("v_json")).as("metric"), col("v_json").as("violations")))).as("c"))
+      report.select(col("c.constraint_name").as("constraint_name"),
+        col("c.metric").as("metric"), col("c.violations").as("violations"),
+        when(col("c.violations") === 0L, "pass").otherwise("fail").as("status"))
+  }
+
   val all: Seq[Q] =
     Seq(q29, q30, q31, q33, q34, q39, q42, q44, q45, q46, q50, q51, q52, q53,
-      q55, q56, q57, q61)
+      q55, q56, q57, q61, q64)
 }

@@ -473,6 +473,60 @@ object StatefulOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** [[UserCountProcessor]] with INITIAL STATE — the batch-bootstrap →
+    * streaming handoff (StatefulProcessorWithInitialState): a new streaming
+    * deployment almost never starts from zero; it takes over from a batch
+    * job whose accumulated per-key aggregates must become the stream's
+    * opening state, or the key history silently restarts at zero. Spark
+    * processes the initial-state relation exactly once, in the FIRST
+    * micro-batch of a fresh checkpoint, calling [[handleInitialState]] per
+    * key before any input rows — keys present only in the seed keep their
+    * state silently (no emission) until the stream first touches them.
+    * Accumulation arithmetic is [[UserCountProcessor]]'s verbatim, so a
+    * seeded stream and a stream that saw the full history emit identical
+    * totals — the property st31's oracle hashes.
+    */
+  class SeededTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, UserRunning, UserRunning] {
+    @transient private var countState: org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      countState = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: Long, initial: UserRunning,
+        timers: org.apache.spark.sql.streaming.TimerValues): Unit =
+      countState.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      val prev = Option(countState.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserRunning(key, n, math.rint(total * 100) / 100)
+      countState.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** transformWithState wiring for [[SeededTotalsProcessor]]: `seed` must be
+    * a BATCH dataset (the handed-off aggregate), keyed like the stream.
+    */
+  def seededRunningTotalsTWS(events: Dataset[Event],
+      seed: Dataset[UserRunning]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SeededTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update(),
+        seed.groupByKey(_.user_id))
+  }
+
   final case class UserSession(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
 
   /** transformWithState with EVENT-TIME TIMERS — the modern

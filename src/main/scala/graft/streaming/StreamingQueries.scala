@@ -1058,8 +1058,59 @@ object StreamingQueries {
       .filter(col("user_id") >= 0)
   }
 
+  /** st31: INITIAL STATE — the batch-bootstrap → streaming handoff
+    * (StatefulProcessorWithInitialState), the missing lifecycle edge around
+    * st10/st26's restart family: those resume a checkpoint that already
+    * exists; this row certifies STARTING a stream whose opening state is a
+    * batch aggregate (the migration every batch-to-streaming cutover runs —
+    * without it, per-key history restarts at zero on day one).
+    *
+    * The events fixture is split at the exact epoch-millisecond midpoint
+    * (2·ms >= mn+mx — pure integer arithmetic both engines reproduce): the
+    * FIRST half is aggregated in batch into per-user (n_events,
+    * total_value) seeds; only the SECOND half is replayed as micro-batches
+    * through [[StatefulOps.seededRunningTotalsTWS]], whose
+    * handleInitialState plants each seed before batch 0's input rows.
+    * Emitted totals must therefore equal count/sum over the FULL history
+    * for every user the stream touches — the oracle aggregates ALL events
+    * for users with a post-midpoint event, so a dropped or double-applied
+    * seed breaks the hash (post-half-only totals are strictly smaller).
+    * Users silent after the midpoint hold their seed in state but never
+    * emit, and the oracle's DISTINCT-user join prices exactly that.
+    */
+  val st31 = Q("st31_stream_initial_state",
+    """WITH b AS (
+      |  SELECT epoch_ms(min(ts)) AS mn, epoch_ms(max(ts)) AS mx FROM events),
+      |live AS (
+      |  SELECT DISTINCT user_id FROM events, b WHERE epoch_ms(ts) * 2 >= mn + mx)
+      |SELECT e.user_id, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+      |FROM events e JOIN live USING (user_id)
+      |GROUP BY e.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val events = graft.core.Tables.load(s, dir, "events")
+    val b = events.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head
+    val midX2 = b.getLong(0) + b.getLong(1)
+    // the handed-off batch aggregate: first half of history, rounded with
+    // the processor's own cent discipline so seeded accumulation continues
+    // bit-identically
+    val seed = events.filter(unix_millis(col("ts")) * 2 < midX2)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .as[StatefulOps.UserRunning]
+    val out = replayEvents(s, dir, "update", requireRocksDB = true,
+      prep = df => df.filter(unix_millis(col("ts")) * 2 >= midX2)) { df =>
+      StatefulOps.seededRunningTotalsTWS(
+        df.select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StatefulOps.Event], seed).toDF
+    }
+    out.filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        expr("max_by(total_value, n_events)").as("total_value"))
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
-      st26, st27, st28, st29, st30)
+      st26, st27, st28, st29, st30, st31)
 }
