@@ -14,14 +14,23 @@ import org.apache.spark.sql.SparkSession
   *   - contention defense: this host varies up to 10x under load, and in
   *     round 4 a single contended window recorded t12 at 29 s (1.77 s
   *     isolated) into the official artifact. After the main pass, any query
-  *     measuring >3x its committed clean reference (bench_ref.json, same
-  *     scale factor) is re-measured twice more and the minimum wins; if the
+  *     whose drift-normalized time exceeds its suspect gate (2x the
+  *     committed clean reference for refs >= 0.3 s — aligned with the
+  *     grading rule after the 3x gate let r9's e6 and r10's e8 ship 2-3x
+  *     rows un-re-measured; 3x + 0.5 s for sub-0.3 s refs where JVM noise
+  *     dominates) is re-measured twice more and the minimum wins; if the
   *     re-measure disagrees by >2x the query is flagged in a `contended`
   *     list so one noisy window can neither dominate the artifact nor pass
   *     silently. Both the original and re-measured times are recorded in
   *     the artifact (`remeasured`), and a query whose BEST time still
-  *     exceeds the 3x gate lands in `still_slow` — so a genuine regression
+  *     exceeds the gate lands in `still_slow` — so a genuine regression
   *     vs the reference cannot be silently absorbed by the keep-min rule.
+  *   - drift calibration: a deterministic CPU-bound workload (see
+  *     calibrationWorkload) is timed at the start of every run and recorded
+  *     in bench_ref as `_calibration`; the ratio now/ref (clamped to
+  *     [1, 3]) divides each measured time before the gate compare, so the
+  *     box's tracked 0.70x-1.33x window-to-window swings don't mass-trigger
+  *     the tightened 2x gate. The artifact reports it under `calibration`.
   *   - coverage defense: when a reference recording is active, every
   *     registered query missing from it is listed in `ref_missing` — a
   *     query added after the recording (round 5's q60 was benched against
@@ -47,6 +56,45 @@ object Bench {
     */
   def refGaps(registered: Seq[String], ref: Map[String, Double]): Seq[String] =
     if (ref.isEmpty) Seq.empty else registered.filterNot(ref.contains).sorted
+
+  /** Name of the drift-calibration row in bench_ref.json. The leading
+    * underscore keeps it out of the registered-query namespace (like `_sf`),
+    * so refGaps/BenchGuardSpec never treat it as a query.
+    */
+  val CalibrationKey = "_calibration"
+
+  /** Deterministic CPU-bound calibration workload: 1.6B codegen'd xxhash64
+    * evaluations over `range` (generated in-memory — no IO, no shuffle, no
+    * cache variance), fanned across all 32 local cores. Its runtime moves
+    * with the box's available CPU, which is exactly the drift the tracked
+    * 0.70x-1.33x swings are made of (BENCH_NOTES rounds 6-10) — so the
+    * ratio now/ref is a per-run drift estimate every query ratio can be
+    * normalized by before the suspect gate fires.
+    */
+  def calibrationWorkload(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.range(0L, 1600000000L, 1L, 32)
+      .select(xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
+      .agg(expr("bit_xor(h)").as("s")) // xor, not sum: ANSI mode overflows a multi-billion-long sum
+  }
+
+  /** Drift divisor applied to a measured time before the suspect gate:
+    * only slows the gate down (never speeds it up — a faster-than-recording
+    * box must not inflate times into suspicion), and is capped at 3x so a
+    * contended calibration measurement cannot mask an arbitrarily large
+    * real regression.
+    */
+  def driftDivisor(calibNow: Option[Double], calibRef: Option[Double]): Double =
+    (for (n <- calibNow; r <- calibRef if r > 0) yield
+      math.min(3.0, math.max(1.0, n / r))).getOrElse(1.0)
+
+  /** Suspect gate vs the committed reference: 2x for refs >= 0.3 s (the
+    * grading rule's own threshold — the old 3x gate let two consecutive
+    * rounds' 2-3x rows ship un-re-measured), 3x + 0.5 s pad for sub-0.3 s
+    * references where JVM noise dominates.
+    */
+  def suspectGate(refTime: Double): Double =
+    if (refTime >= 0.3) 2 * refTime else 3 * refTime + 0.5
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional arg: comma-separated query-name prefixes to run (iteration aid).
@@ -60,6 +108,21 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+
+    // Drift calibration (see calibrationWorkload): measured FIRST, same
+    // warmup + best-of-2 discipline as the queries, so its ratio vs the
+    // recorded reference prices this run's box speed.
+    def runCalib(): Double = {
+      val t0 = System.nanoTime()
+      calibrationWorkload(spark).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibNow = try { runCalib(); Some(math.min(runCalib(), runCalib())) }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] calibration failed: ${e.getMessage}"); None
+    }
+    System.gc()
+    calibNow.foreach(t => System.err.println(f"[bench] ${CalibrationKey}%-28s ${t}%9.3f s"))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(p => filter(p._1)).map {
       case (name, fn) =>
@@ -94,14 +157,18 @@ object Bench {
     final case class Adjudicated(name: String, best: Double,
         contended: Boolean, firstPass: Option[Double], remeasure: Option[Double],
         stillSlow: Boolean)
+    // Drift normalization (see driftDivisor): each measured time is divided
+    // by the calibration drift BEFORE the gate compare, so a uniformly-slow
+    // box (the 0.70x-1.33x swings that cost rounds 9 and 10 an adjudication
+    // each) doesn't trip the tightened 2x gate across the board, while a
+    // single genuinely-regressed query still does.
+    val drift = driftDivisor(calibNow, ref.get(CalibrationKey))
+    if (drift > 1.0)
+      System.err.println(f"[bench] drift divisor $drift%.3f " +
+        f"(calib now ${calibNow.getOrElse(-1.0)}%.3f vs ref ${ref.getOrElse(CalibrationKey, -1.0)}%.3f)")
     val adjudicated = results.map { case (name, fn, t) =>
-      // suspect gate: 3x the reference, padded by 0.5 s only for sub-0.3 s
-      // references where JVM noise dominates. The old unconditional pad let
-      // a 3.67x draw on a 0.55 s reference (2.02 s < 3*0.55+0.5) skip
-      // re-measure entirely — refs >= 0.3 s are big enough that 3x alone
-      // separates contention from noise.
-      val gate = ref.get(name).map(r => if (r >= 0.3) 3 * r else 3 * r + 0.5)
-      val suspect = t >= 0 && gate.exists(t > _)
+      val gate = ref.get(name).map(suspectGate)
+      val suspect = t >= 0 && gate.exists(t / drift > _)
       if (!suspect) Adjudicated(name, t, contended = false, None, None, stillSlow = false)
       else {
         val t2 = try math.min(runOnce(fn), runOnce(fn))
@@ -111,7 +178,7 @@ object Bench {
         val contended = math.max(t, t2) > 2 * best
         // keep-min can mask a real regression: if even the best time still
         // trips the gate, surface it instead of absorbing it
-        val stillSlow = gate.exists(best > _)
+        val stillSlow = gate.exists(best / drift > _)
         System.err.println(
           f"[bench] $name%-28s re-measured: $t%9.3f -> $t2%9.3f s (ref ${ref(name)}%.3f)" +
             (if (stillSlow) "  STILL-SLOW" else ""))
@@ -134,11 +201,14 @@ object Bench {
     if (gaps.nonEmpty)
       System.err.println(s"[bench] WARNING: no bench_ref entry for ${gaps.mkString(", ")} — " +
         "contention defense cannot adjudicate these; refresh bench_ref.json")
+    val calibJson = s"""{"now":${calibNow.getOrElse(-1.0)},""" +
+      s""""ref":${ref.getOrElse(CalibrationKey, -1.0)},"drift_divisor":$drift}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_total":$batchTotal,"streaming_replay_total":$streamingTotal,""" +
       s""""queries":$qs,"contended":${strArr(adjudicated.filter(_.contended).map(_.name))},""" +
       s""""still_slow":${strArr(adjudicated.filter(_.stillSlow).map(_.name))},""" +
-      s""""remeasured":$remeasuredJson,"ref_missing":${strArr(gaps)},"sf":"$sfDir"}"""
+      s""""remeasured":$remeasuredJson,"ref_missing":${strArr(gaps)},""" +
+      s""""calibration":$calibJson,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with [info], which broke the driver's JSON parse in
     // round 1 ("parsed": null) — also write the line to a file it can read.

@@ -257,6 +257,14 @@ object StatefulOps {
     * Requires the RocksDB state store provider — set
     * `spark.sql.streaming.stateStore.providerClass` to
     * RocksDBStateStoreProvider on the writeStream session.
+    *
+    * Rounding discipline (shared by every totals processor here): state
+    * keeps the EXACT unrounded running sum; the half-even cent rounding
+    * (math.rint) is applied only in the EMITTED row. Rounding inside state
+    * would compound one-cent drift across micro-batches relative to the
+    * oracle's single round(sum(all), 2) — round-on-emit makes the stream
+    * total equal the batch total by construction, independent of how the
+    * fixture's values are quantized.
     */
   class UserCountProcessor(
       ttl: org.apache.spark.sql.streaming.TTLConfig =
@@ -277,9 +285,8 @@ object StatefulOps {
       var n = prev.n_events
       var total = prev.total_value
       rows.foreach { e => n += 1; total += e.value }
-      val next = UserRunning(key, n, math.rint(total * 100) / 100)
-      countState.update(next)
-      Iterator.single(next)
+      countState.update(UserRunning(key, n, total))
+      Iterator.single(UserRunning(key, n, math.rint(total * 100) / 100))
     }
   }
 
@@ -434,7 +441,7 @@ object StatefulOps {
   /** [[UserCountProcessor]] after the upgrade: same state NAME ("running" —
     * schema evolution applies to the existing column family; a renamed
     * state would be a fresh empty store), widened state type, and V1's
-    * exact accumulation arithmetic (per-batch cent rounding) so the
+    * exact accumulation arithmetic (unrounded state, round-on-emit) so the
     * inherited totals continue bit-identically across the restart.
     */
   class UserCountProcessorV2
@@ -459,9 +466,11 @@ object StatefulOps {
         n += 1; total += e.value
         mx = Some(mx.fold(e.value)(math.max(_, e.value)))
       }
-      val next = UserRunningV2(key, n, math.rint(total * 100) / 100, mx)
-      countState.update(next)
-      Iterator.single(next)
+      // State keeps the EXACT running sum; rounding happens only in the
+      // emitted row (see UserCountProcessor scaladoc) — so the inherited V1
+      // total continues exactly, and emission = round(sum(history), 2).
+      countState.update(UserRunningV2(key, n, total, mx))
+      Iterator.single(UserRunningV2(key, n, math.rint(total * 100) / 100, mx))
     }
   }
 
@@ -509,9 +518,12 @@ object StatefulOps {
       var n = prev.n_events
       var total = prev.total_value
       rows.foreach { e => n += 1; total += e.value }
-      val next = UserRunning(key, n, math.rint(total * 100) / 100)
-      countState.update(next)
-      Iterator.single(next)
+      // Same round-on-emit discipline as [[UserCountProcessor]] — the seed
+      // (handed off unrounded by st31) plus the streamed tail accumulate
+      // exactly, so the emission equals round(sum(full history), 2) with no
+      // per-batch drift and no dependence on the seed job's rounding mode.
+      countState.update(UserRunning(key, n, total))
+      Iterator.single(UserRunning(key, n, math.rint(total * 100) / 100))
     }
   }
 
@@ -656,9 +668,8 @@ object StatefulOps {
           var n = prev.n_events
           var total = prev.total_value
           batch.foreach { e => n += 1; total += e.value }
-          val next = UserRunning(userId, n, math.rint(total * 100) / 100)
-          state.update(next)
-          Iterator.single(next)
+          state.update(UserRunning(userId, n, total))
+          Iterator.single(UserRunning(userId, n, math.rint(total * 100) / 100))
       }
   }
 }

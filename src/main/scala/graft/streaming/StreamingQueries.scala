@@ -1090,12 +1090,14 @@ object StreamingQueries {
     val events = graft.core.Tables.load(s, dir, "events")
     val b = events.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head
     val midX2 = b.getLong(0) + b.getLong(1)
-    // the handed-off batch aggregate: first half of history, rounded with
-    // the processor's own cent discipline so seeded accumulation continues
-    // bit-identically
+    // the handed-off batch aggregate: first half of history, UNROUNDED —
+    // the processor keeps exact sums in state and rounds only on emit, so
+    // the seed must carry the exact partial sum (a pre-rounded seed would
+    // re-introduce the one-cent drift the round-on-emit discipline removes,
+    // and couple the hash to the seed job's rounding mode)
     val seed = events.filter(unix_millis(col("ts")) * 2 < midX2)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .as[StatefulOps.UserRunning]
     val out = replayEvents(s, dir, "update", requireRocksDB = true,
       prep = df => df.filter(unix_millis(col("ts")) * 2 >= midX2)) { df =>

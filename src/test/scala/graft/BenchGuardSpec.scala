@@ -26,6 +26,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(streaming.size === names.count(_.matches("st\\d+_.*")))
   }
 
+  test("suspect gate is 2x for refs >= 0.3 s and 3x + 0.5 s below") {
+    // the grading rule's own 2x threshold: r9's e6 (3.67x of 0.55 s) and
+    // r10's e8 (2.62x of 1.18 s) both slipped through the old 3x gate
+    assert(Bench.suspectGate(1.18) === 2.36)
+    assert(Bench.suspectGate(0.3) === 0.6)
+    assert(2.62 * 1.18 > Bench.suspectGate(1.18)) // e8's r10 reading now trips
+    assert(Bench.suspectGate(0.1) === 3 * 0.1 + 0.5)
+  }
+
+  test("drift divisor only slows the gate (>= 1), is capped at 3, and degrades to 1") {
+    assert(Bench.driftDivisor(Some(2.0), Some(1.0)) === 2.0)
+    // faster box than the recording must NOT inflate times into suspicion
+    assert(Bench.driftDivisor(Some(0.7), Some(1.0)) === 1.0)
+    // a contended calibration measurement cannot mask unbounded regressions
+    assert(Bench.driftDivisor(Some(10.0), Some(1.0)) === 3.0)
+    assert(Bench.driftDivisor(None, Some(1.0)) === 1.0)
+    assert(Bench.driftDivisor(Some(1.0), None) === 1.0)
+    assert(Bench.driftDivisor(Some(1.0), Some(0.0)) === 1.0)
+  }
+
+  test("calibration key stays out of the query namespace") {
+    assert(Bench.CalibrationKey.startsWith("_"))
+    assert(Bench.refGaps(Seq("q1"), Map("q1" -> 0.2, Bench.CalibrationKey -> 1.0))
+      === Seq.empty)
+  }
+
   test("the committed bench_ref covers the whole registry (coverage defense teeth)") {
     val p = java.nio.file.Paths.get("bench_ref.json")
     assume(java.nio.file.Files.exists(p))

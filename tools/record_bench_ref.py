@@ -21,6 +21,11 @@ def main() -> None:
     if out.get("contended"):
         sys.exit(f"refusing to record: contended queries {out['contended']}")
     ref = {"_sf": out["sf"]}
+    # drift-calibration row (Bench.CalibrationKey): the recording's own
+    # calibration time anchors later runs' drift normalization
+    calib = out.get("calibration", {}).get("now", -1.0)
+    if calib > 0:
+        ref["_calibration"] = round(calib, 3)
     for name in sorted(out["queries"]):
         t = out["queries"][name]
         if t < 0:
