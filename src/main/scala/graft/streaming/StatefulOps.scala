@@ -118,7 +118,9 @@ object StatefulOps {
     * interval) is what gates the agg's late filter and window eviction.
     * Per-operator watermarking would finalize windows while the join can
     * still emit into them, losing pairs; st21's oracle-gated replay is
-    * exactly the proof that the propagated value decides.
+    * exactly the proof that the propagated value decides. Upgrade canary:
+    * WatermarkCanarySpec pins the min-sides-minus-interval rule directly,
+    * so a Spark version that changes it fails there by name.
     */
   def joinWindowCounts(events: DataFrame): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")

@@ -238,7 +238,10 @@ object StreamingQueries {
     *            watermark, which lags one batch further (see below)
     *
     * The oracle does NOT hard-code "batch 2 vanishes": it replays Spark's
-    * actual rule. Since SPARK-40925 a micro-batch carries TWO watermarks:
+    * actual rule (upgrade canary: WatermarkCanarySpec asserts the rule
+    * DIRECTLY via StreamingQueryProgress, so a Spark version that changes
+    * it fails there by name instead of here by hash).
+    * Since SPARK-40925 a micro-batch carries TWO watermarks:
     * late-record filtering uses the PREVIOUS batch's value (stats of batches
     * ≤ b−2, − delay) while state eviction uses the current one (batches
     * ≤ b−1). So a batch-b row survives iff its window END exceeds

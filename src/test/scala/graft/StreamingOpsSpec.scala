@@ -893,4 +893,101 @@ class StreamingOpsSpec extends AnyFunSuite {
       "no held-back click survived late arrival and joined — the on-time path is unexercised")
     assert(streamed === modeled, "join late-drop diverged from the full-join-minus-late model")
   }
+
+  test("TWS incompatible state-type change across restart fails LOUDLY, never corrupts") {
+    // st26 certifies the SUPPORTED evolution direction (widening by an
+    // Option field with a null default). This pins the UNSUPPORTED one: a
+    // restarted processor re-registering the same state name ("running")
+    // with a type Avro cannot resolve from the written rows (total_value
+    // Double -> String has no promotion rule). The production requirement
+    // is that this upgrade mistake is a NAMED schema-compatibility error at
+    // restart — not silently-empty state or garbage totals. Spark 4's
+    // Avro path raises StateStoreInvalidValueSchemaEvolution
+    // (STATE_STORE_INVALID_VALUE_SCHEMA_EVOLUTION, SQLSTATE XXKST) from
+    // the schema-resolution check, wrapped in the streaming query's
+    // StreamingQueryException chain; the UnsafeRow path's analogue is
+    // STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE. Accept either name so a
+    // Spark upgrade that reshuffles the two keeps the contract pinned.
+    import spark.implicits._
+    val ms = startStream()
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevEncoding = spark.conf.getOption("spark.sql.streaming.stateStore.encodingFormat")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Avro encoding is the evolution-capable format st26 runs under — the
+    // loud-failure contract must hold exactly there, where a user would
+    // expect "schema evolution" to save them
+    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    try {
+      val ckpt = GraftTestSpark.tmpDir("bad_evo_ckpt")
+      // phase 1: V1 processor writes UserRunning state and checkpoints
+      val sink1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q1 = StatefulOps.runningTotalsTWS(ms.toDS())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StatefulOps.UserRunning], _: Long) =>
+          b.collect().foreach(u => sink1.add(u.n_events))
+        }
+        .start()
+      ms.addData(Event(1, ts("2024-01-01 01:00:00"), 5, "click", 2.0))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(sink1.size === 1, "phase 1 wrote no state")
+
+      // phase 2: same checkpoint, same state name, incompatible value type
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q2 = ms.toDS().groupByKey(_.user_id)
+          .transformWithState(new BadEvolutionProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[BadRunning], _: Long) => b.collect(); ()
+          }
+          .start()
+        try {
+          ms.addData(Event(2, ts("2024-01-01 01:01:00"), 5, "view", 3.0))
+          q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" <- ")
+      assert(chain.contains("STATE_STORE_INVALID_VALUE_SCHEMA_EVOLUTION") ||
+        chain.contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"),
+        s"expected a named state-schema-incompatibility error, got: $chain")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      restore("spark.sql.streaming.stateStore.encodingFormat", prevEncoding)
+    }
+  }
+}
+
+/** Deliberately-incompatible "upgrade" of [[StatefulOps.UserCountProcessor]]
+  * for the loud-failure certification above: same state name, but
+  * total_value narrowed Double -> String (no Avro promotion). Test-only —
+  * the library never ships a processor like this.
+  */
+final case class BadRunning(user_id: Long, n_events: Long, total_value: String)
+
+class BadEvolutionProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, BadRunning] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[BadRunning] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    import org.apache.spark.sql.Encoders
+    st = getHandle.getValueState[BadRunning]("running", Encoders.product[BadRunning],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[BadRunning] = {
+    val prev = Option(st.get()).getOrElse(BadRunning(key, 0L, "0"))
+    val next = BadRunning(key, prev.n_events + rows.size, prev.total_value)
+    st.update(next)
+    Iterator.single(next)
+  }
 }
