@@ -560,6 +560,36 @@ object ScaleProbe {
       ("ivfpqscan", Seq(("build", tBuild), ("scan", tScan)))
     }
 
+    // ivfpq ingest rung: e11's scale claim — encoding an ARRIVING batch
+    // against an EXISTING index costs ∝ |batch|, not corpus (assignment
+    // and encode are scored broadcast joins against the k-bounded
+    // centroids/codebooks; the corpus codes are never read). Build the
+    // index per corpus size (untimed here; the ivfpq rung prices builds),
+    // then time ivfpqIngest of the SAME fixed-size batch against 1x/4x/16x
+    // corpora — flat wall across the ladder is the corpus-independence.
+    val ivfpqIngestR = (if (phase == "all" || phase == "ivfpqingest") Seq(1, 4, 16)
+      else Seq.empty[Int]).map { k =>
+      val sim = graft.operators.SimilarityOps
+      val vecs = vecsTimes(spark, dir, k).cache()
+      val n = vecs.count()
+      val idx = sim.ivfpqBuild(vecs) // cents/cb eagerly localCheckpoint'ed
+      // fixed arriving batch: the base fixture under fresh ids
+      val batch = graft.core.Tables.load(spark, dir, "embeddings")
+        .select((col("vec_id") + lit(900_000_000L)).as("vec_id"), col("embedding"))
+        .cache()
+      val nBatch = batch.count()
+      sim.ivfpqIngest(batch, idx).write.format("noop").mode("overwrite").save() // warmup
+      def once = time {
+        sim.ivfpqIngest(batch, idx).write.format("noop").mode("overwrite").save()
+      }
+      val t = math.min(once, once)
+      vecs.unpersist(); batch.unpersist()
+      System.gc()
+      System.err.println(
+        f"[scale] ivfpqingest $k%2dx  corpus=$n%8d  batch=$nBatch%6d  ingest=$t%6.2f s")
+      (k, t)
+    }
+
     // e7 materialization rung: the SAME bm25 pipeline with the inverted
     // index pinned via localCheckpoint (lineage-free executor blocks; dies
     // with an executor) vs written-to-parquet-and-read-back (the reliable
@@ -617,6 +647,8 @@ object ScaleProbe {
     } ++ ivfpqScanR.map { case (tag, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""$tag":{""", ",", "}")
+    } ++ ivfpqIngestR.map { case (k, t) =>
+      s""""ivfpqingest_${k}x":{"ingest":$t}"""
     } ++ e7Mat.map { case (k, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""e7mat_${k}x":{""", ",", "}")

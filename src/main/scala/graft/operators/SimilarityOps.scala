@@ -1214,9 +1214,16 @@ object SimilarityOps {
     val idx = ivfpqBuild(embs)
     val q = embs.filter(col("vec_id") < 3)
     val short = ivfpqScan(q, idx, nProbes, shortlist).select(col("qid"), col("doc_id"))
+    exactRerank(embs, q, short)
+  }
+
+  /** The refine stage shared by e10/e11: exact squared-L2 re-rank of a
+    * per-query shortlist against the raw-vector table, top-[[PqTopK]].
+    */
+  private def exactRerank(corpus: DataFrame, q: DataFrame, short: DataFrame): DataFrame = {
     val qv = q.selectExpr("vec_id AS qid", "embedding AS qemb",
       "vec_dot(embedding, embedding) AS qsq")
-    val dv = embs.selectExpr("vec_id AS doc_id", "embedding AS demb",
+    val dv = corpus.selectExpr("vec_id AS doc_id", "embedding AS demb",
       "vec_dot(embedding, embedding) AS dsq")
     // broadcast the SHORTLIST, not the corpus: it is <= queries * shortlist
     // rows by construction, while dv is the full raw-vector table — without
@@ -1232,5 +1239,179 @@ object SimilarityOps {
       .select(col("qid"), col("rnk"), col("doc_id"), round(col("dist"), 4).as("edist"))
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
+  /** INCREMENTAL INGEST — the lifecycle edge e9/e10 leave open: production
+    * corpora GROW, and rebuilding the index per arriving batch would make
+    * ingest cost corpus-linear. FAISS's `add` answers with encode-only
+    * ingest: an arriving vector is assigned to its nearest EXISTING coarse
+    * cell, its residual is encoded against the EXISTING codebooks (no
+    * re-train — quantizer drift is handled by scheduled full rebuilds, not
+    * per batch), and its 8-byte code row appends to the cell-partitioned
+    * codes. Cost per batch: |batch| × k-bounded broadcast scoring — the
+    * corpus is never touched (ScaleProbe `ivfpqingest` measures exactly
+    * that: fixed batch against a 1×/4×/16× corpus stays flat).
+    *
+    * Returns code rows `(vec_id, s, code, cell)` union-compatible with
+    * [[IvfPqIndex]].codes.
+    */
+  def ivfpqIngest(arriving: DataFrame, idx: IvfPqIndex): DataFrame = {
+    val e = arriving.selectExpr("vec_id", "embedding",
+      "vec_dot(embedding, embedding) AS sq")
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
+    val assigned = e
+      .join(broadcast(idx.cents.selectExpr("cid AS cell", "cent AS ccent", "csq AS ccsq")))
+      .selectExpr("vec_id", "embedding", "cell", "ccent",
+        "sq + ccsq - 2 * vec_dot(embedding, ccent) AS dist2")
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+    val res = assigned.selectExpr("vec_id", "cell",
+      "zip_with(embedding, ccent, (a, b) -> CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT)) AS remb")
+    pqAssign(pqSub(res.selectExpr("vec_id", "remb AS embedding")), idx.cb)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+      .join(res.select("vec_id", "cell"), Seq("vec_id"))
+  }
+
+  /** e11's pipeline: build the index on the EXISTING 80% of the corpus
+    * (`vec_id % 5 <> 4`), ingest the ARRIVING 20% via [[ivfpqIngest]]
+    * (same centroids/codebooks — assignment and encode are the identical
+    * rule on both sides, which is why the oracle can replay them as ONE
+    * set of CTEs over the union), then run e10's scan + exact-refine read
+    * path over the grown index against the FULL raw corpus.
+    */
+  def ivfpqGrowRetrieve(embs: DataFrame, nProbes: Int = IvfPqProbes,
+      shortlist: Int = RefineShortlist): DataFrame = {
+    val existing = embs.filter(col("vec_id") % 5 =!= 4)
+    val arriving = embs.filter(col("vec_id") % 5 === 4)
+    val idx = ivfpqBuild(existing)
+    val grown = IvfPqIndex(idx.cents, idx.cb,
+      idx.codes.unionByName(ivfpqIngest(arriving, idx)))
+    val q = embs.filter(col("vec_id") < 3)
+    val short = ivfpqScan(q, grown, nProbes, shortlist).select(col("qid"), col("doc_id"))
+    exactRerank(embs, q, short)
+  }
+
+  /** e11: incremental ANN ingest — grow (the fourth lifecycle edge after
+    * e9 build, the ivfpqscan split, and e10 refine). The oracle re-trains
+    * nothing either: its kmeans/codebook CTEs are filtered to the existing
+    * 80% (`vec_id % 5 <> 4` — seeds, train assignment, mean updates) while
+    * the ASSIGN and ENCODE CTEs run over the full corpus, exactly the
+    * union the Spark side builds, so a dropped arriving batch, a re-train,
+    * or an encode drift all break the hash. Read path + output shape are
+    * e10's (top-[[PqTopK]] exact-refined per query).
+    */
+  val e11 = Q(
+    "e11_ivfpq_ingest",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${duckDot64("embedding", "embedding")} AS sq
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent,
+       |    ${duckDot64("embedding", "embedding")} AS csq
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % 5 <> 4 ORDER BY vec_id LIMIT ${ClusterOps.KMeansK})),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, s.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY e.sq + s.csq - 2 * ${duckDot64("e.embedding", "s.cent")}, s.cid) AS rn
+       |    FROM e, seeds s WHERE e.vec_id % 5 <> 4) t WHERE rn = 1),
+       |upd AS (
+       |  SELECT cid, i, avg(e.embedding[i])::FLOAT AS m
+       |  FROM a1 JOIN e USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+       |  GROUP BY 1, 2),
+       |c2 AS (
+       |  SELECT cid, list(m ORDER BY i) AS cent,
+       |    list_sum(list_transform(list(m ORDER BY i), x -> x::DOUBLE * x::DOUBLE)) AS csq
+       |  FROM upd GROUP BY 1),
+       |a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY e.sq + c.csq - 2 * ${duckDot64("e.embedding", "c.cent")}, c.cid) AS rn
+       |    FROM e, c2 c) t WHERE rn = 1),
+       |res AS (
+       |  SELECT a2.vec_id, a2.cid AS cell,
+       |    list_transform(generate_series(1, 64),
+       |      i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)::FLOAT) AS remb
+       |  FROM a2 JOIN e USING (vec_id) JOIN c2 c ON c.cid = a2.cid),
+       |rsub AS (
+       |  SELECT vec_id, g.s,
+       |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
+       |  FROM res, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
+       |rsubq AS (SELECT vec_id, s, sub, ${duckDot8("sub", "sub")} AS sq FROM rsub),
+       |seed_ids AS (SELECT vec_id FROM embeddings
+       |             WHERE vec_id % 5 <> 4 ORDER BY vec_id LIMIT $PqK),
+       |pseeds AS (
+       |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+       |    sub AS cent, sq AS csq
+       |  FROM rsubq WHERE vec_id IN (SELECT vec_id FROM seed_ids)),
+       |pa1 AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT b.vec_id, b.s, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY b.sq + c.csq - 2 * ${duckDot8("b.sub", "c.cent")}, c.cid) AS rn
+       |    FROM rsubq b JOIN pseeds c ON c.s = b.s
+       |    WHERE b.vec_id % 5 <> 4) t WHERE rn = 1),
+       |pupd AS (
+       |  SELECT a.s, a.cid, i.i, avg(b.sub[i.i])::FLOAT AS m
+       |  FROM pa1 a JOIN rsubq b ON b.vec_id = a.vec_id AND b.s = a.s,
+       |    (SELECT unnest(generate_series(1, $PqSubDim)) AS i) i
+       |  GROUP BY 1, 2, 3),
+       |pcb AS (
+       |  SELECT s, cid, list(m ORDER BY i) AS cent,
+       |    list_sum(list_transform(list(m ORDER BY i), x -> x::DOUBLE * x::DOUBLE)) AS csq
+       |  FROM pupd GROUP BY 1, 2),
+       |codes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT b.vec_id, b.s, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY b.sq + c.csq - 2 * ${duckDot8("b.sub", "c.cent")}, c.cid) AS rn
+       |    FROM rsubq b JOIN pcb c ON c.s = b.s) t WHERE rn = 1),
+       |qp AS (
+       |  SELECT qid, cell, ccent FROM (
+       |    SELECT e.vec_id AS qid, c.cid AS cell, c.cent AS ccent,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY e.sq + c.csq - 2 * ${duckDot64("e.embedding", "c.cent")}, c.cid) AS rn
+       |    FROM e, c2 c WHERE e.vec_id < 3) t WHERE rn <= $IvfPqProbes),
+       |qres AS (
+       |  SELECT qp.qid, qp.cell,
+       |    list_transform(generate_series(1, 64),
+       |      i -> (e.embedding[i]::DOUBLE - qp.ccent[i]::DOUBLE)::FLOAT) AS remb
+       |  FROM qp JOIN e ON e.vec_id = qp.qid),
+       |qrsub AS (
+       |  SELECT qid, cell, g.s,
+       |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
+       |  FROM qres, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
+       |qrsubq AS (SELECT qid, cell, s, sub, ${duckDot8("sub", "sub")} AS sq FROM qrsub),
+       |lut AS (
+       |  SELECT q.qid, q.cell, c.s, c.cid AS code,
+       |    q.sq + c.csq - 2 * ${duckDot8("q.sub", "c.cent")} AS d
+       |  FROM qrsubq q JOIN pcb c ON c.s = q.s),
+       |scored AS (
+       |  SELECT l.qid, c.vec_id, l.s, l.d
+       |  FROM codes c
+       |  JOIN res r ON r.vec_id = c.vec_id
+       |  JOIN lut l ON l.cell = r.cell AND l.s = c.s AND l.code = c.code
+       |    AND c.vec_id <> l.qid),
+       |adist AS (
+       |  SELECT qid, vec_id, list_sum(list(d ORDER BY s)) AS dist
+       |  FROM scored GROUP BY 1, 2),
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
+       |    FROM adist) t WHERE rnk <= $RefineShortlist),
+       |rerank AS (
+       |  SELECT s.qid, s.vec_id,
+       |    eq.sq + ev.sq - 2 * ${duckDot64("eq.embedding", "ev.embedding")} AS dist
+       |  FROM short s
+       |  JOIN e eq ON eq.vec_id = s.qid
+       |  JOIN e ev ON ev.vec_id = s.vec_id)
+       |SELECT qid, rnk, vec_id AS doc_id, round(dist, 4) AS edist FROM (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
+       |  FROM rerank) t
+       |WHERE rnk <= $PqTopK""".stripMargin) { (s, dir) =>
+    ivfpqGrowRetrieve(Tables.load(s, dir, "embeddings"))
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11)
 }

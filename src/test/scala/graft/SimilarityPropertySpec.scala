@@ -238,4 +238,35 @@ class SimilarityPropertySpec extends AnyFunSuite {
     assert(scores(13L) < scores(10L),
       s"longer doc with equal tf must score lower: $scores")
   }
+
+  test("e11 ingest: encode-only growth is complete, cell-valid, and load-bearing downstream") {
+    import org.apache.spark.sql.functions.col
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    val existing = embs.filter(col("vec_id") % 5 =!= 4)
+    val arriving = embs.filter(col("vec_id") % 5 === 4)
+    val idx = SimilarityOps.ivfpqBuild(existing)
+    val ingested = SimilarityOps.ivfpqIngest(arriving, idx).cache()
+    try {
+      // completeness: every arriving vector yields exactly one code per
+      // subspace (a partially-encoded vector would ADC-score garbage)
+      val nArr = arriving.count()
+      assert(ingested.count() === nArr * SimilarityOps.PqSubspaces)
+      assert(ingested.select("vec_id").distinct().count() === nArr)
+      // only arriving ids, and only EXISTING cells/codes — ingest must
+      // never invent a cell (there is no inverted list to put it in) nor
+      // touch the existing corpus
+      assert(ingested.filter(col("vec_id") % 5 =!= 4).isEmpty)
+      val k = graft.operators.ClusterOps.KMeansK
+      assert(ingested.filter(col("cell") < 0 || col("cell") >= k).isEmpty)
+      assert(ingested.filter(col("code") < 0 || col("code") >= SimilarityOps.PqK).isEmpty)
+      // fixture guard for the e11 oracle's teeth: the grown read path must
+      // surface at least one ARRIVING id in its top-5 — if fixture drift
+      // ever voids this, a silently-dropped ingest batch would stop being
+      // hash-breaking and e11 needs a deeper output
+      val out = SimilarityOps.ivfpqGrowRetrieve(embs).collect()
+      assert(out.nonEmpty)
+      assert(out.exists(_.getAs[Long]("doc_id") % 5 === 4),
+        "no arriving vector in the e11 top-5 — the ingest path is no longer load-bearing")
+    } finally { ingested.unpersist(); () }
+  }
 }
