@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, to_date}
+
+import graft.core.Layout
+
+/** Streaming sink → partitioned lake layout.
+  *
+  * ReplayHarness's oracle sink writes flat per-batch directories (the right
+  * shape for hash-compared replays); a production deployment appends into a
+  * date-partitioned table and periodically compacts, because a micro-batch
+  * cadence of minutes lays down hundreds of small files per day and every
+  * downstream scan then pays per-file open/footer costs (see
+  * [[graft.core.Layout]]). This is that sink: a foreachBatch closure that
+  *
+  *   1. derives `event_date` from the event-time column and appends
+  *      Hive-partitioned (`event_date=YYYY-MM-DD/`) parquet — so the f4-style
+  *      partition-pruned read path applies to the lake as written;
+  *   2. is IDEMPOTENT per micro-batch: a committed-batch ledger
+  *      (`_graft_commits/<batchId>` marker files — underscore-prefixed, so
+  *      Spark's partition discovery ignores it) makes a batch replayed after
+  *      restart-from-checkpoint a no-op instead of an append of duplicates.
+  *      The marker lands AFTER the data: a crash in between replays the
+  *      batch's rows once more (at-least-once for that one batch — closing
+  *      that window needs a transactional table format's atomic commit,
+  *      which plain parquet-on-FS cannot express; every FS-level lake sink
+  *      has this same window);
+  *   3. every `compactEvery` batches, rewrites any partition holding >=
+  *      `minFilesToCompact` files through [[Layout.compactParquet]] at the
+  *      target file size and swaps it into place (delete + rename — atomic
+  *      enough on a real FS for the single-writer streaming job this is;
+  *      concurrent READERS of the partition being swapped can observe a
+  *      partial listing, the standard caveat of non-transactional lakes).
+  *
+  * At 100 TB/day the numbers work like this: one day ≈ one partition family,
+  * compaction touches only partitions the recent batches dirtied (the
+  * listing is per-leaf, never a full-table scan), and each rewrite is
+  * [[Layout.compactParquet]]'s single measured-size shuffle — the bounded
+  * standing maintenance cost that keeps scan-side file counts O(bytes /
+  * targetFileBytes) forever.
+  */
+object LakeSink {
+
+  /** The foreachBatch closure. `compactEvery <= 0` disables compaction. */
+  def datePartitioned(
+      lakeDir: String,
+      tsCol: String = "ts",
+      compactEvery: Long = 10L,
+      targetFileBytes: Long = 128L << 20,
+      minFilesToCompact: Int = 4): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val root = new Path(lakeDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(new Path(root, "_graft_commits"), batchId.toString)
+      if (fs.exists(marker)) {
+        // restart-from-checkpoint replay of an already-committed batch:
+        // the ledger makes it a no-op (this exact path is what keeps the
+        // lake duplicate-free across the st10/st27-style kill+restart)
+        System.err.println(s"[lake] batch $batchId already committed, skipping")
+      } else {
+        batch.withColumn("event_date", to_date(col(tsCol)))
+          .write.partitionBy("event_date").mode("append").parquet(lakeDir)
+        fs.create(marker, true).close()
+      }
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        compactPartitions(spark, lakeDir, targetFileBytes, minFilesToCompact)
+  }
+
+  /** One compaction sweep: rewrite every `event_date=*` leaf holding at
+    * least `minFiles` parquet files down to the [[Layout.compactParquet]]
+    * measured-size file count. Returns (partition name, files before,
+    * files after) per rewritten partition.
+    */
+  def compactPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      targetFileBytes: Long,
+      minFiles: Int): Seq[(String, Int, Int)] = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val tmpRoot = new Path(root, "_compact_tmp")
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      .flatMap { part =>
+        val before = fs.listStatus(part.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (before < minFiles) None
+        else {
+          val tmp = new Path(tmpRoot, part.getPath.getName)
+          // the leaf's files carry no event_date column (partitionBy strips
+          // it), so a plain rewrite within the same leaf round-trips exactly
+          val after = Layout.compactParquet(
+            spark, part.getPath.toString, tmp.toString, targetFileBytes)
+          fs.delete(part.getPath, true)
+          require(fs.rename(tmp, part.getPath),
+            s"compaction swap failed for ${part.getPath}")
+          System.err.println(
+            s"[lake] compacted ${part.getPath.getName}: $before -> $after files")
+          Some((part.getPath.getName, before, after))
+        }
+      }
+  }
+}

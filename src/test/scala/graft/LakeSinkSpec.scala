@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.LakeSink
+import graft.streaming.StatefulOps.Event
+
+/** [[LakeSink]]: streaming append into a date-partitioned lake with
+  * periodic compaction — file counts, read-back equality, batch-replay
+  * idempotency, and partition-pruned reads of the written layout.
+  */
+class LakeSinkSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streamed lake: date-partitioned append, compaction, exact read-back") {
+    import spark.implicits._
+    implicit val ctx: SQLContext = spark.sqlContext
+    val lake = GraftTestSpark.tmpDir("lake") + "/events_lake"
+    val ckpt = GraftTestSpark.tmpDir("lake_ckpt")
+    val ms = MemoryStream[Event]
+    // fixture rows spanning three dates, delivered across four micro-batches
+    // so the same date receives files from several batches (the small-file
+    // pattern compaction exists for)
+    val all = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    assert(all.length > 100, "fixture unexpectedly small")
+    // compact every 2nd batch; huge target size => 1 file per partition
+    val lakeSink = LakeSink.datePartitioned(
+      lake, compactEvery = 2L, targetFileBytes = 1L << 30, minFilesToCompact = 2)
+    val q = ms.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(lakeSink)
+      .start()
+    all.grouped(math.max(1, all.length / 4)).foreach { chunk =>
+      ms.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // layout: Hive-partitioned by event_date, and every partition the last
+    // sweep saw with >= 2 files is down to 1 (batch 3 ran the final sweep)
+    val root = new org.apache.hadoop.fs.Path(lake)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("event_date="))
+    assert(parts.nonEmpty, "no event_date= partitions written")
+    val fileCounts = parts.map(p =>
+      p.getName -> fs.listStatus(p).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))).toMap
+    assert(fileCounts.values.forall(_ >= 1))
+    assert(fileCounts.values.forall(_ <= 2),
+      s"compaction left small files behind: $fileCounts")
+
+    // read-back equality: every event exactly once, with the derived
+    // partition column matching to_date(ts)
+    val back = spark.read.parquet(lake)
+    assert(back.columns.contains("event_date"), "partition column not discovered")
+    val expected = spark.createDataset(all.toIndexedSeq).toDF()
+      .withColumn("event_date", to_date(col("ts")))
+    assert(back.count() === all.length.toLong)
+    assert(back.select("event_id", "event_date").exceptAll(
+      expected.select("event_id", "event_date")).isEmpty)
+    assert(expected.select("event_id", "event_date").exceptAll(
+      back.select("event_id", "event_date")).isEmpty)
+
+    // the written layout partition-prunes: a one-date filter plans only that
+    // partition's files
+    val oneDate = back.select(max(col("event_date"))).head.getDate(0)
+    val pruned = spark.read.parquet(lake).filter(col("event_date") === lit(oneDate))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the pruned plan"))
+    assert(scan.metadata("PartitionFilters").contains("event_date"),
+      s"no partition filter pushed: ${scan.metadata("PartitionFilters")}")
+    val expectedOne = expected.filter(col("event_date") === lit(oneDate)).count()
+    assert(pruned.count() === expectedOne)
+
+    // idempotency: re-running an already-committed batch id is a no-op
+    // (the restart-from-checkpoint replay path), while a NEW batch appends
+    val sink = LakeSink.datePartitioned(lake, compactEvery = 0L)
+    val replay = spark.createDataset(all.take(50).toIndexedSeq).toDF()
+    sink(replay, 0L) // batch 0 committed during the stream
+    assert(spark.read.parquet(lake).count() === all.length.toLong,
+      "replaying a committed batch id duplicated rows")
+    sink(replay, 9999L)
+    assert(spark.read.parquet(lake).count() === all.length.toLong + 50,
+      "a new batch id failed to append")
+  }
+}
