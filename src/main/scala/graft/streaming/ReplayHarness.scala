@@ -486,6 +486,125 @@ object ReplayHarness {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
   }
 
+  /** st32's harness: the events fixture replayed through a streaming
+    * pipeline whose SINK is the production lake layout
+    * ([[LakeSink.datePartitioned]] — date-partitioned append + committed-
+    * batch ledger + periodic compaction), certified across the ONE failure
+    * window an FS-level lake sink has: a crash AFTER the sink's data and
+    * ledger marker land but BEFORE the engine records the batch commit.
+    *
+    * Phase 1 drains `phase1Chunks` chunk files (AvailableNow, one file per
+    * micro-batch); the harness then deletes the checkpoint's LAST
+    * `commits/<N>` record — exactly the on-disk state that crash leaves —
+    * and phase 2 resumes from the same checkpoint. Spark's recovery
+    * contract re-plans batch N from its offsets log and re-invokes the
+    * sink with the SAME batchId and rows (chunk-deterministic, not a poll
+    * race; a wrapper `require`s the re-invocation actually happened so a
+    * future Spark behavior change fails loudly here, not silently).
+    * Without the ledger the replay double-appends every row of batch N;
+    * with it the batch is a skip, and the oracle's full-fixture census
+    * prices exactly-once END TO END — engine replay, sink ledger,
+    * partitioned layout, and the compaction rewrites that ran mid-stream
+    * (`compactEvery`) all inside the hash.
+    *
+    * Chunk rule: `event_id % chunks` (NOT time range) — the transform is
+    * stateless so no watermark determinism is needed, and id-interleaving
+    * makes every micro-batch touch every `event_date` leaf, so leaves
+    * accumulate one file per batch and the compaction sweeps genuinely
+    * merge multi-file partitions instead of skipping single-file ones.
+    *
+    * Returns the lake read back via partition discovery (`event_date` as a
+    * partition column — the f4-style pruned read shape applies as written).
+    */
+  def replayEventsToLake(
+      spark: SparkSession,
+      sfDir: String,
+      chunks: Int = 6,
+      phase1Chunks: Int = 3,
+      compactEvery: Long = 3L)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    require(phase1Chunks > 0 && phase1Chunks < chunks,
+      "need a non-empty phase on both sides of the restart")
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val base = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, "graft_lake_")
+      else Files.createTempDirectory("graft_lake_")
+    }
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val lakeDir = base.resolve("lake").toString
+    val ckpt = base.resolve("ckpt")
+
+    val withChunk = events.withColumn("__chunk",
+      pmod(col("event_id"), lit(chunks)).cast("int"))
+    val now = System.currentTimeMillis()
+    def publishChunk(i: Int): Unit = {
+      val stage = base.resolve(s"stage_$i")
+      withChunk.filter(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.parquet(stage.toString)
+      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 2 - i) * 60000L)
+    }
+
+    // small target size so the mid-stream sweeps really rewrite leaves at
+    // fixture scale; production would keep the 128 MiB default
+    val sink = LakeSink.datePartitioned(lakeDir, tsCol = "ts",
+      compactEvery = compactEvery, targetFileBytes = 512L << 10,
+      minFilesToCompact = 2)
+    val invoked = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(4, prevShuffle.toInt).toString)
+    try {
+      def runPhase(): Unit = {
+        val in = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val q = transform(in).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            invoked.add(batchId); sink(batch, batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      (0 until phase1Chunks).foreach(publishChunk)
+      runPhase()
+      // the crash window: drop the engine's LAST batch-commit record while
+      // the sink's data + ledger marker stay — offsets/<N> without
+      // commits/<N> is what recovery re-executes
+      val commitsDir = ckpt.resolve("commits")
+      val lastCommit = {
+        val listing = Files.list(commitsDir)
+        try listing.filter(f => f.getFileName.toString.forall(_.isDigit))
+          .max(java.util.Comparator.comparingLong(f =>
+            f.getFileName.toString.toLong))
+          .orElseThrow(() => new IllegalStateException(
+            s"no commit records under $commitsDir — checkpoint layout changed?"))
+        finally listing.close()
+      }
+      val replayedId = lastCommit.getFileName.toString.toLong
+      Files.delete(lastCommit)
+      // ChecksumFs keeps a hidden .N.crc sibling; left behind, it makes the
+      // restarted query's commit rewrite fail rename-on-close
+      Files.deleteIfExists(commitsDir.resolve(s".$replayedId.crc"))
+      System.err.println(s"[lake] dropped commit record $replayedId; " +
+        "restarting from checkpoint (recovery must replay it)")
+      invoked.clear()
+      (phase1Chunks until chunks).foreach(publishChunk)
+      runPhase()
+      require(invoked.contains(java.lang.Long.valueOf(replayedId)),
+        s"restart did not re-invoke the sink for uncommitted batch $replayedId — " +
+          "Spark's foreachBatch recovery contract changed; the ledger path is untested")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(streamDir)
+      deleteRecursively(ckpt)
+    }
+    spark.read.parquet(lakeDir)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

@@ -1114,8 +1114,36 @@ object StreamingQueries {
         expr("max_by(total_value, n_events)").as("total_value"))
   }
 
+  /** st32: LAKE SINK under restart — the write path's production shape
+    * (date-partitioned append + committed-batch ledger + mid-stream
+    * compaction, [[graft.streaming.LakeSink]]) certified exactly-once
+    * across the one crash window an FS-level lake has. The harness
+    * ([[ReplayHarness.replayEventsToLake]]) drops the checkpoint's last
+    * engine commit between phases, so recovery deterministically
+    * RE-INVOKES the sink with an already-committed batchId; only the
+    * ledger keeps that replay from double-appending. The oracle is the
+    * plain full-fixture census per (event_date, event_type) — if the
+    * replayed batch appends twice, every date×type cell it touches
+    * inflates (id-interleaved chunks touch ALL cells) and the hash
+    * breaks; if compaction loses or duplicates rows during its
+    * delete+rename swap, same. The read-back goes through partition
+    * discovery, so the lake-as-written is also certified scannable with
+    * `event_date` as a pruning column (the f4 read shape).
+    */
+  val st32 = Q("st32_stream_lake_sink",
+    """SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayEventsToLake(s, dir)(
+      _.select("event_id", "ts", "user_id", "event_type", "value"))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
-      st26, st27, st28, st29, st30, st31)
+      st26, st27, st28, st29, st30, st31, st32)
 }
