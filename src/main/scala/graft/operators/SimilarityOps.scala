@@ -995,12 +995,14 @@ object SimilarityOps {
   private def duckDot64(a: String, b: String) =
     s"list_sum(list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 
-  /** e9/e10's shared oracle chain: coarse k-means cells (c3's certified
-    * CTEs), residual PQ codebook train + encode, query probes, LUTs, and
-    * the ADC distance relation `adist(qid, vec_id, dist)` — e9 tops it at
-    * PqTopK, e10 shortlists it and exact-re-ranks.
+  /** The TRAINING prefix of the shared IVF-PQ oracle chain: coarse k-means
+    * cells (c3's certified CTEs, with the original corpus's assignment
+    * `a2`), residual frame, and the PQ codebook train through `pcb`. Shared
+    * by e9/e10 (via [[duckIvfPqCtes]]) and e12, whose ENCODE side runs over
+    * a different (upserted) corpus but whose quantizers are trained on the
+    * original one — exactly the build/ingest split the Spark side has.
     */
-  private val duckIvfPqCtes: String =
+  private val duckIvfPqTrainCtes: String =
     s"""${ClusterOps.duckKmeansCtes},
        |res AS (
        |  SELECT a2.vec_id, a2.cid AS cell,
@@ -1031,7 +1033,15 @@ object SimilarityOps {
        |pcb AS (
        |  SELECT s, cid, list(m ORDER BY i) AS cent,
        |    list_sum(list_transform(list(m ORDER BY i), x -> x::DOUBLE * x::DOUBLE)) AS csq
-       |  FROM pupd GROUP BY 1, 2),
+       |  FROM pupd GROUP BY 1, 2)""".stripMargin
+
+  /** e9/e10's shared oracle chain: [[duckIvfPqTrainCtes]] plus the original
+    * corpus's encode, query probes, LUTs, and the ADC distance relation
+    * `adist(qid, vec_id, dist)` — e9 tops it at PqTopK, e10 shortlists it
+    * and exact-re-ranks.
+    */
+  private val duckIvfPqCtes: String =
+    s"""$duckIvfPqTrainCtes,
        |codes AS (
        |  SELECT vec_id, s, cid AS code FROM (
        |    SELECT b.vec_id, b.s, c.cid,
@@ -1413,5 +1423,145 @@ object SimilarityOps {
     ivfpqGrowRetrieve(Tables.load(s, dir, "embeddings"))
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11)
+  /** UPSERT + DELETE — the last lifecycle edge after build (e9), scan
+    * (ivfpqscan split), refine (e10), and grow (e11): production corpora
+    * also RE-EMBED documents (model upgrades, content edits) and DELETE
+    * them (takedowns, retention). The scale-honest mechanics are
+    * Lucene/Delta-style tombstones, NOT read-side version resolution:
+    *
+    *   - an UPDATE is tombstone(old) + [[ivfpqIngest]](new) — the new
+    *     embedding may land in a DIFFERENT coarse cell, so any per-cell
+    *     "latest version wins" rule is wrong by construction (the stale
+    *     ver-0 rows sit in a cell the ingest never touched); masking by
+    *     vec_id is the only correct rule;
+    *   - a DELETE is a bare tombstone;
+    *   - the SCAN serves ver-0 codes anti-joined against the broadcast
+    *     tombstone id set, unioned with the ingested ver-1 codes. The mask
+    *     is O(|upserted ∪ deleted| since last compaction) — bounded by
+    *     ingest cadence, never corpus-sized — and a scheduled compaction
+    *     folds it in physically by rewriting only the cells that hold
+    *     masked rows (the codes are cell-partitioned, so that rewrite
+    *     prunes to dirtied cells).
+    *
+    * The exact-refine corpus is the current view (updates applied, deletes
+    * removed) — a deleted vector must not resurface at re-rank either.
+    */
+  def ivfpqUpsertRetrieve(embs: DataFrame, nProbes: Int = IvfPqProbes,
+      shortlist: Int = RefineShortlist): DataFrame = {
+    // deterministic churn both engines reproduce EXACTLY: updated ids get
+    // their embedding rotated by one position (pure element copy — no
+    // float arithmetic, so no rounding question), deleted ids vanish
+    val rot = "transform(sequence(1, 64), i -> element_at(embedding, (i % 64) + 1))"
+    val cur = embs.selectExpr("vec_id",
+      s"CASE WHEN vec_id % 7 = 3 THEN $rot ELSE embedding END AS embedding")
+    val updIds = embs.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val delIds = embs.filter(col("vec_id") % 11 === 5).select("vec_id")
+    val idx = ivfpqBuild(embs) // ver-0: the original corpus
+    // delete wins over update: an id in both is never re-encoded
+    val arriving = cur.filter(col("vec_id") % 7 === 3)
+      .join(delIds, Seq("vec_id"), "left_anti")
+    val ver1 = ivfpqIngest(arriving, idx)
+    val mask = updIds.union(delIds).distinct()
+    val served = idx.codes.join(broadcast(mask), Seq("vec_id"), "left_anti")
+      .unionByName(ver1)
+    val q = cur.filter(col("vec_id") < 3)
+    val short = ivfpqScan(q, IvfPqIndex(idx.cents, idx.cb, served),
+      nProbes, shortlist).select(col("qid"), col("doc_id"))
+    exactRerank(cur.join(broadcast(delIds), Seq("vec_id"), "left_anti"), q, short)
+  }
+
+  /** e12: upsert + delete over the IVF-PQ index. The oracle needs no
+    * version machinery at all — served codes ≡ encode(current corpus minus
+    * deletes) against the ORIGINAL quantizers, which is the whole point of
+    * the tombstone design: reads see exactly the current view. It reuses
+    * the e9/e10 training prefix verbatim ([[duckIvfPqTrainCtes]] — trained
+    * on the original corpus, like the Spark build) and encodes the
+    * rotated-where-updated, dropped-where-deleted corpus. A served stale
+    * ver-0 row, a missed ingest, a resurfacing delete, or read-side
+    * mis-resolution each shifts some query's shortlist and breaks the hash
+    * (updated ids sit in the fixture's top-5 — suite-guarded).
+    */
+  val e12 = Q(
+    "e12_ivfpq_upsert",
+    s"""WITH $duckIvfPqTrainCtes,
+       |cur AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 7 = 3
+       |      THEN list_transform(generate_series(1, 64), i -> embedding[1 + (i % 64)])
+       |      ELSE embedding END AS embedding
+       |  FROM embeddings WHERE vec_id % 11 <> 5),
+       |curq AS (
+       |  SELECT vec_id, embedding, ${duckDot64("embedding", "embedding")} AS sq
+       |  FROM cur),
+       |a2c AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT b.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY b.sq + c.csq - 2 * ${duckDot64("b.embedding", "c.cent")}, c.cid) AS rn
+       |    FROM curq b, c2 c) t WHERE rn = 1),
+       |resc AS (
+       |  SELECT a2c.vec_id, a2c.cid AS cell,
+       |    list_transform(generate_series(1, 64),
+       |      i -> (b.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)::FLOAT) AS remb
+       |  FROM a2c JOIN curq b USING (vec_id) JOIN c2 c ON c.cid = a2c.cid),
+       |rsubc AS (
+       |  SELECT vec_id, g.s,
+       |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
+       |  FROM resc, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
+       |rsubqc AS (SELECT vec_id, s, sub, ${duckDot8("sub", "sub")} AS sq FROM rsubc),
+       |codesc AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT b.vec_id, b.s, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY b.sq + c.csq - 2 * ${duckDot8("b.sub", "c.cent")}, c.cid) AS rn
+       |    FROM rsubqc b JOIN pcb c ON c.s = b.s) t WHERE rn = 1),
+       |qp AS (
+       |  SELECT qid, cell, ccent FROM (
+       |    SELECT b.vec_id AS qid, c.cid AS cell, c.cent AS ccent,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY b.sq + c.csq - 2 * ${duckDot64("b.embedding", "c.cent")}, c.cid) AS rn
+       |    FROM curq b, c2 c WHERE b.vec_id < 3) t WHERE rn <= $IvfPqProbes),
+       |qres AS (
+       |  SELECT qp.qid, qp.cell,
+       |    list_transform(generate_series(1, 64),
+       |      i -> (b.embedding[i]::DOUBLE - qp.ccent[i]::DOUBLE)::FLOAT) AS remb
+       |  FROM qp JOIN curq b ON b.vec_id = qp.qid),
+       |qrsub AS (
+       |  SELECT qid, cell, g.s,
+       |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
+       |  FROM qres, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
+       |qrsubq AS (SELECT qid, cell, s, sub, ${duckDot8("sub", "sub")} AS sq FROM qrsub),
+       |lut AS (
+       |  SELECT q.qid, q.cell, c.s, c.cid AS code,
+       |    q.sq + c.csq - 2 * ${duckDot8("q.sub", "c.cent")} AS d
+       |  FROM qrsubq q JOIN pcb c ON c.s = q.s),
+       |scored AS (
+       |  SELECT l.qid, c.vec_id, l.s, l.d
+       |  FROM codesc c
+       |  JOIN resc r ON r.vec_id = c.vec_id
+       |  JOIN lut l ON l.cell = r.cell AND l.s = c.s AND l.code = c.code
+       |    AND c.vec_id <> l.qid),
+       |adist AS (
+       |  SELECT qid, vec_id, list_sum(list(d ORDER BY s)) AS dist
+       |  FROM scored GROUP BY 1, 2),
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
+       |    FROM adist) t WHERE rnk <= $RefineShortlist),
+       |rerank AS (
+       |  SELECT s.qid, s.vec_id,
+       |    eq.sq + ev.sq - 2 * ${duckDot64("eq.embedding", "ev.embedding")} AS dist
+       |  FROM short s
+       |  JOIN curq eq ON eq.vec_id = s.qid
+       |  JOIN curq ev ON ev.vec_id = s.vec_id)
+       |SELECT qid, rnk, vec_id AS doc_id, round(dist, 4) AS edist FROM (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
+       |  FROM rerank) t
+       |WHERE rnk <= $PqTopK""".stripMargin) { (s, dir) =>
+    ivfpqUpsertRetrieve(Tables.load(s, dir, "embeddings"))
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
 }

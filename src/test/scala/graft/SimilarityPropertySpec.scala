@@ -269,4 +269,24 @@ class SimilarityPropertySpec extends AnyFunSuite {
         "no arriving vector in the e11 top-5 — the ingest path is no longer load-bearing")
     } finally { ingested.unpersist(); () }
   }
+
+  test("e12 upsert: tombstones and re-encodes are load-bearing in the served top-5") {
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    val out = SimilarityOps.ivfpqUpsertRetrieve(embs).collect()
+    assert(out.nonEmpty)
+    // a served stale ver-0 row or a resurfacing delete must be able to
+    // break the e12 hash: the fixture's top-5 must CONTAIN at least one
+    // re-encoded (updated) id and must NEVER contain a deleted id
+    assert(out.exists(_.getAs[Long]("doc_id") % 7 === 3),
+      "no updated vector in the e12 top-5 — the ver-1 ingest path is no longer load-bearing")
+    assert(out.forall(_.getAs[Long]("doc_id") % 11 !== 5),
+      "a deleted vector resurfaced in the e12 top-5")
+    // and the delete mask must be doing work the shortlist would otherwise
+    // surface: the unchurned read path (e10 refine over the same corpus)
+    // ranks at least one id e12 deletes, so the tombstone is load-bearing
+    val unchurned = SimilarityOps.ivfpqRefine(embs).collect()
+    assert(unchurned.exists(_.getAs[Long]("doc_id") % 11 === 5),
+      "no deleted id in the unchurned top-5 — fixture drift voided the tombstone teeth; " +
+        "deepen the output or re-pick the delete residue")
+  }
 }
