@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, max, unix_millis}
+
+/** Late-data QUARANTINE (dead-letter audit) — the answer to "where did my
+  * late rows go". A watermarked stateful operator silently discards rows
+  * that arrive behind the watermark (st12 prices the drop); production
+  * pipelines additionally need the dropped rows THEMSELVES — routed to a
+  * quarantine table for audit, alerting, and backfill — and the engine
+  * offers no hook for that: by the time the stateful operator applies its
+  * late filter, the rows are gone.
+  *
+  * This is the standard dual-write answer, made deterministic: a
+  * foreachBatch classifier that maintains its OWN event-time watermark in
+  * a tiny per-batch ledger and quarantines each micro-batch's late rows
+  * by the SAME rule the engine applies to the main pipeline —
+  * SPARK-40925's two-batch lag, `wm(b) = max event time over batches
+  * ≤ b−2, minus the delay` (see WatermarkCanarySpec, which pins that rule
+  * against upgrades). Agreeing with the engine is the point: a row lands
+  * in quarantine iff the main pipeline's late filter would discard it, so
+  * main + quarantine partition the input exactly.
+  *
+  * Why a ledger instead of reading the engine's watermark from
+  * StreamingQueryProgress: progress is an ASYNC observer API — inside
+  * foreachBatch the current batch's progress row does not exist yet, and
+  * a restart-replayed batch would see whatever progress the PREVIOUS run
+  * left, silently reclassifying rows. The ledger writes one
+  * `(batch_id, max_ts)` row per batch under an idempotent per-batch path
+  * (mode=overwrite on `b<id>/`), so a batch replayed from checkpoint
+  * recomputes the identical watermark and the identical quarantine set —
+  * the same discipline as [[LakeSink]]'s commit markers. Ledger size is
+  * one row per micro-batch (progress metadata, not data); the per-batch
+  * classify is a shuffle-free filter on the already-materialized batch.
+  */
+object LateAudit {
+
+  /** The foreachBatch classifier: records this batch's max event time in
+    * the ledger and returns the batch's LATE rows (the quarantine
+    * channel). Shaped as a `sinkEnrich` closure so the replay harness's
+    * idempotent per-batch sink captures the quarantine table itself.
+    */
+  def quarantine(ledgerDir: String, tsCol: String = "ts",
+      delayMs: Long = 600000L): (DataFrame, Long) => DataFrame =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val wmMs: Option[Long] = {
+        val dir = new org.apache.hadoop.fs.Path(ledgerDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // an existing-but-entryless ledger (first batches; pre-created temp
+        // dir) has no schema to infer — treat as "no watermark yet"
+        val hasEntries = fs.exists(dir) &&
+          fs.listStatus(dir).exists(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+        if (!hasEntries) None
+        else {
+          val past = spark.read.option("recursiveFileLookup", "true")
+            .parquet(ledgerDir)
+            .filter(col("batch_id") <= batchId - 2)
+            .agg(max(col("max_ts"))).head()
+          if (past.isNullAt(0)) None else Some(past.getLong(0) - delayMs)
+        }
+      }
+      // record AFTER reading (this batch must not see its own max), under
+      // an idempotent per-batch path; the schema-probe's empty batch and
+      // data-less sentinel replays write nothing
+      val mx = batch.agg(max(unix_millis(col(tsCol)))).head()
+      if (!mx.isNullAt(0)) {
+        import spark.implicits._
+        Seq((batchId, mx.getLong(0))).toDF("batch_id", "max_ts")
+          .coalesce(1).write.mode("overwrite").parquet(s"$ledgerDir/b$batchId")
+      }
+      wmMs match {
+        case Some(w) => batch.filter(unix_millis(col(tsCol)) < w)
+        case None    => batch.limit(0)
+      }
+    }
+}

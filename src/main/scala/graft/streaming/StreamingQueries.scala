@@ -1142,8 +1142,62 @@ object StreamingQueries {
         sum(col("event_id")).as("id_checksum"))
   }
 
+  /** st33: LATE-DATA QUARANTINE — st12's complement, oracle-gated. st12
+    * certifies that the windowed agg DROPS rows behind the watermark; this
+    * row certifies the dead-letter channel that CAPTURES them
+    * ([[graft.streaming.LateAudit]]): a foreachBatch classifier that
+    * replays the engine's own SPARK-40925 two-batch-lag rule from a
+    * deterministic per-batch watermark ledger and quarantines each
+    * micro-batch's late rows. Same out-of-order chunk rule as st12 (the
+    * held-back early rows arrive ~15 days behind the advanced watermark),
+    * so the quarantine census is the exact complement of the main
+    * pipeline's survivors under the ROW-level lateness rule
+    * `event_time < wm(batch)` — the oracle reuses st12's watermark CTE
+    * verbatim and inverts the keep predicate. A mis-lagged watermark, a
+    * ledger lost across batch replays, or a classifier that peeks at its
+    * own batch's max all shift the census and break the hash.
+    */
+  val st33 = Q("st33_stream_late_quarantine",
+    """WITH bounds AS (
+      |  SELECT epoch_ms(min(ts)) AS mn, epoch_ms(max(ts)) AS mx FROM events),
+      |tagged AS (
+      |  SELECT e.*, CASE
+      |      WHEN epoch_ms(ts) >= (mn + mx) // 2 THEN 1
+      |      WHEN event_id % 5 = 0 THEN 2
+      |      ELSE 0 END AS batch
+      |  FROM events e CROSS JOIN bounds),
+      |wm AS (  -- the LATE-EVENTS watermark for batch b (st12's rule):
+      |         -- max event time of batches <= b-2, minus the 10 min delay
+      |  SELECT batch,
+      |    max(mx_ts) OVER (ORDER BY batch
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+      |      - 600000 AS wm_ms
+      |  FROM (SELECT batch, max(epoch_ms(ts)) AS mx_ts FROM tagged GROUP BY batch))
+      |SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+      |  sum(event_id)::BIGINT AS id_checksum
+      |FROM tagged t JOIN wm USING (batch)
+      |WHERE wm.wm_ms IS NOT NULL AND epoch_ms(t.ts) < wm.wm_ms
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ledger = (if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_wmledger_")
+    else java.nio.file.Files.createTempDirectory("graft_wmledger_")).toString
+    replayEvents(s, dir, "append", chunks = 3, sentinelTypes = Seq(SentinelType),
+      chunkBy = Some((minMs, maxMs) =>
+        when(unix_millis(col("ts")) >= lit((minMs + maxMs) / 2), lit(1))
+          .when(col("event_id") % 5 === 0, lit(2))
+          .otherwise(lit(0))),
+      sinkEnrich = Some(graft.streaming.LateAudit.quarantine(ledger)))(identity)
+      .filter(col("event_type") =!= SentinelType)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
-      st26, st27, st28, st29, st30, st31, st32)
+      st26, st27, st28, st29, st30, st31, st32, st33)
 }

@@ -526,6 +526,48 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed !== batchAll, "st12 must differ from the all-rows batch answer (late rows dropped)")
   }
 
+  test("st33 quarantine captures exactly the late rows, idempotently across kill+restart") {
+    import org.apache.spark.sql.functions._
+    def census(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    val clean = census(
+      graft.streaming.StreamingQueries.st33.fn(spark, GraftTestSpark.sf).collect())
+    val ev = graft.core.Tables.load(spark, GraftTestSpark.sf, "events")
+    assert(clean.nonEmpty, "quarantine empty — the replay produced no late rows, st33 degenerated")
+    assert(clean.map(_._2).sum < ev.count(),
+      "quarantine swallowed the whole stream — the watermark rule broke")
+
+    // the same classifier through a mid-stream kill + restart-from-checkpoint:
+    // replayed batches re-read the ledger and must recompute the IDENTICAL
+    // watermark and quarantine set (the ledger's per-batch overwrite is the
+    // idempotency), so the census cannot drift
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ledger = (if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_wmledger_t_")
+    else java.nio.file.Files.createTempDirectory("graft_wmledger_t_")).toString
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head
+    val (mn, mx) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val restarted = graft.streaming.ReplayHarness.replayEvents(
+      spark, GraftTestSpark.sf, "append", chunks = 3,
+      sentinelTypes = Seq(graft.streaming.ReplayHarness.SentinelType),
+      killAfterBatches = Some(2),
+      chunkBy = Some((minMs, maxMs) =>
+        when(unix_millis(col("ts")) >= lit((minMs + maxMs) / 2), lit(1))
+          .when(col("event_id") % 5 === 0, lit(2))
+          .otherwise(lit(0))),
+      sinkEnrich = Some(graft.streaming.LateAudit.quarantine(ledger)))(identity)
+      .filter(col("event_type") =!= graft.streaming.ReplayHarness.SentinelType)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    assert(census(restarted.collect()) === clean,
+      "quarantine census drifted across kill+restart — the ledger replay is not idempotent")
+    assert(mn < mx) // fixture sanity: the chunk rule had a real span to split
+  }
+
   test("st13 enriches each batch against its own dim snapshot, not the final dim") {
     import org.apache.spark.sql.functions._
     def resultSet(rows: Array[org.apache.spark.sql.Row]) =
