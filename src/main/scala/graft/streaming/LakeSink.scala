@@ -43,13 +43,28 @@ import graft.core.Layout
   */
 object LakeSink {
 
-  /** The foreachBatch closure. `compactEvery <= 0` disables compaction. */
+  /** The foreachBatch closure. `compactEvery <= 0` disables compaction.
+    *
+    * Sweep scope: each sink instance tracks the partitions its OWN appends
+    * dirtied since the last sweep (one k-row distinct-dates probe per
+    * batch — the same per-commit partition-values bookkeeping every
+    * transactional lake format does) and compacts ONLY those, so a sweep
+    * costs O(dirtied leaves), never O(all leaves): against a lake with
+    * years of date partitions on an object store, listing every leaf per
+    * sweep would be thousands of LIST calls for a handful of dirty dates.
+    * The dirty set is in-memory per instance: partitions dirtied just
+    * before a crash stay uncompacted until re-dirtied or until a
+    * scheduled FULL sweep (`compactPartitions(..., only = None)`) — the
+    * documented backstop; compaction is opportunistic maintenance, never
+    * a correctness dependency.
+    */
   def datePartitioned(
       lakeDir: String,
       tsCol: String = "ts",
       compactEvery: Long = 10L,
       targetFileBytes: Long = 128L << 20,
       minFilesToCompact: Int = 4): (DataFrame, Long) => Unit = {
+    val dirty = scala.collection.mutable.Set.empty[String]
     (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val root = new Path(lakeDir)
@@ -61,47 +76,62 @@ object LakeSink {
         // lake duplicate-free across the st10/st27-style kill+restart)
         System.err.println(s"[lake] batch $batchId already committed, skipping")
       } else {
-        batch.withColumn("event_date", to_date(col(tsCol)))
-          .write.partitionBy("event_date").mode("append").parquet(lakeDir)
+        val dated = batch.withColumn("event_date", to_date(col(tsCol)))
+        dated.write.partitionBy("event_date").mode("append").parquet(lakeDir)
+        dirty ++= dated.select("event_date").distinct().collect()
+          .map(r => s"event_date=${r.get(0)}")
         fs.create(marker, true).close()
       }
-      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-        compactPartitions(spark, lakeDir, targetFileBytes, minFilesToCompact)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        compactPartitions(spark, lakeDir, targetFileBytes, minFilesToCompact,
+          only = Some(dirty.toSet))
+        dirty.clear()
+      }
   }
 
   /** One compaction sweep: rewrite every `event_date=*` leaf holding at
     * least `minFiles` parquet files down to the [[Layout.compactParquet]]
-    * measured-size file count. Returns (partition name, files before,
-    * files after) per rewritten partition.
+    * measured-size file count. `only = Some(names)` restricts the sweep to
+    * those partition directory names (the dirty-set fast path);
+    * `only = None` is the full-table sweep (the scheduled backstop).
+    * Returns (partition name, files before, files after) per rewritten
+    * partition.
     */
   def compactPartitions(
       spark: org.apache.spark.sql.SparkSession,
       lakeDir: String,
       targetFileBytes: Long,
-      minFiles: Int): Seq[(String, Int, Int)] = {
+      minFiles: Int,
+      only: Option[Set[String]] = None): Seq[(String, Int, Int)] = {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val tmpRoot = new Path(root, "_compact_tmp")
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
-      .flatMap { part =>
-        val before = fs.listStatus(part.getPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        if (before < minFiles) None
-        else {
-          val tmp = new Path(tmpRoot, part.getPath.getName)
-          // the leaf's files carry no event_date column (partitionBy strips
-          // it), so a plain rewrite within the same leaf round-trips exactly
-          val after = Layout.compactParquet(
-            spark, part.getPath.toString, tmp.toString, targetFileBytes)
-          fs.delete(part.getPath, true)
-          require(fs.rename(tmp, part.getPath),
-            s"compaction swap failed for ${part.getPath}")
-          System.err.println(
-            s"[lake] compacted ${part.getPath.getName}: $before -> $after files")
-          Some((part.getPath.getName, before, after))
-        }
+    // dirty-set path: address the named leaves directly — O(|dirty|) FS
+    // calls, no root enumeration; full sweep lists the table once
+    val leaves: Seq[Path] = only match {
+      case Some(names) => names.toSeq.sorted.map(new Path(root, _)).filter(fs.exists)
+      case None => fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+        .map(_.getPath)
+    }
+    leaves.flatMap { leaf =>
+      val before = fs.listStatus(leaf)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (before < minFiles) None
+      else {
+        val tmp = new Path(tmpRoot, leaf.getName)
+        // the leaf's files carry no event_date column (partitionBy strips
+        // it), so a plain rewrite within the same leaf round-trips exactly
+        val after = Layout.compactParquet(
+          spark, leaf.toString, tmp.toString, targetFileBytes)
+        fs.delete(leaf, true)
+        require(fs.rename(tmp, leaf),
+          s"compaction swap failed for $leaf")
+        System.err.println(
+          s"[lake] compacted ${leaf.getName}: $before -> $after files")
+        Some((leaf.getName, before, after))
       }
+    }
   }
 }

@@ -95,6 +95,41 @@ class LakeSinkSpec extends AnyFunSuite {
       "a new batch id failed to append")
   }
 
+  test("dirty-set sweep compacts only the named partitions; full sweep is the backstop") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_dirty") + "/lake"
+    // two partitions, each fragmented into 3 files by 3 separate appends
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, ts("2024-03-01 10:00:00"), 1L, "view", 1.0),
+        (100L + i, ts("2024-03-02 10:00:00"), 2L, "view", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("append").parquet(lake)
+    }
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(part: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(lake, part))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(files("event_date=2024-03-01") === 3 && files("event_date=2024-03-02") === 3)
+
+    // scoped sweep: only the named leaf is rewritten — the other keeps its
+    // three files (no hidden full-table enumeration compacting it anyway)
+    val done = LakeSink.compactPartitions(spark, lake, 1L << 30, minFiles = 2,
+      only = Some(Set("event_date=2024-03-01")))
+    assert(done.map(_._1) === Seq("event_date=2024-03-01"))
+    assert(files("event_date=2024-03-01") === 1)
+    assert(files("event_date=2024-03-02") === 3, "undirtied partition was touched")
+    // a named-but-absent partition is skipped without error
+    assert(LakeSink.compactPartitions(spark, lake, 1L << 30, 2,
+      Some(Set("event_date=1999-01-01"))).isEmpty)
+    // the full-sweep backstop catches what the dirty set missed
+    val full = LakeSink.compactPartitions(spark, lake, 1L << 30, minFiles = 2, only = None)
+    assert(full.map(_._1) === Seq("event_date=2024-03-02"))
+    assert(files("event_date=2024-03-02") === 1)
+    assert(spark.read.parquet(lake).count() === 6)
+  }
+
   test("replayEventsToLake: engine recovery replays the uncommitted batch, lake stays exactly-once") {
     // the st32 harness at suite scale: phase 1 drains 2 of 4 chunks, the
     // harness drops the engine's last commit record, and recovery MUST
