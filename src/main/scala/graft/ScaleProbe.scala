@@ -590,6 +590,46 @@ object ScaleProbe {
       (k, t)
     }
 
+    // ivfpq tombstone-mask rung: e12's scale claim — serving a churned
+    // index (ver-0 codes anti-joined against the broadcast tombstone set)
+    // costs the SAME as serving a clean one, for any bounded churn
+    // fraction: the mask is a broadcast hash anti-join evaluated during
+    // the code scan, never a shuffle or a second pass. One build, then
+    // scan latency at 0% / 2% / 20% masked ids — flat across the ladder
+    // is the claim (churn beyond ~20% between compactions means the
+    // compaction cadence, not the read path, is misconfigured).
+    val ivfpqMaskR = (if (phase == "all" || phase == "ivfpqmask") Seq(1)
+      else Seq.empty[Int]).flatMap { _ =>
+      val sim = graft.operators.SimilarityOps
+      val vecs = graft.core.Tables.load(spark, dir, "embeddings").cache()
+      vecs.count()
+      val idx = sim.ivfpqBuild(vecs)
+      // pin the codes so every ladder step scans the same materialized
+      // relation and the timing isolates the mask, not the build lineage
+      val codes = idx.codes.localCheckpoint()
+      codes.count()
+      val q = vecs.filter(col("vec_id") < 3)
+      val out = Seq(0, 50, 5).map { mmod => // modulus: none, 1-in-50, 1-in-5
+        val served = if (mmod == 0) codes
+          else codes.join(
+            org.apache.spark.sql.functions.broadcast(
+              vecs.filter(col("vec_id") % mmod === 0).select("vec_id")),
+            Seq("vec_id"), "left_anti")
+        val sIdx = sim.IvfPqIndex(idx.cents, idx.cb, served)
+        sim.ivfpqScan(q, sIdx).write.format("noop").mode("overwrite").save() // warmup
+        def once = time {
+          sim.ivfpqScan(q, sIdx).write.format("noop").mode("overwrite").save()
+        }
+        val t = math.min(once, once)
+        val pct = if (mmod == 0) 0 else 100 / mmod
+        System.err.println(f"[scale] ivfpqmask $pct%2d%% churn  scan=$t%6.2f s")
+        (pct, t)
+      }
+      vecs.unpersist()
+      graft.core.Checkpoints.release(codes)
+      out
+    }
+
     // e7 materialization rung: the SAME bm25 pipeline with the inverted
     // index pinned via localCheckpoint (lineage-free executor blocks; dies
     // with an executor) vs written-to-parquet-and-read-back (the reliable
@@ -649,6 +689,8 @@ object ScaleProbe {
         .mkString(s""""$tag":{""", ",", "}")
     } ++ ivfpqIngestR.map { case (k, t) =>
       s""""ivfpqingest_${k}x":{"ingest":$t}"""
+    } ++ ivfpqMaskR.map { case (pct, t) =>
+      s""""ivfpqmask_${pct}pct":{"scan":$t}"""
     } ++ e7Mat.map { case (k, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""e7mat_${k}x":{""", ",", "}")
