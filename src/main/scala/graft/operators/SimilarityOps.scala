@@ -1470,6 +1470,60 @@ object SimilarityOps {
     exactRerank(cur.join(broadcast(delIds), Seq("vec_id"), "left_anti"), q, short)
   }
 
+  /** e12's scheduled maintenance: fold the tombstone mask and the ver-1
+    * appends into the MATERIALIZED cell-partitioned codes table
+    * physically, rewriting ONLY the dirty cells — cells that hold a
+    * masked ver-0 row or receive a ver-1 row. Everything else is
+    * byte-untouched (dynamic partition overwrite writes only the
+    * partitions present in its input), so compaction cost ∝ churn, not
+    * corpus. The dirty-cell set is ≤ the coarse k by construction; it is
+    * collected to the driver as the static `cell IN (...)` partition
+    * filter — guaranteed partition pruning on the ver-0 read rather than
+    * hoping DPP fires. After the fold, serving needs no mask until the
+    * next churn batch — the cadence dial the [[ivfpqUpsertRetrieve]]
+    * scaladoc describes.
+    *
+    * Returns the rewritten cell ids (sorted).
+    */
+  def ivfpqCompactCodes(spark: org.apache.spark.sql.SparkSession,
+      codesDir: String, ver1: DataFrame, mask: DataFrame): Seq[Long] = {
+    // partition discovery types the cell directory values as INT; normalize
+    // to the in-memory codes' LONG so unions and the pruning filter line up
+    val ver0 = spark.read.parquet(codesDir)
+      .withColumn("cell", col("cell").cast("long"))
+    val dirty = ver0.join(broadcast(mask), Seq("vec_id")).select("cell")
+      .union(ver1.select(col("cell").cast("long"))).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (dirty.isEmpty) return dirty
+    val rewritten = ver0
+      .filter(col("cell").isin(dirty: _*)) // static partition pruning
+      .join(broadcast(mask), Seq("vec_id"), "left_anti")
+      .unionByName(ver1.select(ver0.columns.map(col).toSeq: _*))
+      // cut lineage off the directory being overwritten: the write would
+      // otherwise read from its own output path
+      .localCheckpoint()
+    try {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try rewritten.write.mode("overwrite").partitionBy("cell").parquet(codesDir)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // a dirty cell masked down to ZERO rows appears nowhere in the write,
+      // so dynamic overwrite leaves its stale files — drop such leaves
+      // explicitly (an emptied inverted list is a deleted directory)
+      val survive = rewritten.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val root = new org.apache.hadoop.fs.Path(codesDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (dirty.toSet -- survive).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true); ()
+      }
+    } finally graft.core.Checkpoints.release(rewritten)
+    dirty
+  }
+
   /** e12: upsert + delete over the IVF-PQ index. The oracle needs no
     * version machinery at all — served codes ≡ encode(current corpus minus
     * deletes) against the ORIGINAL quantizers, which is the whole point of

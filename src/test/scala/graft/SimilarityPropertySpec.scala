@@ -289,4 +289,59 @@ class SimilarityPropertySpec extends AnyFunSuite {
       "no deleted id in the unchurned top-5 — fixture drift voided the tombstone teeth; " +
         "deepen the output or re-pick the delete residue")
   }
+
+  test("ivfpqCompactCodes folds mask + ver-1 physically, touching only dirty cells") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    val idx = SimilarityOps.ivfpqBuild(embs)
+    val dir = GraftTestSpark.tmpDir("ivfpq_compact") + "/codes"
+    idx.codes.write.partitionBy("cell").parquet(dir)
+
+    // e12-shaped churn, deliberately SMALL (2 updates + 1 delete over 8
+    // cells) so clean cells must exist and the cell-pruning assertion has
+    // teeth — an update dirties at most its old + new cell, a delete one
+    val rot = "transform(sequence(1, 64), i -> element_at(embedding, (i % 64) + 1))"
+    val updSet = Seq(3L, 200L)
+    val cur = embs.selectExpr("vec_id",
+      s"CASE WHEN vec_id IN (3, 200) THEN $rot ELSE embedding END AS embedding")
+    val delIds = embs.filter(col("vec_id") === 100L).select("vec_id")
+    val arriving = cur.filter(col("vec_id").isin(updSet: _*))
+      .join(delIds, Seq("vec_id"), "left_anti")
+    val ver1 = SimilarityOps.ivfpqIngest(arriving, idx)
+    val mask = embs.filter(col("vec_id").isin(updSet: _*)).select("vec_id")
+      .union(delIds).distinct()
+    val served = spark.read.parquet(dir)
+      .join(broadcast(mask), Seq("vec_id"), "left_anti")
+      .unionByName(ver1.select("vec_id", "s", "code", "cell"))
+      .selectExpr("CAST(vec_id AS LONG) vec_id", "CAST(s AS INT) s",
+        "CAST(code AS INT) code", "CAST(cell AS LONG) cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafState(): Map[String, Set[(String, Long)]] =
+      fs.listStatus(fsPath).filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map(p => p.getPath.getName -> fs.listStatus(p.getPath)
+          .filter(_.isFile).map(f => (f.getPath.getName, f.getModificationTime)).toSet)
+        .toMap
+    val before = leafState()
+
+    val dirty = SimilarityOps.ivfpqCompactCodes(spark, dir, ver1, mask)
+    assert(dirty.nonEmpty, "no dirty cells — churn fixture degenerated")
+    assert(dirty.size < before.size,
+      s"every cell dirty (${dirty.size} of ${before.size}) — the cell-pruning claim is untestable " +
+        "on this fixture; shrink the churn residues")
+
+    // logical fold: the compacted table IS the served view, mask no longer needed
+    val after = spark.read.parquet(dir)
+      .selectExpr("CAST(vec_id AS LONG) vec_id", "CAST(s AS INT) s",
+        "CAST(code AS INT) code", "CAST(cell AS LONG) cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(after === served, "compacted codes differ from the served (masked+ver1) view")
+    // physical scope: clean cells byte-untouched (same files, same mtimes)
+    val untouched = leafState().filter { case (name, _) =>
+      !dirty.contains(name.stripPrefix("cell=").toLong) }
+    assert(untouched === before.view.filterKeys(untouched.keySet).toMap,
+      "a clean cell's files changed — compaction is not cell-pruned")
+  }
 }
