@@ -623,6 +623,80 @@ object StatefulOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
   }
 
+  final case class WindowTopK(window_start: java.sql.Timestamp, rnk: Int,
+      event_type: String, n: Long)
+
+  /** Streaming PER-WINDOW TOP-K — the "trending types per window" operator,
+    * which Spark's declarative surface cannot express in a stream: rank
+    * AFTER a windowed aggregation needs the whole window's groups, and no
+    * streaming output mode supports a window function downstream of an agg.
+    * The TWS shape: key = tumbling-window start, a MapState holds the
+    * window's per-type counters (state per key is O(|distinct types|),
+    * NEVER O(rows) — the bounded-state contract), and ONE event-time timer
+    * per window emits the ranked top-k exactly when the watermark passes
+    * the window end, then clears the state. Emission is deterministic:
+    * exact integer counts, rank ordered by (n DESC, type ASC).
+    *
+    * Scale shape: this is a two-level aggregation — rows shuffle once on
+    * the window key, counters live in the store, and the per-window sort
+    * at expiry ranks |distinct types| entries, not rows. A 100 TB/day
+    * deployment keys on (window, coarse shard) and re-merges the k-bounded
+    * shard winners if a single window's type cardinality outgrows one
+    * store (not needed for a type-bounded domain like this one).
+    */
+  class WindowTopKProcessor(k: Int = 3, windowMs: Long = 6L * 3600 * 1000)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, WindowTopK] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      counts = getHandle.getMapState[String, Long]("win_type_counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[WindowTopK] = {
+      rows.foreach { e =>
+        val n = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, n + 1L)
+      }
+      // one deadline per window — the window END is a pure function of the
+      // key, so re-registration across batches is the same timestamp and
+      // only the first needs to stick
+      val deadline = key + windowMs
+      if (!getHandle.listTimers().contains(deadline))
+        getHandle.registerTimer(deadline)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[WindowTopK] = {
+      val all = counts.iterator().toSeq
+      counts.clear()
+      all.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex.map {
+        case ((t, n), i) =>
+          WindowTopK(new java.sql.Timestamp(key), i + 1, t, n)
+      }.iterator
+    }
+  }
+
+  /** transformWithState wiring for [[WindowTopKProcessor]]: rows are keyed
+    * by their tumbling-window start (epoch-ms floor — the same bucketing
+    * `window(ts, "6 hours")` computes), event-time mode so the per-window
+    * timer fires off the watermark.
+    */
+  def windowTopKTWS(events: Dataset[Event], k: Int = 3,
+      windowMs: Long = 6L * 3600 * 1000): Dataset[WindowTopK] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(e => e.ts.getTime - java.lang.Math.floorMod(e.ts.getTime, windowMs))
+      .transformWithState(new WindowTopKProcessor(k, windowMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Arbitrary state with EVENT-TIME TIMEOUT eviction: per-user idle-session
     * summary. Events accumulate silently in state; when the watermark passes
     * last-event-time + 30 minutes the timeout callback fires ONCE, emits the

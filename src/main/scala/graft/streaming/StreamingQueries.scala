@@ -1196,8 +1196,42 @@ object StreamingQueries {
         sum(col("event_id")).as("id_checksum"))
   }
 
+  /** st34: streaming PER-WINDOW TOP-K ([[StatefulOps.WindowTopKProcessor]])
+    * — rank-after-windowed-agg, which no streaming output mode supports
+    * declaratively (a window function cannot follow a streaming agg), so
+    * it is a genuine custom-operator case: MapState per tumbling window
+    * holds the per-type counters, one event-time timer per window emits
+    * the ranked top-3 when the watermark passes the window end, state
+    * cleared on emit. The oracle is the batch formulation (count per
+    * window × type, row_number ≤ 3 with the same (n DESC, type ASC)
+    * tie-break). A premature emission (timer before window end), a lost
+    * counter, or a non-deterministic tie-break all break the hash. The
+    * sentinel advances the watermark past every real window's end; its
+    * own far-future window never fires (the watermark stops 10 min short
+    * of its timestamp), so no sentinel row can appear in the output.
+    */
+  val st34 = Q("st34_stream_window_topk",
+    """WITH counts AS (
+      |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start, rnk, event_type, n FROM (
+      |  SELECT window_start, event_type, n,
+      |    row_number() OVER (PARTITION BY window_start
+      |                       ORDER BY n DESC, event_type) AS rnk
+      |  FROM counts) t WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    replayEvents(s, dir, "append", requireRocksDB = true,
+      sentinelTypes = Seq(SentinelType)) { df =>
+      StatefulOps.windowTopKTWS(
+        df.select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StatefulOps.Event]).toDF
+    }
+      .filter(col("event_type") =!= SentinelType)
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
-      st26, st27, st28, st29, st30, st31, st32, st33)
+      st26, st27, st28, st29, st30, st31, st32, st33, st34)
 }
