@@ -1230,8 +1230,41 @@ object StreamingQueries {
       .filter(col("event_type") =!= SentinelType)
   }
 
+  /** st35: st34 across a deterministic checkpoint restart — the two state
+    * stores the st10/st26–st30 matrix does NOT yet cover: MapState (the
+    * per-window counters) and the TIMER registry (its own RocksDB column
+    * family, restored separately from value state). The teeth need no
+    * injection here: with the two-phase split, phase 1's eviction
+    * watermark stops one batch short (SPARK-40925), so EVERY second-chunk
+    * window is counted-but-unemitted at shutdown and receives no phase-2
+    * rows — ~a quarter of all output windows exist in the result ONLY if
+    * the restarted instance restores both the MapState counters and the
+    * registered timers and fires them as the resumed watermark advances.
+    * A lost timer silently drops whole windows; a lost counter map halves
+    * an n; either breaks the hash against st34's batch oracle.
+    */
+  val st35 = Q("st35_stream_topk_restart",
+    """WITH counts AS (
+      |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start, rnk, event_type, n FROM (
+      |  SELECT window_start, event_type, n,
+      |    row_number() OVER (PARTITION BY window_start
+      |                       ORDER BY n DESC, event_type) AS rnk
+      |  FROM counts) t WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val topk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => StatefulOps.windowTopKTWS(
+        df.select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StatefulOps.Event]).toDF
+    ReplayHarness.replayEventsTwoPhase(s, dir, outputMode = "append",
+      sentinelTypes = Seq(SentinelType))(topk)(topk)
+      .filter(col("event_type") =!= SentinelType)
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
-      st26, st27, st28, st29, st30, st31, st32, st33, st34)
+      st26, st27, st28, st29, st30, st31, st32, st33, st34, st35)
 }
