@@ -265,5 +265,94 @@ object ReshapeQueries {
           ignoreNulls = true).over(w).as("filled"))
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q37, q38, q41, q47, q48, q49, q63)
+  /** q65: DATE-SPINE GAP-FILL with linear interpolation — the resample
+    * shape q63's forward-fill doesn't cover: a sparse per-series daily
+    * aggregate is DENSIFIED onto a generated day spine (`sequence` +
+    * `explode`, each series spanning its own min..max), and missing days
+    * are linearly interpolated between the neighboring observed points
+    * (time-weighted, not last-value-carried). The residue filter
+    * (`user_id % 191 = 0`) makes the fixture genuinely sparse so the
+    * spine manufactures rows and the interpolation arithmetic is
+    * load-bearing. The fill is computed in INTEGER CENTS with floor
+    * division — interpolating two 2-decimal endpoints at frac 1/2 lands
+    * EXACTLY on a decimal midpoint (x.xx5), where Java's binary-aware
+    * HALF_UP and DuckDB's decimal rounding disagree by one cent; integer
+    * arithmetic has no midpoint to disagree on (the true quotient's
+    * distance from any integer is ≥ 1/interval-days, far above double
+    * error, so floor is deterministic on both engines).
+    * Scale shape: spine generation is per-series `sequence` (no cross
+    * join against a calendar table), the fill is one partitioned window
+    * pass — series-keyed shuffle, never a global sort.
+    */
+  val q65 = Q(
+    "q65_gapfill_interpolate",
+    """WITH src AS (
+      |  SELECT event_type, ts::DATE AS day, round(sum(value), 2) AS v,
+      |    count(*) AS n
+      |  FROM events WHERE user_id % 191 = 0 GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM src GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |  FROM b),
+      |j AS (
+      |  SELECT s.event_type, s.day, src.v, src.n
+      |  FROM spine s LEFT JOIN src USING (event_type, day)),
+      |f AS (
+      |  SELECT *,
+      |    last_value(v IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY day
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY day
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+      |    first_value(v IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY day
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY day
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM j)
+      |SELECT event_type, day, coalesce(n, 0) AS n,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE (CAST(round(pv * 100) AS BIGINT)
+      |             + floor(((CAST(round(nv * 100) AS BIGINT)
+      |                       - CAST(round(pv * 100) AS BIGINT))
+      |                      * (day - pd))::DOUBLE / (nd - pd)::DOUBLE))::DOUBLE / 100.0
+      |  END AS filled,
+      |  (v IS NULL) AS is_gap
+      |FROM f""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.load(s, dir, "events")
+      .filter(col("user_id") % 191 === 0)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("v"), count(lit(1)).as("n"))
+    val spine = src.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val j = spine.join(src, Seq("event_type", "day"), "left")
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val knownDay = when(col("v").isNotNull, col("day"))
+    j.select(col("event_type"), col("day"), col("v"), col("n"),
+        last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(knownDay, ignoreNulls = true).over(wPrev).as("pd"),
+        first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+        first(knownDay, ignoreNulls = true).over(wNext).as("nd"))
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(
+            (round(col("pv") * 100).cast("long") +
+              floor(((round(col("nv") * 100).cast("long") -
+                round(col("pv") * 100).cast("long")) *
+                datediff(col("day"), col("pd")).cast("long")).cast("double") /
+                datediff(col("nd"), col("pd")).cast("double")))
+              .cast("double") / 100.0).as("filled"),
+        col("v").isNull.as("is_gap"))
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q37, q38, q41, q47, q48, q49, q63, q65)
 }
