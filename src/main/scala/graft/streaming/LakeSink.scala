@@ -89,6 +89,65 @@ object LakeSink {
       }
   }
 
+  /** Retention VACUUM — the third lifecycle verb after append and compact:
+    *
+    *   1. drops every `event_date=` leaf strictly OLDER than `before`
+    *      (data retention; the cutoff is an explicit parameter, not
+    *      wall-clock, so runs are deterministic and testable);
+    *   2. removes orphaned `_compact_tmp` children — a sweep that crashed
+    *      between its rewrite and its swap leaves a tmp leaf behind, and
+    *      nothing else ever cleans it;
+    *   3. prunes commit-ledger markers below `max marker − ledgerKeep`.
+    *      Unbounded, the ledger grows one tiny file per micro-batch
+    *      forever (a minutes-cadence stream is ~500k files/year — a real
+    *      small-file problem on its own). Pruning old markers is safe
+    *      because the engine can only ever replay the batches after its
+    *      last checkpointed commit — a marker far older than the current
+    *      batch id can never be consulted again; `ledgerKeep` just has to
+    *      exceed the deepest possible replay window (1 under clean
+    *      semantics; default 1000 is paranoid).
+    *
+    * Returns (dropped partition names, pruned marker count).
+    */
+  def vacuum(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      before: java.time.LocalDate,
+      ledgerKeep: Long = 1000L): (Seq[String], Int) = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (Seq.empty, 0)
+    val dropped = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      .filter { s =>
+        val d = s.getPath.getName.stripPrefix("event_date=")
+        try java.time.LocalDate.parse(d).isBefore(before)
+        catch { case _: java.time.format.DateTimeParseException => false }
+      }
+      .map { s =>
+        fs.delete(s.getPath, true)
+        System.err.println(s"[lake] vacuumed ${s.getPath.getName}")
+        s.getPath.getName
+      }
+    val tmpRoot = new Path(root, "_compact_tmp")
+    if (fs.exists(tmpRoot)) fs.listStatus(tmpRoot).foreach { orphan =>
+      System.err.println(s"[lake] removed orphaned sweep ${orphan.getPath.getName}")
+      fs.delete(orphan.getPath, true)
+    }
+    val ledger = new Path(root, "_graft_commits")
+    val prunedMarkers = if (!fs.exists(ledger)) 0
+    else {
+      val ids = fs.listStatus(ledger).toSeq
+        .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+      val horizon = ids.map(_.getPath.getName.toLong)
+        .foldLeft(Long.MinValue)(math.max) - ledgerKeep
+      val old = ids.filter(_.getPath.getName.toLong < horizon)
+      old.foreach(s => fs.delete(s.getPath, false))
+      old.size
+    }
+    (dropped, prunedMarkers)
+  }
+
   /** One compaction sweep: rewrite every `event_date=*` leaf holding at
     * least `minFiles` parquet files down to the [[Layout.compactParquet]]
     * measured-size file count. `only = Some(names)` restricts the sweep to
