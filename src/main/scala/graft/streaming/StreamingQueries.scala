@@ -1263,8 +1263,67 @@ object StreamingQueries {
       .filter(col("event_type") =!= SentinelType)
   }
 
+  /** st36: the LAKE AS A STREAMING SOURCE — st32's converse, closing the
+    * bronze→silver chain: a downstream incremental job `readStream`s the
+    * date-partitioned lake the sink wrote (compacted leaves included) and
+    * must see every row exactly once WITH the Hive partition value
+    * (`event_date`) materialized as a column by the file-stream source's
+    * partition discovery. The lake is laid down by the production sink
+    * (committed-batch ledger + compaction sweeps — so the stream reads
+    * post-compaction files, not the original appends), then drained with
+    * AvailableNow at a few files per micro-batch. The oracle prices the
+    * census per (event_date, event_type) INCLUDING the partition-derived
+    * date — a source that dropped partition values, double-read a
+    * compacted leaf, or missed a nested file breaks the hash.
+    */
+  val st36 = Q("st36_stream_lake_source",
+    """SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val events = graft.core.Tables.load(s, dir, "events")
+    val base = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_lakesrc_")
+      else java.nio.file.Files.createTempDirectory("graft_lakesrc_")
+    }
+    val lakeDir = base.resolve("lake").toString
+    val outDir = base.resolve("out")
+    // lay the lake down through the production sink: 4 id-interleaved
+    // batches (every batch touches every date leaf) with a compaction
+    // sweep after batches 1 and 3, so the streamed files are the
+    // compacted rewrites, not the original appends
+    val sink = graft.streaming.LakeSink.datePartitioned(lakeDir,
+      compactEvery = 2L, targetFileBytes = 512L << 10, minFilesToCompact = 2)
+    (0 until 4).foreach { i =>
+      sink(events.filter(pmod(col("event_id"), lit(4)) === i), i.toLong)
+    }
+    // stream-read: schema = data columns + the partition column; the
+    // source discovers event_date from the directory names
+    val schema = org.apache.spark.sql.types.StructType(events.schema.fields :+
+      org.apache.spark.sql.types.StructField("event_date",
+        org.apache.spark.sql.types.DateType))
+    val in = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "7").parquet(lakeDir)
+    val q = in.select("event_id", "event_date", "event_type", "value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.coalesce(1).write.mode("overwrite")
+          .parquet(outDir.resolve(s"b$batchId").toString)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.option("recursiveFileLookup", "true").parquet(outDir.toString)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
-      st26, st27, st28, st29, st30, st31, st32, st33, st34, st35)
+      st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36)
 }
