@@ -79,7 +79,11 @@ object LakeSink {
         val dated = batch.withColumn("event_date", to_date(col(tsCol)))
         dated.write.partitionBy("event_date").mode("append").parquet(lakeDir)
         dirty ++= dated.select("event_date").distinct().collect()
-          .map(r => s"event_date=${r.get(0)}")
+          // a null event time writes under Hive's default-partition leaf,
+          // not "null" — record the name the writer actually used or the
+          // leaf escapes every scoped sweep forever
+          .map(r => "event_date=" + Option(r.get(0))
+            .map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__"))
         fs.create(marker, true).close()
       }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
@@ -94,9 +98,12 @@ object LakeSink {
     *   1. drops every `event_date=` leaf strictly OLDER than `before`
     *      (data retention; the cutoff is an explicit parameter, not
     *      wall-clock, so runs are deterministic and testable);
-    *   2. removes orphaned `_compact_tmp` children — a sweep that crashed
-    *      between its rewrite and its swap leaves a tmp leaf behind, and
-    *      nothing else ever cleans it;
+    *   2. heals interrupted compaction sweeps via [[recoverSweeps]] —
+    *      restoring a renamed-aside original whose swap never completed,
+    *      promoting a stranded rewrite whose target vanished, and only
+    *      then deleting true orphans (a blind "delete everything under
+    *      `_compact_tmp`" would reap the only copy of a partition whose
+    *      swap crashed mid-way);
     *   3. prunes commit-ledger markers below `max marker − ledgerKeep`.
     *      Unbounded, the ledger grows one tiny file per micro-batch
     *      forever (a minutes-cadence stream is ~500k files/year — a real
@@ -117,6 +124,9 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (Seq.empty, 0)
+    // heal BEFORE applying retention: healing after the drop would promote
+    // a stranded rewrite of a partition retention just retired
+    recoverSweeps(fs, root)
     val dropped = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
       .filter { s =>
@@ -129,11 +139,6 @@ object LakeSink {
         System.err.println(s"[lake] vacuumed ${s.getPath.getName}")
         s.getPath.getName
       }
-    val tmpRoot = new Path(root, "_compact_tmp")
-    if (fs.exists(tmpRoot)) fs.listStatus(tmpRoot).foreach { orphan =>
-      System.err.println(s"[lake] removed orphaned sweep ${orphan.getPath.getName}")
-      fs.delete(orphan.getPath, true)
-    }
     val ledger = new Path(root, "_graft_commits")
     val prunedMarkers = if (!fs.exists(ledger)) 0
     else {
@@ -174,6 +179,7 @@ object LakeSink {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
         .map(_.getPath)
     }
+    recoverSweeps(fs, root)
     leaves.flatMap { leaf =>
       val before = fs.listStatus(leaf)
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -184,13 +190,53 @@ object LakeSink {
         // it), so a plain rewrite within the same leaf round-trips exactly
         val after = Layout.compactParquet(
           spark, leaf.toString, tmp.toString, targetFileBytes)
-        fs.delete(leaf, true)
-        require(fs.rename(tmp, leaf),
-          s"compaction swap failed for $leaf")
+        // crash-safe swap: the ORIGINAL is renamed aside before the
+        // rewrite renames in, and deleted only LAST — at no instant is the
+        // rewrite the partition's only copy, so a kill at any point leaves
+        // either the original or a recoverable pair for recoverSweeps
+        // (a delete-then-rename swap has a window where the sole copy
+        // lives in _compact_tmp, which vacuum would then reap as orphaned)
+        val old = new Path(new Path(root, OldRoot), leaf.getName)
+        fs.mkdirs(old.getParent)
+        fs.delete(old, true) // stale leftover from a recovered crash
+        require(fs.rename(leaf, old), s"compaction swap failed renaming $leaf aside")
+        require(fs.rename(tmp, leaf), s"compaction swap failed for $leaf")
+        fs.delete(old, true)
         System.err.println(
           s"[lake] compacted ${leaf.getName}: $before -> $after files")
         Some((leaf.getName, before, after))
       }
+    }
+  }
+
+  private val OldRoot = "_compact_old"
+
+  /** Heal interrupted compaction swaps (called before every sweep and by
+    * [[vacuum]]): an `_compact_old` child whose target leaf is MISSING is
+    * a crash between rename-aside and rename-in — restore it (the rewrite
+    * in `_compact_tmp` is then a re-derivable orphan); one whose target
+    * exists is a crash before the final delete — drop it. Only after the
+    * old-dir pass may `_compact_tmp` children be judged: target present →
+    * true orphan, delete; target absent (cannot happen under the swap
+    * ordering once old is healed, but if an operator hand-deleted a leaf)
+    * → promote the rewrite rather than discard data.
+    */
+  private def recoverSweeps(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    val oldRoot = new Path(root, OldRoot)
+    if (fs.exists(oldRoot)) fs.listStatus(oldRoot).foreach { o =>
+      val target = new Path(root, o.getPath.getName)
+      if (!fs.exists(target)) {
+        System.err.println(s"[lake] recovering interrupted sweep of ${o.getPath.getName}")
+        require(fs.rename(o.getPath, target), s"recovery rename failed for $target")
+      } else fs.delete(o.getPath, true)
+    }
+    val tmpRoot = new Path(root, "_compact_tmp")
+    if (fs.exists(tmpRoot)) fs.listStatus(tmpRoot).foreach { t =>
+      val target = new Path(root, t.getPath.getName)
+      if (!fs.exists(target)) {
+        System.err.println(s"[lake] promoting stranded rewrite ${t.getPath.getName}")
+        require(fs.rename(t.getPath, target), s"promotion rename failed for $target")
+      } else fs.delete(t.getPath, true)
     }
   }
 }

@@ -39,33 +39,46 @@ object LateAudit {
     * the ledger and returns the batch's LATE rows (the quarantine
     * channel). Shaped as a `sinkEnrich` closure so the replay harness's
     * idempotent per-batch sink captures the quarantine table itself.
+    *
+    * The per-batch history is held in the closure and the on-disk ledger
+    * is read ONCE, lazily, to seed it — a classifier that re-read the
+    * whole ledger every batch would pay one file listing per PRIOR batch
+    * per batch (quadratic over the stream's life; ~500k micro-batches a
+    * year at minutes cadence). The disk ledger exists for restart
+    * recovery: a new closure instance (new query run) seeds from it, and
+    * a replayed batch still computes its watermark from entries ≤ b−2
+    * only, so the census is replay-identical either way.
     */
   def quarantine(ledgerDir: String, tsCol: String = "ts",
-      delayMs: Long = 600000L): (DataFrame, Long) => DataFrame =
+      delayMs: Long = 600000L): (DataFrame, Long) => DataFrame = {
+    val history = scala.collection.mutable.Map.empty[Long, Long]
+    var seeded = false
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val wmMs: Option[Long] = {
+      if (!seeded) {
         val dir = new org.apache.hadoop.fs.Path(ledgerDir)
         val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // an existing-but-entryless ledger (first batches; pre-created temp
-        // dir) has no schema to infer — treat as "no watermark yet"
+        // dir) has no schema to infer — seed empty
         val hasEntries = fs.exists(dir) &&
           fs.listStatus(dir).exists(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-        if (!hasEntries) None
-        else {
-          val past = spark.read.option("recursiveFileLookup", "true")
-            .parquet(ledgerDir)
-            .filter(col("batch_id") <= batchId - 2)
-            .agg(max(col("max_ts"))).head()
-          if (past.isNullAt(0)) None else Some(past.getLong(0) - delayMs)
-        }
+        if (hasEntries)
+          spark.read.option("recursiveFileLookup", "true").parquet(ledgerDir)
+            .collect().foreach(r => history(r.getAs[Long]("batch_id")) =
+              r.getAs[Long]("max_ts"))
+        seeded = true
       }
-      // record AFTER reading (this batch must not see its own max), under
-      // an idempotent per-batch path; the schema-probe's empty batch and
-      // data-less sentinel replays write nothing
+      val past = history.collect { case (id, mx) if id <= batchId - 2 => mx }
+      val wmMs: Option[Long] =
+        if (past.isEmpty) None else Some(past.max - delayMs)
+      // record AFTER computing the watermark (this batch must not see its
+      // own max), in memory and under an idempotent per-batch ledger path;
+      // the schema-probe's empty batch and data-less sentinel replays
+      // write nothing
       val mx = batch.agg(max(unix_millis(col(tsCol)))).head()
       if (!mx.isNullAt(0)) {
         import spark.implicits._
+        history(batchId) = mx.getLong(0)
         Seq((batchId, mx.getLong(0))).toDF("batch_id", "max_ts")
           .coalesce(1).write.mode("overwrite").parquet(s"$ledgerDir/b$batchId")
       }
@@ -74,4 +87,5 @@ object LateAudit {
         case None    => batch.limit(0)
       }
     }
+  }
 }

@@ -112,12 +112,7 @@ object ReplayHarness {
     // RAM-backed scratch when available: replay cost is dominated by
     // per-partition state-store delta fsyncs on the checkpoint — /dev/shm
     // removes the disk from a verification harness that needs no durability
-    val base = {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (Files.isDirectory(shm) && Files.isWritable(shm))
-        Files.createTempDirectory(shm, "graft_replay_")
-      else Files.createTempDirectory("graft_replay_")
-    }
+    val base = scratchDir("graft_replay_")
     val streamDir = Files.createDirectory(base.resolve("in"))
     val outDir = base.resolve("out")
     val ckpt = base.resolve("ckpt").toString
@@ -320,12 +315,7 @@ object ReplayHarness {
       transform1: DataFrame => DataFrame)(
       transform2: DataFrame => DataFrame): DataFrame = {
     val events = prep(graft.core.Tables.load(spark, sfDir, "events"))
-    val base = {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (Files.isDirectory(shm) && Files.isWritable(shm))
-        Files.createTempDirectory(shm, "graft_evolve_")
-      else Files.createTempDirectory("graft_evolve_")
-    }
+    val base = scratchDir("graft_evolve_")
     val streamDir = Files.createDirectory(base.resolve("in"))
     val outDir = base.resolve("out")
     val ckpt = base.resolve("ckpt").toString
@@ -433,12 +423,7 @@ object ReplayHarness {
   def replayDocs(spark: SparkSession, sfDir: String, chunks: Int = 4)(
       transform: DataFrame => DataFrame): DataFrame = {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
-    val base = {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (Files.isDirectory(shm) && Files.isWritable(shm))
-        Files.createTempDirectory(shm, "graft_docreplay_")
-      else Files.createTempDirectory("graft_docreplay_")
-    }
+    val base = scratchDir("graft_docreplay_")
     val streamDir = Files.createDirectory(base.resolve("in"))
     val outDir = base.resolve("out")
     val ckpt = base.resolve("ckpt").toString
@@ -526,12 +511,7 @@ object ReplayHarness {
     require(phase1Chunks > 0 && phase1Chunks < chunks,
       "need a non-empty phase on both sides of the restart")
     val events = graft.core.Tables.load(spark, sfDir, "events")
-    val base = {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (Files.isDirectory(shm) && Files.isWritable(shm))
-        Files.createTempDirectory(shm, "graft_lake_")
-      else Files.createTempDirectory("graft_lake_")
-    }
+    val base = scratchDir("graft_lake_")
     val streamDir = Files.createDirectory(base.resolve("in"))
     val lakeDir = base.resolve("lake").toString
     val ckpt = base.resolve("ckpt")
@@ -604,6 +584,20 @@ object ReplayHarness {
     }
     spark.read.parquet(lakeDir)
   }
+
+  /** RAM-backed scratch when /dev/shm is writable (replay cost is
+    * fsync-dominated; a verification harness needs no durability) — the
+    * one place the shm-or-tmp choice lives.
+    */
+  private[graft] def scratchDir(prefix: String): Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+  }
+
+  /** Reclaim a scratch tree once nothing lazy still reads from it. */
+  private[graft] def cleanupScratch(p: Path): Unit = deleteRecursively(p)
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

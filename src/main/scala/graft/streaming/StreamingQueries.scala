@@ -1178,22 +1178,24 @@ object StreamingQueries {
       |FROM tagged t JOIN wm USING (batch)
       |WHERE wm.wm_ms IS NOT NULL AND epoch_ms(t.ts) < wm.wm_ms
       |GROUP BY 1""".stripMargin) { (s, dir) =>
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val ledger = (if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, "graft_wmledger_")
-    else java.nio.file.Files.createTempDirectory("graft_wmledger_")).toString
-    replayEvents(s, dir, "append", chunks = 3, sentinelTypes = Seq(SentinelType),
+    val ledger = ReplayHarness.scratchDir("graft_wmledger_")
+    val out = replayEvents(s, dir, "append", chunks = 3,
+      sentinelTypes = Seq(SentinelType),
       chunkBy = Some((minMs, maxMs) =>
         when(unix_millis(col("ts")) >= lit((minMs + maxMs) / 2), lit(1))
           .when(col("event_id") % 5 === 0, lit(2))
           .otherwise(lit(0))),
-      sinkEnrich = Some(graft.streaming.LateAudit.quarantine(ledger)))(identity)
+      sinkEnrich = Some(graft.streaming.LateAudit.quarantine(ledger.toString)))(
+      identity)
       .filter(col("event_type") =!= SentinelType)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("total_value"),
         sum(col("event_id")).as("id_checksum"))
+    // the returned frame reads only the harness's sunk batches; the
+    // watermark ledger is dead weight once the replay has drained
+    ReplayHarness.cleanupScratch(ledger)
+    out
   }
 
   /** st34: streaming PER-WINDOW TOP-K ([[StatefulOps.WindowTopKProcessor]])
@@ -1281,12 +1283,7 @@ object StreamingQueries {
       |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
     val events = graft.core.Tables.load(s, dir, "events")
-    val base = {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, "graft_lakesrc_")
-      else java.nio.file.Files.createTempDirectory("graft_lakesrc_")
-    }
+    val base = ReplayHarness.scratchDir("graft_lakesrc_")
     val lakeDir = base.resolve("lake").toString
     val outDir = base.resolve("out")
     // lay the lake down through the production sink: 4 id-interleaved
@@ -1315,11 +1312,18 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.option("recursiveFileLookup", "true").parquet(outDir.toString)
+    val census = s.read.option("recursiveFileLookup", "true")
+      .parquet(outDir.toString)
       .groupBy(col("event_date"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("total_value"),
         sum(col("event_id")).as("id_checksum"))
+    // pin the k-row census (dates × types) so the RAM-backed lake + out +
+    // ckpt trees can be reclaimed before returning — the lazy read would
+    // otherwise hold a fixture-sized tmpfs tree alive per run
+    val rows = census.collect().toIndexedSeq
+    ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
   }
 
   val all: Seq[Q] =

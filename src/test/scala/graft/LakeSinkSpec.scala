@@ -130,6 +130,45 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(lake).count() === 6)
   }
 
+  test("interrupted compaction swap: no instant loses the partition, recovery restores it") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_crash") + "/lake"
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, ts("2024-04-01 10:00:00"), 1L, "view", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("append").parquet(lake)
+    }
+    val root = new org.apache.hadoop.fs.Path(lake)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = new org.apache.hadoop.fs.Path(lake, "event_date=2024-04-01")
+
+    // simulate the worst crash instant of the swap: original renamed aside,
+    // rewrite still staged in _compact_tmp, target leaf ABSENT — the state
+    // the old delete-then-rename design reached with the rewrite as the
+    // partition's ONLY copy (which vacuum then reaped as "orphaned")
+    val old = new org.apache.hadoop.fs.Path(lake, "_compact_old/event_date=2024-04-01")
+    fs.mkdirs(old.getParent)
+    require(fs.rename(leaf, old))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(lake, "_compact_tmp/event_date=2024-04-01"))
+    assert(!fs.exists(leaf))
+
+    // vacuum (and every sweep) heals instead of reaping: the original is
+    // restored, the stranded rewrite dropped, and the data reads back whole
+    val (dropped, _) = LakeSink.vacuum(spark, lake,
+      java.time.LocalDate.parse("2000-01-01"))
+    assert(dropped.isEmpty)
+    assert(fs.exists(leaf), "interrupted swap not restored")
+    assert(!fs.exists(old))
+    assert(spark.read.parquet(lake).count() === 3L,
+      "rows lost across the interrupted swap")
+    // and a subsequent real sweep completes normally on the healed leaf
+    val done = LakeSink.compactPartitions(spark, lake, 1L << 30, minFiles = 2,
+      only = Some(Set("event_date=2024-04-01")))
+    assert(done.map(_._1) === Seq("event_date=2024-04-01"))
+    assert(spark.read.parquet(lake).count() === 3L)
+  }
+
   test("vacuum drops expired partitions, clears orphaned sweeps, bounds the ledger") {
     import spark.implicits._
     val lake = GraftTestSpark.tmpDir("lake_vac") + "/lake"
