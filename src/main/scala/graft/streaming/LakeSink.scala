@@ -171,6 +171,9 @@ object LakeSink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val tmpRoot = new Path(root, "_compact_tmp")
+    // heal BEFORE enumerating: the leaf listing (and the scoped path's
+    // fs.exists probes) must see restored leaves, not their absence
+    recoverSweeps(fs, root)
     // dirty-set path: address the named leaves directly — O(|dirty|) FS
     // calls, no root enumeration; full sweep lists the table once
     val leaves: Seq[Path] = only match {
@@ -179,7 +182,6 @@ object LakeSink {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
         .map(_.getPath)
     }
-    recoverSweeps(fs, root)
     leaves.flatMap { leaf =>
       val before = fs.listStatus(leaf)
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
