@@ -630,6 +630,43 @@ object ScaleProbe {
       out
     }
 
+    // lake sweep rung: LakeSink's dirty-set claim — a scoped compaction
+    // sweep costs O(|dirty leaves|), independent of how many partitions
+    // the TABLE has. One 30-leaf lake (the events fixture per day, each
+    // leaf fragmented by 3 appends), then a sweep scoped to 2 / 8 / 30
+    // names — wall must grow with the scope, not the table.
+    val lakeSweepR = (if (phase == "all" || phase == "lakesweep") Seq(1)
+      else Seq.empty[Int]).flatMap { _ =>
+      val sink = graft.streaming.LakeSink
+      val base = java.nio.file.Files.createTempDirectory("graft-lakesweep")
+      val lake = base.resolve("lake").toString
+      val ev = graft.core.Tables.load(spark, dir, "events")
+      (0 until 3).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.partitionBy("event_date").mode("append").parquet(lake)
+      }
+      val allLeaves = ev.select(to_date(col("ts")).as("d")).distinct()
+        .collect().map(r => s"event_date=${r.get(0)}").sorted
+      val out = Seq(2, 8, allLeaves.length).map { k =>
+        // fragment the target leaves again so every ladder step has work
+        val names = allLeaves.take(k).toSet
+        ev.filter(to_date(col("ts")).isin(
+            names.toSeq.map(_.stripPrefix("event_date=")): _*))
+          .withColumn("event_date", to_date(col("ts")))
+          .write.partitionBy("event_date").mode("append").parquet(lake)
+        val t = time {
+          val done = sink.compactPartitions(spark, lake, 1L << 30, minFiles = 2,
+            only = Some(names))
+          require(done.size == k, s"sweep rewrote ${done.size} of $k")
+        }
+        System.err.println(f"[scale] lakesweep k=$k%2d leaves  sweep=$t%6.2f s")
+        (k, t)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      out
+    }
+
     // e7 materialization rung: the SAME bm25 pipeline with the inverted
     // index pinned via localCheckpoint (lineage-free executor blocks; dies
     // with an executor) vs written-to-parquet-and-read-back (the reliable
@@ -691,6 +728,8 @@ object ScaleProbe {
       s""""ivfpqingest_${k}x":{"ingest":$t}"""
     } ++ ivfpqMaskR.map { case (pct, t) =>
       s""""ivfpqmask_${pct}pct":{"scan":$t}"""
+    } ++ lakeSweepR.map { case (k, t) =>
+      s""""lakesweep_${k}":{"sweep":$t}"""
     } ++ e7Mat.map { case (k, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""e7mat_${k}x":{""", ",", "}")
