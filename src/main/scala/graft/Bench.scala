@@ -65,18 +65,34 @@ object Bench {
 
   /** Deterministic CPU-bound calibration workload: 1.6B codegen'd xxhash64
     * evaluations over `range` (generated in-memory — no IO, no shuffle, no
-    * cache variance), fanned across all 32 local cores. Its runtime moves
-    * with the box's available CPU, which is exactly the drift the tracked
-    * 0.70x-1.33x swings are made of (BENCH_NOTES rounds 6-10) — so the
-    * ratio now/ref is a per-run drift estimate every query ratio can be
-    * normalized by before the suspect gate fires.
+    * cache variance), fanned across every local core (defaultParallelism —
+    * derived, not hard-coded, so the recorded host shape is checkable). Its
+    * runtime moves with the box's available CPU, which is exactly the drift
+    * the tracked 0.70x-1.33x swings are made of (BENCH_NOTES rounds 6-10) —
+    * so the ratio now/ref is a per-run drift estimate every query ratio can
+    * be normalized by before the suspect gate fires. The ratio is only
+    * meaningful when ref and run share a core count, so the recording
+    * carries [[CalibrationParKey]] and a mismatch disables drift loudly
+    * instead of skewing every gate through the clamped divisor.
     */
   def calibrationWorkload(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.range(0L, 1600000000L, 1L, 32)
+    spark.range(0L, 1600000000L, 1L, spark.sparkContext.defaultParallelism)
       .select(xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
       .agg(expr("bit_xor(h)").as("s")) // xor, not sum: ANSI mode overflows a multi-billion-long sum
   }
+
+  /** bench_ref key recording the core count the calibration ran on. */
+  val CalibrationParKey = "_calibration_par"
+
+  /** The calibration reference usable on THIS host: the recorded time only
+    * when the recording's core count matches (or predates the host-shape
+    * key — old refs stay usable on the recording host). A mismatch returns
+    * None, which degrades the drift divisor to 1 — detectable, not skewed.
+    */
+  def calibRefFor(ref: Map[String, Double], par: Int): Option[Double] =
+    if (ref.get(CalibrationParKey).forall(_ == par.toDouble)) ref.get(CalibrationKey)
+    else None
 
   /** Drift divisor applied to a measured time before the suspect gate:
     * only slows the gate down (never speeds it up — a faster-than-recording
@@ -162,7 +178,15 @@ object Bench {
     // box (the 0.70x-1.33x swings that cost rounds 9 and 10 an adjudication
     // each) doesn't trip the tightened 2x gate across the board, while a
     // single genuinely-regressed query still does.
-    val drift = driftDivisor(calibNow, ref.get(CalibrationKey))
+    val par = spark.sparkContext.defaultParallelism
+    // a ref recorded on a different host shape makes the drift ratio
+    // meaningless — disable it LOUDLY rather than silently skewing gates
+    val calibRef = calibRefFor(ref, par)
+    if (calibRef.isEmpty && ref.contains(CalibrationKey))
+      System.err.println(s"[bench] WARNING: bench_ref calibration ran on " +
+        s"${ref(CalibrationParKey).toInt} cores, this host has $par — " +
+        "drift normalization disabled; re-record bench_ref on this host")
+    val drift = driftDivisor(calibNow, calibRef)
     if (drift > 1.0)
       System.err.println(f"[bench] drift divisor $drift%.3f " +
         f"(calib now ${calibNow.getOrElse(-1.0)}%.3f vs ref ${ref.getOrElse(CalibrationKey, -1.0)}%.3f)")
@@ -202,7 +226,8 @@ object Bench {
       System.err.println(s"[bench] WARNING: no bench_ref entry for ${gaps.mkString(", ")} — " +
         "contention defense cannot adjudicate these; refresh bench_ref.json")
     val calibJson = s"""{"now":${calibNow.getOrElse(-1.0)},""" +
-      s""""ref":${ref.getOrElse(CalibrationKey, -1.0)},"drift_divisor":$drift}"""
+      s""""ref":${ref.getOrElse(CalibrationKey, -1.0)},"drift_divisor":$drift,""" +
+      s""""parallelism":$par}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_total":$batchTotal,"streaming_replay_total":$streamingTotal,""" +
       s""""queries":$qs,"contended":${strArr(adjudicated.filter(_.contended).map(_.name))},""" +

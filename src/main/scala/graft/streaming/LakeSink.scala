@@ -144,8 +144,13 @@ object LakeSink {
     else {
       val ids = fs.listStatus(ledger).toSeq
         .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
-      val horizon = ids.map(_.getPath.getName.toLong)
-        .foldLeft(Long.MinValue)(math.max) - ledgerKeep
+      // empty-ledger guard: Long.MinValue - ledgerKeep would WRAP to a huge
+      // positive horizon; harmless while only the filter below consumes it,
+      // but any second consumer (logging, metrics) would act on the corrupt
+      // value — make the empty case an explicit no-prune horizon instead
+      val horizon =
+        if (ids.isEmpty) Long.MinValue
+        else ids.map(_.getPath.getName.toLong).max - ledgerKeep
       val old = ids.filter(_.getPath.getName.toLong < horizon)
       old.foreach(s => fs.delete(s.getPath, false))
       old.size

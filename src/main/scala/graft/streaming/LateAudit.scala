@@ -47,7 +47,22 @@ object LateAudit {
     * year at minutes cadence). The disk ledger exists for restart
     * recovery: a new closure instance (new query run) seeds from it, and
     * a replayed batch still computes its watermark from entries ≤ b−2
-    * only, so the census is replay-identical either way.
+    * only, so the census is replay-identical either way. Seeding is
+    * per-entry and torn-entry-tolerant: a crash mid-ledger-write leaves a
+    * partial `b<id>/` parquet dir, and a single recursive read over the
+    * whole ledger would fail loudly on that unreadable footer BEFORE the
+    * replayed batch's idempotent overwrite could repair it — wedging every
+    * restart until the dir is hand-deleted. Skipping the torn entry is
+    * correct: its batch is by construction the one the engine is about to
+    * replay (only an in-flight batch can tear), and the replay rewrites it.
+    *
+    * ATTACHMENT REQUIREMENT: the documented engine-watermark equivalence
+    * holds only when this classifier is attached where it sees the SAME
+    * rows as the watermark operator (st33 attaches it to the identity
+    * transform). A filtering transform upstream silently diverges the
+    * ledger's max event time from the engine's per-batch stats — attach
+    * the quarantine BEFORE any row-dropping transform, or accept that the
+    * replicated watermark tracks the filtered stream instead.
     */
   def quarantine(ledgerDir: String, tsCol: String = "ts",
       delayMs: Long = 600000L): (DataFrame, Long) => DataFrame = {
@@ -60,12 +75,24 @@ object LateAudit {
         val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // an existing-but-entryless ledger (first batches; pre-created temp
         // dir) has no schema to infer — seed empty
-        val hasEntries = fs.exists(dir) &&
-          fs.listStatus(dir).exists(s => s.isDirectory && s.getPath.getName.startsWith("b"))
-        if (hasEntries)
-          spark.read.option("recursiveFileLookup", "true").parquet(ledgerDir)
-            .collect().foreach(r => history(r.getAs[Long]("batch_id")) =
-              r.getAs[Long]("max_ts"))
+        if (fs.exists(dir))
+          fs.listStatus(dir)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+            .foreach { entry =>
+              // per-entry read with a skip on failure: a torn entry (crash
+              // mid-write) must not wedge the restart — see scaladoc; its
+              // batch is the one the engine replays, and the replay's
+              // mode=overwrite rewrite repairs the dir
+              try spark.read.parquet(entry.getPath.toString).collect()
+                .foreach(r => history(r.getAs[Long]("batch_id")) =
+                  r.getAs[Long]("max_ts"))
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  System.err.println(s"[late-audit] skipping torn ledger entry " +
+                    s"${entry.getPath.getName} (${e.getClass.getSimpleName}) — " +
+                    "the replayed batch's overwrite will repair it")
+              }
+            }
         seeded = true
       }
       val past = history.collect { case (id, mx) if id <= batchId - 2 => mx }

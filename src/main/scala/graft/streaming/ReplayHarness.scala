@@ -498,15 +498,22 @@ object ReplayHarness {
     * accumulate one file per batch and the compaction sweeps genuinely
     * merge multi-file partitions instead of skipping single-file ones.
     *
-    * Returns the lake read back via partition discovery (`event_date` as a
-    * partition column — the f4-style pruned read shape applies as written).
+    * Returns `finish` applied to the lake read back via partition discovery
+    * (`event_date` as a partition column — the f4-style pruned read shape
+    * applies as written), PINNED: the result rows are collected and the
+    * RAM-backed scratch (lake + checkpoint + staging, /dev/shm) reclaimed
+    * before returning — a lazy read would hold a fixture-sized tmpfs tree
+    * alive per run and accumulate across a long session (st36 pins its
+    * census for the same reason). Callers therefore pass a row-bounded
+    * `finish` (a census) at verification scale.
     */
   def replayEventsToLake(
       spark: SparkSession,
       sfDir: String,
       chunks: Int = 6,
       phase1Chunks: Int = 3,
-      compactEvery: Long = 3L)(
+      compactEvery: Long = 3L,
+      finish: DataFrame => DataFrame = identity)(
       transform: DataFrame => DataFrame): DataFrame = {
     require(phase1Chunks > 0 && phase1Chunks < chunks,
       "need a non-empty phase on both sides of the restart")
@@ -582,7 +589,11 @@ object ReplayHarness {
       deleteRecursively(streamDir)
       deleteRecursively(ckpt)
     }
-    spark.read.parquet(lakeDir)
+    val result = finish(spark.read.parquet(lakeDir))
+    val rows = result.collect().toIndexedSeq
+    val schema = result.schema
+    cleanupScratch(base)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
   }
 
   /** RAM-backed scratch when /dev/shm is writable (replay cost is

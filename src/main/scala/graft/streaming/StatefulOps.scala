@@ -687,10 +687,26 @@ object StatefulOps {
     * by their tumbling-window start (epoch-ms floor — the same bucketing
     * `window(ts, "6 hours")` computes), event-time mode so the per-window
     * timer fires off the watermark.
+    *
+    * The epoch-ms floor aligns buckets to the UTC epoch, which coincides
+    * with `window(ts, ...)`-style session-local bucketing only when the
+    * session timezone has zero offset — in any other zone the operator's
+    * buckets would silently shift relative to what a local-time oracle
+    * computes. Pinned with an assertion rather than papered over: a
+    * deployment in another zone should key on an explicitly zoned floor,
+    * not inherit a silent shift.
     */
   def windowTopKTWS(events: Dataset[Event], k: Int = 3,
       windowMs: Long = 6L * 3600 * 1000): Dataset[WindowTopK] = {
     import events.sparkSession.implicits._
+    val tz = events.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val rules = java.time.ZoneId.of(tz).getRules
+    require(rules.isFixedOffset &&
+      rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+      s"windowTopKTWS keys windows on the epoch-ms floor, which matches " +
+        s"session-local tumbling windows only under a zero-offset session " +
+        s"timezone; session is '$tz' — set spark.sql.session.timeZone=UTC " +
+        "or derive the key from an explicitly zoned floor")
     events.withWatermark("ts", "10 minutes")
       .groupByKey(e => e.ts.getTime - java.lang.Math.floorMod(e.ts.getTime, windowMs))
       .transformWithState(new WindowTopKProcessor(k, windowMs),

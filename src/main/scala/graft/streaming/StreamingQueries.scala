@@ -1134,12 +1134,14 @@ object StreamingQueries {
     """SELECT ts::DATE AS event_date, event_type, count(*) AS n,
       |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-    ReplayHarness.replayEventsToLake(s, dir)(
+    // the census rides in as `finish` so the harness can pin its k rows and
+    // reclaim the RAM-backed lake tree before returning (st36's discipline)
+    ReplayHarness.replayEventsToLake(s, dir,
+      finish = _.groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          sum(col("event_id")).as("id_checksum")))(
       _.select("event_id", "ts", "user_id", "event_type", "value"))
-      .groupBy(col("event_date"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("total_value"),
-        sum(col("event_id")).as("id_checksum"))
   }
 
   /** st33: LATE-DATA QUARANTINE — st12's complement, oracle-gated. st12

@@ -52,6 +52,17 @@ class BenchGuardSpec extends AnyFunSuite {
       === Seq.empty)
   }
 
+  test("calibration ref is host-shape-gated: core-count mismatch disables drift") {
+    val ref = Map(Bench.CalibrationKey -> 0.4, Bench.CalibrationParKey -> 32.0)
+    assert(Bench.calibRefFor(ref, 32) === Some(0.4))
+    // a ref recorded on a different core count must NOT feed the divisor —
+    // the skew would be silent otherwise (clamped into every gate)
+    assert(Bench.calibRefFor(ref, 16) === None)
+    // pre-host-shape refs (no par key) stay usable
+    assert(Bench.calibRefFor(Map(Bench.CalibrationKey -> 0.4), 32) === Some(0.4))
+    assert(Bench.calibRefFor(Map.empty, 32) === None)
+  }
+
   test("the committed bench_ref covers the whole registry (coverage defense teeth)") {
     val p = java.nio.file.Paths.get("bench_ref.json")
     assume(java.nio.file.Files.exists(p))

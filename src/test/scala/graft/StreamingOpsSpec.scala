@@ -568,6 +568,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(mn < mx) // fixture sanity: the chunk rule had a real span to split
   }
 
+  test("late-audit seeding skips a torn ledger entry instead of wedging the restart") {
+    import spark.implicits._
+    val dir = GraftTestSpark.tmpDir("wmledger_torn")
+    // a good entry (batch 0) and a TORN one (batch 1: crash mid-write left an
+    // unreadable parquet footer) — the pre-fix one-shot recursive read failed
+    // loudly on the torn footer before any replay could repair it
+    Seq((0L, 1000000L)).toDF("batch_id", "max_ts")
+      .coalesce(1).write.parquet(s"$dir/b0")
+    val torn = java.nio.file.Paths.get(dir, "b1")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-00000-torn.parquet"),
+      Array[Byte](80, 65, 82, 49, 0, 0, 0)) // "PAR1" + garbage, no footer
+    val classify = graft.streaming.LateAudit.quarantine(dir, delayMs = 0L)
+    // replaying batch 2 must seed from b0 alone (no throw): wm = entries
+    // <= 0 → 1000000; the 500000 ms row is behind it and quarantines
+    val batch = Seq((5L, new java.sql.Timestamp(500000L), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(classify(batch, 2L).count() === 1L,
+      "seeding did not survive the torn entry or lost the good one")
+    // the torn batch's own replay overwrites b1 — after which a FRESH
+    // instance seeds every entry cleanly (the repair path)
+    classify(batch.withColumn("ts",
+      org.apache.spark.sql.functions.lit(new java.sql.Timestamp(2000000L))), 1L)
+    val fresh = graft.streaming.LateAudit.quarantine(dir, delayMs = 0L)
+    assert(fresh(batch, 3L).count() === 1L,
+      "repaired ledger did not seed cleanly")
+  }
+
   test("st13 enriches each batch against its own dim snapshot, not the final dim") {
     import org.apache.spark.sql.functions._
     def resultSet(rows: Array[org.apache.spark.sql.Row]) =

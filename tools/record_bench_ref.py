@@ -26,6 +26,11 @@ def main() -> None:
     calib = out.get("calibration", {}).get("now", -1.0)
     if calib > 0:
         ref["_calibration"] = round(calib, 3)
+        # host shape the calibration ran on: a later run on a different core
+        # count disables drift normalization instead of silently skewing it
+        par = out.get("calibration", {}).get("parallelism", -1)
+        if par > 0:
+            ref["_calibration_par"] = par
     for name in sorted(out["queries"]):
         t = out["queries"][name]
         if t < 0:
