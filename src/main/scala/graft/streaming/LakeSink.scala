@@ -18,21 +18,29 @@ import graft.core.Layout
   *   1. derives `event_date` from the event-time column and appends
   *      Hive-partitioned (`event_date=YYYY-MM-DD/`) parquet — so the f4-style
   *      partition-pruned read path applies to the lake as written;
-  *   2. is IDEMPOTENT per micro-batch: a committed-batch ledger
-  *      (`_graft_commits/<batchId>` marker files — underscore-prefixed, so
-  *      Spark's partition discovery ignores it) makes a batch replayed after
-  *      restart-from-checkpoint a no-op instead of an append of duplicates.
-  *      The marker lands AFTER the data: a crash in between replays the
-  *      batch's rows once more (at-least-once for that one batch — closing
-  *      that window needs a transactional table format's atomic commit,
-  *      which plain parquet-on-FS cannot express; every FS-level lake sink
-  *      has this same window);
+  *   2. is EXACTLY-ONCE per micro-batch under crash-replay, with no
+  *      data-before-marker window: the batch is first written under
+  *      `_staging/b<batchId>/` (underscore-prefixed — invisible to readers),
+  *      then COMMITTED by renaming each staged file into its leaf under a
+  *      deterministic per-batch name (`gb<batchId>-p<k>.parquet`) and only
+  *      then writing the committed-batch ledger marker
+  *      (`_graft_commits/<batchId>`). A replay of an uncommitted batch first
+  *      DELETES any `gb<batchId>-*` files a crashed attempt left in the
+  *      leaves it touches, then renames its fresh staging in — so a crash at
+  *      ANY instant (mid-stage, mid-commit, pre-marker, pre-staging-cleanup)
+  *      recovers to exactly one copy of every row, given Spark's
+  *      deterministic-replay contract (same batchId → same rows, which the
+  *      file/Kafka sources honor). What remains non-atomic is only reader
+  *      VISIBILITY: a reader listing the lake mid-commit can see a prefix of
+  *      the in-flight batch's files (never a torn file, never another
+  *      batch's rows) — the caveat a manifest-based table format exists to
+  *      remove;
   *   3. every `compactEvery` batches, rewrites any partition holding >=
   *      `minFilesToCompact` files through [[Layout.compactParquet]] at the
-  *      target file size and swaps it into place (delete + rename — atomic
-  *      enough on a real FS for the single-writer streaming job this is;
-  *      concurrent READERS of the partition being swapped can observe a
-  *      partial listing, the standard caveat of non-transactional lakes).
+  *      target file size and swaps it into place (rename-aside + rename-in —
+  *      crash-safe for the single-writer streaming job this is; concurrent
+  *      READERS can observe the swapped partition briefly absent, see
+  *      [[compactPartitions]]).
   *
   * At 100 TB/day the numbers work like this: one day ≈ one partition family,
   * compaction touches only partitions the recent batches dirtied (the
@@ -46,8 +54,8 @@ object LakeSink {
   /** The foreachBatch closure. `compactEvery <= 0` disables compaction.
     *
     * Sweep scope: each sink instance tracks the partitions its OWN appends
-    * dirtied since the last sweep (one k-row distinct-dates probe per
-    * batch — the same per-commit partition-values bookkeeping every
+    * dirtied since the last sweep (read straight off the staged write's
+    * leaf listing — the same per-commit partition-values bookkeeping every
     * transactional lake format does) and compacts ONLY those, so a sweep
     * costs O(dirtied leaves), never O(all leaves): against a lake with
     * years of date partitions on an object store, listing every leaf per
@@ -57,40 +65,104 @@ object LakeSink {
     * scheduled FULL sweep (`compactPartitions(..., only = None)`) — the
     * documented backstop; compaction is opportunistic maintenance, never
     * a correctness dependency.
+    *
+    * `faultInjector(batchId, point)` is the crash-simulation hook the
+    * crash-matrix tests and the st39 replay drive — a production caller
+    * leaves the default no-op. Points: `"staged"` (batch materialized
+    * under staging, nothing visible), `"committed:<leaf>"` (that leaf's
+    * files renamed in, later leaves not yet), `"pre-marker"` (all data
+    * visible, ledger marker not yet written).
     */
   def datePartitioned(
       lakeDir: String,
       tsCol: String = "ts",
       compactEvery: Long = 10L,
       targetFileBytes: Long = 128L << 20,
-      minFilesToCompact: Int = 4): (DataFrame, Long) => Unit = {
+      minFilesToCompact: Int = 4,
+      faultInjector: (Long, String) => Unit = (_, _) => ()): (DataFrame, Long) => Unit = {
     val dirty = scala.collection.mutable.Set.empty[String]
     (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val root = new Path(lakeDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(new Path(root, "_graft_commits"), batchId.toString)
+      val staging = new Path(new Path(root, StagingRoot), s"b$batchId")
       if (fs.exists(marker)) {
         // restart-from-checkpoint replay of an already-committed batch:
         // the ledger makes it a no-op (this exact path is what keeps the
-        // lake duplicate-free across the st10/st27-style kill+restart)
+        // lake duplicate-free across the st10/st27-style kill+restart).
+        // A crash between marker and staging cleanup leaves the staged
+        // copy behind — reclaim it here, where the marker proves it stale
+        fs.delete(staging, true)
         System.err.println(s"[lake] batch $batchId already committed, skipping")
       } else {
+        // STAGE: materialize the batch invisibly (underscore root), already
+        // in its Hive leaf shape. mode=overwrite makes a replay of a
+        // half-staged crash self-healing.
         val dated = batch.withColumn("event_date", to_date(col(tsCol)))
-        dated.write.partitionBy("event_date").mode("append").parquet(lakeDir)
-        dirty ++= dated.select("event_date").distinct().collect()
-          // a null event time writes under Hive's default-partition leaf,
-          // not "null" — record the name the writer actually used or the
-          // leaf escapes every scoped sweep forever
-          .map(r => "event_date=" + Option(r.get(0))
-            .map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__"))
+        dated.write.partitionBy("event_date").mode("overwrite")
+          .parquet(staging.toString)
+        faultInjector(batchId, "staged")
+        // COMMIT: roll back any crashed attempt's files, rename staged
+        // files into the leaves under per-batch deterministic names, and
+        // only then write the marker — the leaf listing doubles as the
+        // dirty-set bookkeeping (a null event time stages under Hive's
+        // default-partition leaf, which this records by its real name)
+        dirty ++= commitStaged(fs, root, staging, batchId, faultInjector)
+        faultInjector(batchId, "pre-marker")
         fs.create(marker, true).close()
+        fs.delete(staging, true)
       }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
         compactPartitions(spark, lakeDir, targetFileBytes, minFilesToCompact,
           only = Some(dirty.toSet))
         dirty.clear()
       }
+  }
+
+  private val StagingRoot = "_staging"
+
+  /** The staged-commit step: for each leaf the staged batch holds, delete
+    * the `gb<batchId>-*` files a CRASHED attempt of this same batch may
+    * have left in the target (the rollback that makes the commit
+    * idempotent), then rename the staged files in under deterministic
+    * per-batch names. Returns the committed leaf names (the dirty set).
+    * Correctness leans on Spark's deterministic-replay contract: a
+    * replayed batch carries the same rows, so the leaves it stages are a
+    * superset of any crashed attempt's — rollback by batch-id prefix in
+    * exactly those leaves reaches every orphan.
+    */
+  private def commitStaged(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      staging: Path,
+      batchId: Long,
+      faultInjector: (Long, String) => Unit): Seq[String] = {
+    val leaves =
+      if (!fs.exists(staging)) Seq.empty
+      else fs.listStatus(staging).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath).sortBy(_.getName.toString)
+    leaves.map { sLeaf =>
+      val target = new Path(root, sLeaf.getName)
+      fs.mkdirs(target)
+      fs.listStatus(target)
+        .filter(f => f.isFile && f.getPath.getName.startsWith(s"gb$batchId-"))
+        .foreach { f =>
+          System.err.println(s"[lake] rolling back crashed-attempt file ${f.getPath.getName}")
+          fs.delete(f.getPath, false)
+        }
+      val parts = fs.listStatus(sLeaf).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName.toString)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = new Path(target, s"gb$batchId-p$i.snappy.parquet")
+        require(fs.rename(f.getPath, dst),
+          s"staged commit rename failed: ${f.getPath} -> $dst")
+      }
+      faultInjector(batchId, s"committed:${sLeaf.getName}")
+      sLeaf.getName
+    }
   }
 
   /** Retention VACUUM — the third lifecycle verb after append and compact:
@@ -104,7 +176,11 @@ object LakeSink {
     *      then deleting true orphans (a blind "delete everything under
     *      `_compact_tmp`" would reap the only copy of a partition whose
     *      swap crashed mid-way);
-    *   3. prunes commit-ledger markers below `max marker − ledgerKeep`.
+    *   3. reclaims `_staging/b<id>` trees whose commit marker exists — a
+    *      crash between marker write and staging cleanup strands one; an
+    *      UNmarkered staging tree is an in-flight batch the engine will
+    *      replay (its overwrite reclaims it) and is left alone;
+    *   4. prunes commit-ledger markers below `max marker − ledgerKeep`.
     *      Unbounded, the ledger grows one tiny file per micro-batch
     *      forever (a minutes-cadence stream is ~500k files/year — a real
     *      small-file problem on its own). Pruning old markers is safe
@@ -140,6 +216,19 @@ object LakeSink {
         s.getPath.getName
       }
     val ledger = new Path(root, "_graft_commits")
+    // reclaim staged batches whose marker landed but whose cleanup crashed
+    // (BEFORE marker pruning — the marker is the proof of staleness; an
+    // unmarkered staging dir belongs to a batch the engine will replay and
+    // is left for that replay's overwrite)
+    val stagingRoot = new Path(root, StagingRoot)
+    if (fs.exists(stagingRoot)) fs.listStatus(stagingRoot).foreach { s =>
+      val id = s.getPath.getName.stripPrefix("b")
+      if (id.nonEmpty && id.forall(_.isDigit) &&
+          fs.exists(new Path(ledger, id))) {
+        System.err.println(s"[lake] reclaiming committed staging ${s.getPath.getName}")
+        fs.delete(s.getPath, true)
+      }
+    }
     val prunedMarkers = if (!fs.exists(ledger)) 0
     else {
       val ids = fs.listStatus(ledger).toSeq

@@ -507,13 +507,24 @@ object ReplayHarness {
     * census for the same reason). Callers therefore pass a row-bounded
     * `finish` (a census) at verification scale.
     */
+  /** With `crashSinkAt = Some((batchId, point))`, the sink's fault injector
+    * throws ONCE at that exact instant of the staged-commit protocol
+    * ([[LakeSink.datePartitioned]]'s `faultInjector` points — "staged",
+    * "committed:<leaf>", "pre-marker"), killing the first query run
+    * mid-phase-1; a restarted run must recover by replaying the crashed
+    * batch through the rollback-then-commit path. This is the strongest
+    * crash window an FS-level sink has (data fully visible, marker absent)
+    * — st39 certifies it end-to-end against the same full-fixture census
+    * as st32.
+    */
   def replayEventsToLake(
       spark: SparkSession,
       sfDir: String,
       chunks: Int = 6,
       phase1Chunks: Int = 3,
       compactEvery: Long = 3L,
-      finish: DataFrame => DataFrame = identity)(
+      finish: DataFrame => DataFrame = identity,
+      crashSinkAt: Option[(Long, String)] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
     require(phase1Chunks > 0 && phase1Chunks < chunks,
       "need a non-empty phase on both sides of the restart")
@@ -535,15 +546,23 @@ object ReplayHarness {
 
     // small target size so the mid-stream sweeps really rewrite leaves at
     // fixture scale; production would keep the 128 MiB default
+    val crashFired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val injector: (Long, String) => Unit = crashSinkAt match {
+      case Some((b, p)) => (bid, point) =>
+        if (bid == b && point == p && crashFired.compareAndSet(false, true))
+          throw new RuntimeException(
+            s"injected lake crash at '$point' of batch $bid")
+      case None => (_, _) => ()
+    }
     val sink = LakeSink.datePartitioned(lakeDir, tsCol = "ts",
       compactEvery = compactEvery, targetFileBytes = 512L << 10,
-      minFilesToCompact = 2)
+      minFilesToCompact = 2, faultInjector = injector)
     val invoked = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(4, prevShuffle.toInt).toString)
     try {
-      def runPhase(): Unit = {
+      def runPhase(expectInjectedCrash: Boolean = false): Unit = {
         val in = spark.readStream.schema(events.schema)
           .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
         val q = transform(in).writeStream
@@ -554,10 +573,29 @@ object ReplayHarness {
           }
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        def injected(t: Throwable): Boolean = t != null &&
+          (String.valueOf(t.getMessage).contains("injected lake crash") ||
+            injected(t.getCause))
+        try q.awaitTermination()
+        catch {
+          case e: Throwable if expectInjectedCrash && injected(e) =>
+            System.err.println("[lake] injected mid-sink crash fired; " +
+              "next run must recover via rollback-then-commit")
+        }
       }
       (0 until phase1Chunks).foreach(publishChunk)
-      runPhase()
+      crashSinkAt match {
+        case Some((b, _)) =>
+          runPhase(expectInjectedCrash = true)
+          require(crashFired.get,
+            s"injected crash for batch $b never fired — point unreachable, " +
+              "the crash-window replay is untested")
+          invoked.clear()
+          runPhase() // recovery: replays batch b via rollback + staged commit
+          require(invoked.contains(java.lang.Long.valueOf(b)),
+            s"restart did not re-invoke the sink for crashed batch $b")
+        case None => runPhase()
+      }
       // the crash window: drop the engine's LAST batch-commit record while
       // the sink's data + ledger marker stay — offsets/<N> without
       // commits/<N> is what recovery re-executes

@@ -1328,8 +1328,39 @@ object StreamingQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
   }
 
+  /** st39: the lake sink's WORST crash instant, end to end — st32's twin
+    * for the window st32 cannot reach. st32 drops the ENGINE's commit
+    * record (sink data + ledger marker both landed); this row crashes the
+    * query INSIDE the sink at "pre-marker": batch 1's rows fully renamed
+    * into the leaves, ledger marker NOT yet written — under the old
+    * append-then-mark design the replay double-appended exactly that
+    * batch (the at-least-once window LakeSink's scaladoc used to
+    * document). With the staged commit, recovery must roll the crashed
+    * attempt's `gb1-*` files back by batch-id prefix before renaming the
+    * replayed staging in. The oracle is st32's full-fixture census — a
+    * rollback miss duplicates every date×type cell batch 1 touched
+    * (id-interleaved chunks touch all of them), a rollback overreach
+    * deletes other batches' rows; either breaks the hash. The harness
+    * `require`s the injected crash actually fired and the sink was
+    * re-invoked for the crashed batch, so this row can never silently
+    * degenerate to a clean run.
+    */
+  val st39 = Q("st39_stream_lake_crash_commit",
+    """SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayEventsToLake(s, dir, chunks = 4, phase1Chunks = 2,
+      compactEvery = 2L,
+      finish = _.groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          sum(col("event_id")).as("id_checksum")),
+      crashSinkAt = Some((1L, "pre-marker")))(
+      _.select("event_id", "ts", "user_id", "event_type", "value"))
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
-      st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36)
+      st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st39)
 }

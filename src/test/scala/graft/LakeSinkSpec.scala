@@ -202,6 +202,71 @@ class LakeSinkSpec extends AnyFunSuite {
       "replay of the newest batch duplicated after ledger pruning")
   }
 
+  test("staged-commit crash matrix: a crash at any protocol instant recovers exactly-once") {
+    import spark.implicits._
+    def batchDf(ids: Range) = ids.map(i =>
+      (i.toLong, ts(if (i % 2 == 0) "2024-05-01 10:00:00" else "2024-05-02 10:00:00"),
+        1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // every instant the faultInjector can name, including mid-commit with
+    // only ONE of the two leaves renamed in (the multi-leaf torn commit)
+    val points = Seq("staged", "committed:event_date=2024-05-01", "pre-marker")
+    points.foreach { point =>
+      val lake = GraftTestSpark.tmpDir(s"lake_cm_${point.takeWhile(_ != ':')}") + "/lake"
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // batch 0 commits cleanly; batch 1 crashes at `point`
+      val clean = LakeSink.datePartitioned(lake, compactEvery = 0L)
+      clean(batchDf(0 until 10), 0L)
+      val crashing = LakeSink.datePartitioned(lake, compactEvery = 0L,
+        faultInjector = (bid, p) =>
+          if (bid == 1L && p == point) throw new RuntimeException(s"crash at $p"))
+      val thrown = intercept[RuntimeException](crashing(batchDf(10 until 20), 1L))
+      assert(thrown.getMessage.contains("crash at"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(lake, "_graft_commits/1")),
+        s"$point: marker must not exist after the crash")
+      // whatever the crash left visible, it is never MORE than batch 1 once
+      // and never corrupts batch 0
+      val mid = spark.read.parquet(lake)
+      assert(mid.filter(col("event_id") < 10).count() === 10L, s"$point: batch 0 damaged")
+      assert(mid.filter(col("event_id") >= 10).count() <= 10L, s"$point: torn duplicate")
+      // recovery: a fresh sink instance replays batch 1 (Spark's contract),
+      // rolling back the crashed attempt before committing
+      val recovered = LakeSink.datePartitioned(lake, compactEvery = 0L)
+      recovered(batchDf(10 until 20), 1L)
+      val after = spark.read.parquet(lake)
+      assert(after.count() === 20L, s"$point: replay not exactly-once")
+      assert(after.select("event_id").distinct().count() === 20L, s"$point: duplicate ids")
+      // and a SECOND replay of the now-committed batch is a ledger no-op
+      recovered(batchDf(10 until 20), 1L)
+      assert(spark.read.parquet(lake).count() === 20L, s"$point: committed replay appended")
+      // staging fully reclaimed by commit (or inert under its underscore
+      // root until vacuum); the data path never lists it
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(lake, "_staging/b1")),
+        s"$point: staging not cleaned after commit")
+    }
+  }
+
+  test("vacuum reclaims a committed-but-uncleaned staging tree, leaves in-flight staging alone") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_stage_vac") + "/lake"
+    val sink = LakeSink.datePartitioned(lake, compactEvery = 0L)
+    sink(Seq((1L, ts("2024-06-01 10:00:00"), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"), 0L)
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate: batch 0's marker landed but its staging cleanup crashed;
+    // batch 7 is in-flight (staged, no marker — the engine will replay it)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(lake, "_staging/b0/event_date=2024-06-01"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(lake, "_staging/b7/event_date=2024-06-02"))
+    LakeSink.vacuum(spark, lake, java.time.LocalDate.parse("2000-01-01"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake, "_staging/b0")),
+      "committed staging leftover survived vacuum")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(lake, "_staging/b7")),
+      "in-flight staging reaped — its replay would have healed it, vacuum must not race it")
+    assert(spark.read.parquet(lake).count() === 1L)
+  }
+
   test("replayEventsToLake: engine recovery replays the uncommitted batch, lake stays exactly-once") {
     // the st32 harness at suite scale: phase 1 drains 2 of 4 chunks, the
     // harness drops the engine's last commit record, and recovery MUST
