@@ -247,6 +247,36 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("parallel sweep rewrites every leaf exactly like the serial sweep") {
+    import spark.implicits._
+    // two identical 6-leaf fragmented lakes: one swept serially, one with
+    // the bounded pool — results (rows, per-leaf file counts, return value)
+    // must be indistinguishable
+    def mkLake(tag: String): String = {
+      val lake = GraftTestSpark.tmpDir(s"lake_par_$tag") + "/lake"
+      (0 until 3).foreach { rep =>
+        (1 to 6).foreach { d =>
+          Seq((rep * 10L + d, ts(f"2024-07-0$d 10:00:00"), 1L, "view", 1.0))
+            .toDF("event_id", "ts", "user_id", "event_type", "value")
+            .withColumn("event_date", to_date(col("ts")))
+            .write.partitionBy("event_date").mode("append").parquet(lake)
+        }
+      }
+      lake
+    }
+    val (serialLake, parLake) = (mkLake("s"), mkLake("p"))
+    val serial = LakeSink.compactPartitions(spark, serialLake, 1L << 30,
+      minFiles = 2, only = None, maxConcurrency = 1)
+    val par = LakeSink.compactPartitions(spark, parLake, 1L << 30,
+      minFiles = 2, only = None, maxConcurrency = 4)
+    assert(par === serial, "parallel sweep's (leaf, before, after) diverged from serial")
+    assert(par.size === 6 && par.forall { case (_, b, a) => b === 3 && a === 1 })
+    val (s, p) = (spark.read.parquet(serialLake), spark.read.parquet(parLake))
+    assert(p.count() === 18L && s.count() === 18L)
+    assert(p.exceptAll(s).isEmpty && s.exceptAll(p).isEmpty,
+      "parallel sweep changed row content")
+  }
+
   test("vacuum reclaims a committed-but-uncleaned staging tree, leaves in-flight staging alone") {
     import spark.implicits._
     val lake = GraftTestSpark.tmpDir("lake_stage_vac") + "/lake"
