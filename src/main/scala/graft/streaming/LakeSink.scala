@@ -38,9 +38,18 @@ import graft.core.Layout
   *   3. every `compactEvery` batches, rewrites any partition holding >=
   *      `minFilesToCompact` files through [[Layout.compactParquet]] at the
   *      target file size and swaps it into place (rename-aside + rename-in —
-  *      crash-safe for the single-writer streaming job this is; concurrent
-  *      READERS can observe the swapped partition briefly absent, see
-  *      [[compactPartitions]]).
+  *      crash-safe for the single-writer streaming job this is). Concurrent
+  *      reader behavior during a swap is MEASURED, not assumed
+  *      (LakeSinkSpec's reader-race test, 72 swaps under a tight read
+  *      loop): a racing read either returns the full, duplicate-free
+  *      result or fails LOUDLY with a listing/scan error to retry —
+  *      never duplicates (at no instant are original and rewrite both
+  *      under the root), never a torn leaf, and in practice not even
+  *      whole-leaf absence (the listing→open race throws before a partial
+  *      result can materialize). The theoretical anomaly that remains is
+  *      transient whole-leaf absence for a reader whose listing lands
+  *      exactly between the two renames; removing the error-and-retry
+  *      class entirely is what manifest-based table formats are for.
   *
   * At 100 TB/day the numbers work like this: one day ≈ one partition family,
   * compaction touches only partitions the recent batches dirtied (the

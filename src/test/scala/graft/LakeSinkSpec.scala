@@ -277,6 +277,73 @@ class LakeSinkSpec extends AnyFunSuite {
       "parallel sweep changed row content")
   }
 
+  test("reader racing compaction swaps: no duplicates, no torn leaf — only whole-leaf absence or a loud error") {
+    import spark.implicits._
+    // 6 leaves, ids known per leaf; minFiles=1 makes every sweep re-rewrite
+    // every leaf (1 file -> 1 file) WITHOUT changing data, so a tight read
+    // loop races many swap windows against one constant expected set
+    val lake = GraftTestSpark.tmpDir("lake_reader") + "/lake"
+    (0 until 3).foreach { rep =>
+      (1 to 6).foreach { d =>
+        Seq((rep * 10L + d, ts(f"2024-08-0$d 10:00:00"), 1L, "view", 1.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .withColumn("event_date", to_date(col("ts")))
+          .write.partitionBy("event_date").mode("append").parquet(lake)
+      }
+    }
+    val leafIds: Map[Int, Set[Long]] =
+      (1 to 6).map(d => d -> Set(d.toLong, 10L + d, 20L + d)).toMap
+    val expected = leafIds.values.flatten.toSet
+
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    @volatile var silentCorruption: Option[String] = None
+    val reader = new Thread(() => {
+      while (!stop && silentCorruption.isEmpty) {
+        try {
+          val ids = spark.read.parquet(lake).select("event_id")
+            .collect().map(_.getLong(0)).toSeq
+          val set = ids.toSet
+          if (ids.size != set.size)
+            silentCorruption = Some(s"duplicate rows observed: ${ids.size} rows, ${set.size} ids")
+          else if (!set.subsetOf(expected))
+            silentCorruption = Some(s"alien ids observed: ${set -- expected}")
+          else {
+            val missingLeaves = leafIds.filter { case (_, lids) => (lids -- set).nonEmpty }
+            // a PARTIALLY missing leaf = torn read; whole-leaf absence is
+            // the documented swap-window anomaly
+            missingLeaves.find { case (_, lids) => (lids & set).nonEmpty } match {
+              case Some((d, _)) =>
+                silentCorruption = Some(s"torn leaf $d: some of its rows visible, some not")
+              case None =>
+                outcomes.add(if (missingLeaves.isEmpty) "full"
+                  else s"absent:${missingLeaves.keys.toSeq.sorted.mkString(",")}")
+            }
+          }
+        } catch {
+          // a listing/scan race (file renamed between list and open) fails
+          // LOUDLY — acceptable: the reader retries; it never sees wrong data
+          case _: Throwable => outcomes.add("error")
+        }
+      }
+    })
+    reader.start()
+    (0 until 12).foreach { _ =>
+      val done = LakeSink.compactPartitions(spark, lake, 1L << 30,
+        minFiles = 1, only = None, maxConcurrency = 4)
+      assert(done.size === 6)
+    }
+    stop = true
+    reader.join(30000)
+    assert(silentCorruption.isEmpty, silentCorruption.getOrElse(""))
+    val census = outcomes.toArray.groupBy(identity).map { case (k, v) => (k, v.length) }
+    System.err.println(s"[lake] reader-race census over 72 swaps: $census")
+    assert(outcomes.size > 0, "reader never completed a snapshot — race harness broken")
+    // final state: intact
+    assert(spark.read.parquet(lake).select("event_id").collect()
+      .map(_.getLong(0)).toSet === expected)
+  }
+
   test("vacuum reclaims a committed-but-uncleaned staging tree, leaves in-flight staging alone") {
     import spark.implicits._
     val lake = GraftTestSpark.tmpDir("lake_stage_vac") + "/lake"
