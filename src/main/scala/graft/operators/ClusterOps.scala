@@ -213,15 +213,22 @@ object ClusterOps {
     * clustering — `a2` is the final (vec_id, cid) assignment, `e` carries
     * each vector's squared norm.
     */
-  private[operators] val duckKmeansCtes: String =
+  private[operators] val duckKmeansCtes: String = duckKmeansCtesOver("embeddings")
+
+  /** [[duckKmeansCtes]] parameterized on the corpus relation: e13's oracle
+    * replays the identical chain over the post-churn view (`cur`) to price
+    * a full re-train, while every existing consumer keeps the byte-identical
+    * `embeddings` instantiation.
+    */
+  private[operators] def duckKmeansCtesOver(src: String): String =
     s"""e AS (
        |  SELECT vec_id, embedding,
        |    ${duckDot("embedding", "embedding")} AS sq
-       |  FROM embeddings),
+       |  FROM $src),
        |seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent,
        |    ${duckDot("embedding", "embedding")} AS csq
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KMeansK)),
+       |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $KMeansK)),
        |a1 AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, s.cid,

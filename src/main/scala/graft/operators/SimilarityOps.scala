@@ -1002,8 +1002,14 @@ object SimilarityOps {
     * a different (upserted) corpus but whose quantizers are trained on the
     * original one — exactly the build/ingest split the Spark side has.
     */
-  private val duckIvfPqTrainCtes: String =
-    s"""${ClusterOps.duckKmeansCtes},
+  private val duckIvfPqTrainCtes: String = duckIvfPqTrainCtesOver("embeddings")
+
+  /** [[duckIvfPqTrainCtes]] parameterized on the training corpus: e13's
+    * full re-train replays the chain over the post-churn view while e9/e10/
+    * e12 keep the byte-identical `embeddings` instantiation.
+    */
+  private def duckIvfPqTrainCtesOver(src: String): String =
+    s"""${ClusterOps.duckKmeansCtesOver(src)},
        |res AS (
        |  SELECT a2.vec_id, a2.cid AS cell,
        |    list_transform(generate_series(1, 64),
@@ -1014,7 +1020,7 @@ object SimilarityOps {
        |    list_transform(generate_series(1, $PqSubDim), i -> remb[$PqSubDim * g.s + i]) AS sub
        |  FROM res, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
        |rsubq AS (SELECT vec_id, s, sub, ${duckDot8("sub", "sub")} AS sq FROM rsub),
-       |seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |seed_ids AS (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $PqK),
        |pseeds AS (
        |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
        |    sub AS cent, sq AS csq
@@ -1040,8 +1046,14 @@ object SimilarityOps {
     * `adist(qid, vec_id, dist)` — e9 tops it at PqTopK, e10 shortlists it
     * and exact-re-ranks.
     */
-  private val duckIvfPqCtes: String =
-    s"""$duckIvfPqTrainCtes,
+  private val duckIvfPqCtes: String = duckIvfPqCtesOver("embeddings")
+
+  /** [[duckIvfPqCtes]] parameterized on the corpus relation (train, encode,
+    * AND query vectors all come from `src`) — e13 instantiates it over the
+    * post-churn `cur` to replay a full rebuild-and-serve.
+    */
+  private def duckIvfPqCtesOver(src: String): String =
+    s"""${duckIvfPqTrainCtesOver(src)},
        |codes AS (
        |  SELECT vec_id, s, cid AS code FROM (
        |    SELECT b.vec_id, b.s, c.cid,
@@ -1230,7 +1242,7 @@ object SimilarityOps {
   /** The refine stage shared by e10/e11: exact squared-L2 re-rank of a
     * per-query shortlist against the raw-vector table, top-[[PqTopK]].
     */
-  private def exactRerank(corpus: DataFrame, q: DataFrame, short: DataFrame): DataFrame = {
+  private[graft] def exactRerank(corpus: DataFrame, q: DataFrame, short: DataFrame): DataFrame = {
     val qv = q.selectExpr("vec_id AS qid", "embedding AS qemb",
       "vec_dot(embedding, embedding) AS qsq")
     val dv = corpus.selectExpr("vec_id AS doc_id", "embedding AS demb",
@@ -1617,5 +1629,171 @@ object SimilarityOps {
     ivfpqUpsertRetrieve(Tables.load(s, dir, "embeddings"))
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
+  /** SCHEDULED REBUILD + ATOMIC SERVE SWAP — the lifecycle verb e11/e12
+    * defer ("quantizer drift is handled by scheduled full rebuilds"): after
+    * enough churn the ORIGINAL coarse cells / codebooks stop describing the
+    * corpus, so a maintenance job re-trains BOTH quantizer levels on the
+    * CURRENT view, materializes the v2 index BESIDE the serving v1, and
+    * swaps atomically — readers see a complete v1 or a complete v2 at every
+    * instant, never a half-written index. The FS protocol is the lake
+    * sink's staged-commit discipline applied to an index:
+    *
+    *   `<base>/_build_v<N>/`  — the build writes cents/cb/codes here; a
+    *                            crash leaves garbage no reader ever visits;
+    *   `_COMPLETE` marker     — written LAST inside staging, so a published
+    *                            version directory is complete by
+    *                            construction;
+    *   rename → `<base>/v<N>` — one atomic publish;
+    *   `<base>/CURRENT`       — the serve pointer, flipped by
+    *                            write-tmp-then-atomic-rename. Readers
+    *                            follow the pointer; the pointer only ever
+    *                            names a published version.
+    *
+    * Crash windows (each exercised by IvfPqStoreSpec's kill matrix):
+    * mid-staging → pointer still v1, staging reclaimed on retry; published
+    * but unflipped → pointer still v1 (the retry adopts the complete v2 and
+    * just flips); after the flip → v2 serves. A reader that finds no
+    * pointer (first-ever publish crashed between rename and flip) falls
+    * back to the highest COMPLETE version — the only window where the
+    * pointer can lag what exists.
+    */
+  def writeIndexVersion(spark: SparkSession, base: String, idx: IvfPqIndex,
+      ver: Int, faultInjector: String => Unit = _ => ()): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(base)
+    Files.createDirectories(root)
+    val staging = root.resolve(s"_build_v$ver")
+    val published = root.resolve(s"v$ver")
+    if (!(Files.exists(published) && Files.exists(published.resolve("_COMPLETE")))) {
+      // a previous attempt's torn staging is garbage — rebuild it whole
+      if (Files.exists(staging)) {
+        val s = Files.walk(staging)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.deleteIfExists(f); () })
+        finally s.close()
+      }
+      idx.cents.write.parquet(staging.resolve("cents").toString)
+      idx.cb.write.parquet(staging.resolve("cb").toString)
+      idx.codes.write.partitionBy("cell").parquet(staging.resolve("codes").toString)
+      faultInjector("staged")
+      Files.write(staging.resolve("_COMPLETE"), Array.emptyByteArray)
+      faultInjector("complete")
+      Files.move(staging, published, StandardCopyOption.ATOMIC_MOVE)
+    } // else: adopt the complete-but-unflipped survivor and just flip
+    faultInjector("published")
+    val tmp = root.resolve(s"_CURRENT.v$ver.tmp")
+    Files.write(tmp, s"v$ver".getBytes("UTF-8"))
+    Files.move(tmp, root.resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Resolve and load the serving index: the CURRENT pointer wins (it only
+    * ever names a complete version); with no pointer, the highest complete
+    * version (the rename-before-flip crash window). The read-back `codes`
+    * re-materialize the Hive `cell` partition values and are normalized to
+    * the in-memory [[IvfPqIndex]] column shape, so [[ivfpqScan]] runs
+    * identically over a loaded or a freshly built index.
+    */
+  def readCurrentIndex(spark: SparkSession, base: String): (Int, IvfPqIndex) = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(base)
+    def complete(v: Int) = Files.exists(root.resolve(s"v$v").resolve("_COMPLETE"))
+    val ptr = root.resolve("CURRENT")
+    val ver =
+      if (Files.exists(ptr)) {
+        val named = new String(Files.readAllBytes(ptr), "UTF-8").trim.stripPrefix("v").toInt
+        require(complete(named),
+          s"serve pointer names v$named but $base/v$named is not complete — " +
+            "the pointer is only ever flipped after publish; store corrupted")
+        named
+      } else {
+        val listing = Files.list(root)
+        val published = scala.collection.mutable.ArrayBuffer.empty[Int]
+        try {
+          val it = listing.iterator()
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+                complete(n.drop(1).toInt))
+              published += n.drop(1).toInt
+          }
+        } finally listing.close()
+        require(published.nonEmpty, s"no complete index version under $base")
+        published.max
+      }
+    val dir = root.resolve(s"v$ver")
+    val codes = spark.read.parquet(dir.resolve("codes").toString)
+      .select(col("vec_id"), col("s"), col("code"), col("cell").cast("int").as("cell"))
+    (ver, IvfPqIndex(
+      spark.read.parquet(dir.resolve("cents").toString),
+      spark.read.parquet(dir.resolve("cb").toString),
+      codes))
+  }
+
+  /** e13's pipeline: the REAL maintenance flow end-to-end, on disk —
+    * publish v1 (built on the original corpus), apply e12's churn, re-train
+    * v2 on the current view, publish + flip, then serve e10's scan+refine
+    * read path from the index READ BACK through the pointer (so the row
+    * certifies persistence, partition re-discovery, and the swap, not just
+    * the math). The k-bounded result is pinned and the RAM-backed store
+    * reclaimed before returning (st36's discipline).
+    */
+  def ivfpqRebuildSwapRetrieve(spark: SparkSession, embs: DataFrame,
+      nProbes: Int = IvfPqProbes, shortlist: Int = RefineShortlist): DataFrame = {
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_ivfpqstore_")
+    try {
+      writeIndexVersion(spark, base.toString, ivfpqBuild(embs), 1)
+      val rot = "transform(sequence(1, 64), i -> element_at(embedding, (i % 64) + 1))"
+      val cur = embs.filter(col("vec_id") % 11 =!= 5).selectExpr("vec_id",
+        s"CASE WHEN vec_id % 7 = 3 THEN $rot ELSE embedding END AS embedding")
+      writeIndexVersion(spark, base.toString, ivfpqBuild(cur), 2)
+      val (ver, idx) = readCurrentIndex(spark, base.toString)
+      require(ver == 2, s"pointer should serve the swapped v2, got v$ver")
+      val q = cur.filter(col("vec_id") < 3)
+      val short = ivfpqScan(q, idx, nProbes, shortlist).select(col("qid"), col("doc_id"))
+      val out = exactRerank(cur, q, short)
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+    } finally graft.streaming.ReplayHarness.cleanupScratch(base)
+  }
+
+  /** e13: scheduled index REBUILD + atomic serve swap — closes the IVF-PQ
+    * lifecycle (build e9 → scan → refine e10 → grow e11 → churn e12 →
+    * REBUILD). The oracle is the strongest possible statement of "the swap
+    * served the retrained index": the ENTIRE e9/e10 chain — coarse k-means
+    * seeds, Lloyd round, residual frame, PQ codebook train, encode, probes,
+    * LUT, ADC, shortlist, exact refine — instantiated over the post-churn
+    * corpus `cur` ([[duckIvfPqCtesOver]]). Serving stale v1 quantizers, a
+    * half-swapped index, dropped churn, or a pointer that never flipped
+    * each produce different cells/codes and break the hash.
+    */
+  val e13 = Q(
+    "e13_ivfpq_rebuild",
+    s"""WITH cur AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 7 = 3
+       |      THEN list_transform(generate_series(1, 64), i -> embedding[1 + (i % 64)])
+       |      ELSE embedding END AS embedding
+       |  FROM embeddings WHERE vec_id % 11 <> 5),
+       |${duckIvfPqCtesOver("cur")},
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
+       |    FROM adist) t WHERE rnk <= $RefineShortlist),
+       |rerank AS (
+       |  SELECT s.qid, s.vec_id,
+       |    eq.sq + ev.sq - 2 * ${duckDot64("eq.embedding", "ev.embedding")} AS dist
+       |  FROM short s
+       |  JOIN e eq ON eq.vec_id = s.qid
+       |  JOIN e ev ON ev.vec_id = s.vec_id)
+       |SELECT qid, rnk, vec_id AS doc_id, round(dist, 4) AS edist FROM (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
+       |  FROM rerank) t
+       |WHERE rnk <= $PqTopK""".stripMargin) { (s, dir) =>
+    ivfpqRebuildSwapRetrieve(s, Tables.load(s, dir, "embeddings"))
+  }
+
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
 }

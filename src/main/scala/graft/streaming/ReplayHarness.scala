@@ -599,21 +599,7 @@ object ReplayHarness {
       // the crash window: drop the engine's LAST batch-commit record while
       // the sink's data + ledger marker stay — offsets/<N> without
       // commits/<N> is what recovery re-executes
-      val commitsDir = ckpt.resolve("commits")
-      val lastCommit = {
-        val listing = Files.list(commitsDir)
-        try listing.filter(f => f.getFileName.toString.forall(_.isDigit))
-          .max(java.util.Comparator.comparingLong(f =>
-            f.getFileName.toString.toLong))
-          .orElseThrow(() => new IllegalStateException(
-            s"no commit records under $commitsDir — checkpoint layout changed?"))
-        finally listing.close()
-      }
-      val replayedId = lastCommit.getFileName.toString.toLong
-      Files.delete(lastCommit)
-      // ChecksumFs keeps a hidden .N.crc sibling; left behind, it makes the
-      // restarted query's commit rewrite fail rename-on-close
-      Files.deleteIfExists(commitsDir.resolve(s".$replayedId.crc"))
+      val replayedId = dropLastCommitRecord(ckpt)
       System.err.println(s"[lake] dropped commit record $replayedId; " +
         "restarting from checkpoint (recovery must replay it)")
       invoked.clear()
@@ -632,6 +618,207 @@ object ReplayHarness {
     val schema = result.schema
     cleanupScratch(base)
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  /** The engine-crash simulation shared by the lake replays: delete the
+    * streaming checkpoint's LAST batch-commit record (offsets/<N> stays,
+    * commits/<N> goes — exactly the on-disk state a hard kill between the
+    * sink's success and the engine's commit write leaves), so the next
+    * query instance must re-execute that batch. Returns the replayed id.
+    */
+  private def dropLastCommitRecord(ckpt: Path): Long = {
+    val commitsDir = ckpt.resolve("commits")
+    val lastCommit = {
+      val listing = Files.list(commitsDir)
+      try listing.filter(f => f.getFileName.toString.forall(_.isDigit))
+        .max(java.util.Comparator.comparingLong(f =>
+          f.getFileName.toString.toLong))
+        .orElseThrow(() => new IllegalStateException(
+          s"no commit records under $commitsDir — checkpoint layout changed?"))
+      finally listing.close()
+    }
+    val replayedId = lastCommit.getFileName.toString.toLong
+    Files.delete(lastCommit)
+    // ChecksumFs keeps a hidden .N.crc sibling; left behind, it makes the
+    // restarted query's commit rewrite fail rename-on-close
+    Files.deleteIfExists(commitsDir.resolve(s".$replayedId.crc"))
+    replayedId
+  }
+
+  /** BRONZE → SILVER → GOLD — the reference's end-to-end topology
+    * (Kafka → stateful transform → Cassandra, spark-streaming.py:150-221)
+    * generalized to the lake, composing the two hops st32 and st36 certify
+    * separately into ONE pipeline with a kill+restart on EACH hop:
+    *
+    *   bronze: events replayed through the production [[LakeSink]]
+    *     (staged commit, ledger, compaction sweeps) in two segments split
+    *     by event TIME, with the engine's last commit record dropped
+    *     between them — the restarted instance must recover via the
+    *     ledger;
+    *   silver: a second checkpointed stream TAILS the bronze lake
+    *     incrementally (drain #1 sees only segment 1; drain #2 picks up
+    *     segment 2's files), runs a watermarked 6h tumbling window ×
+    *     event_type aggregation, and sinks each finalized window through a
+    *     second [[LakeSink]] — then ITS last commit record is dropped and
+    *     a third drain must recover idempotently;
+    *   gold: a batch census over the silver lake, which the DuckDB oracle
+    *     reproduces from the raw fixture — any duplicate, lost, or
+    *     half-flushed window in either hop shifts it.
+    *
+    * Two disciplines make the tail exact, and both are the production
+    * rules, not test tricks:
+    *
+    *   - bronze data files carry mod times derived from their DATE leaf,
+    *     so the file-stream source feeds the silver hop in event-time
+    *     order up to one-day disorder, and the silver watermark delay
+    *     (25h) covers exactly that bound — no real row is ever late. (A
+    *     production bronze tail reads appends in rough arrival order; the
+    *     stamp reconstructs that order for a replayed fixture.)
+    *   - bronze COMPACTION runs only in segment 1, BEFORE the tail first
+    *     attaches (the tail then reads the compacted rewrites); segment 2
+    *     appends with compaction off. A path-tracking file source cannot
+    *     survive its inputs being rewritten underneath it — the same rule
+    *     every file-based CDC tail lives by; rewriting a tailed prefix
+    *     needs a manifest-based table format instead.
+    *
+    * A far-future sentinel (its own date leaf, highest mod time, read
+    * last) advances the silver watermark past every real window's end so
+    * append mode flushes them all; the sentinel's OWN window stays 25h
+    * short of finalizing, so no sentinel row can reach silver or gold.
+    */
+  def replayBronzeSilverGold(
+      spark: SparkSession,
+      sfDir: String,
+      segmentChunks: Int = 2): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val base = scratchDir("graft_b2g_")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val bronzeDir = base.resolve("bronze").toString
+    val silverDir = base.resolve("silver").toString
+    val ckptB = base.resolve("ckpt_bronze")
+    val ckptS = base.resolve("ckpt_silver")
+
+    val Array(minMs, maxMs) = events
+      .agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
+      .collect()(0).toSeq.map(v => v.asInstanceOf[Long]).toArray
+    val midMs = (minMs + maxMs) / 2
+    val now = System.currentTimeMillis()
+    var published = 0
+    def publishChunk(seg: Int, i: Int): Unit = {
+      val segFilter =
+        if (seg == 0) unix_millis(col("ts")) < midMs
+        else unix_millis(col("ts")) >= midMs
+      val stage = base.resolve(s"stage_${seg}_$i")
+      events.filter(segFilter)
+        .filter(pmod(col("event_id"), lit(segmentChunks)) === i)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(stage.toString)
+      publish(stage, streamDir, f"batch_$published%03d", now + published * 1000L)
+      published += 1
+    }
+    val bronzeSchema = org.apache.spark.sql.types.StructType(
+      events.select("event_id", "ts", "user_id", "event_type", "value")
+        .schema.fields)
+
+    def runBronze(sink: (DataFrame, Long) => Unit): Unit = {
+      val q = spark.readStream.schema(bronzeSchema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptB.toString)
+        .foreachBatch(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // bronze data files get mod times from their date leaf so the silver
+    // tail reads them in event-time order; idempotent over already-read
+    // files (the source tracks paths, not times)
+    def stampBronzeByDate(): Unit = {
+      val root = java.nio.file.Paths.get(bronzeDir)
+      val s = Files.walk(root)
+      try s.iterator().asScala.foreach { f =>
+        val leaf = f.getParent
+        if (Files.isRegularFile(f) && leaf != null &&
+            leaf.getFileName.toString.startsWith("event_date=")) {
+          val day = java.time.LocalDate.parse(
+            leaf.getFileName.toString.stripPrefix("event_date="))
+          Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+            .fromMillis(day.toEpochDay * 86400000L))
+        }
+      } finally s.close()
+    }
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(4, prevShuffle.toInt).toString)
+    try {
+      // ---- bronze segment 1: compaction ON (sweep lands before the tail) ----
+      (0 until segmentChunks).foreach(publishChunk(0, _))
+      runBronze(LakeSink.datePartitioned(bronzeDir, tsCol = "ts",
+        compactEvery = segmentChunks.toLong, targetFileBytes = 512L << 10,
+        minFilesToCompact = 2))
+      val bronzeReplayed = dropLastCommitRecord(ckptB)
+      System.err.println(s"[b2g] bronze: dropped commit $bronzeReplayed; " +
+        "segment-2 run must recover via the ledger")
+
+      // ---- silver drain #1 over the compacted segment-1 lake ----
+      stampBronzeByDate()
+      // the tail re-discovers event_date from the Hive leaves (st36's shape)
+      val bronzeReadSchema = org.apache.spark.sql.types.StructType(
+        bronzeSchema.fields :+ org.apache.spark.sql.types.StructField(
+          "event_date", org.apache.spark.sql.types.DateType))
+      val silverSink = LakeSink.datePartitioned(silverDir, tsCol = "ts",
+        compactEvery = 3L, targetFileBytes = 512L << 10, minFilesToCompact = 2)
+      def runSilver(): Unit = {
+        val in = spark.readStream.schema(bronzeReadSchema)
+          .option("maxFilesPerTrigger", "5")
+          .option("maxFileAge", "100000d") // date-derived stamps are "old"
+          .parquet(bronzeDir)
+        val agg = in.withWatermark("ts", "25 hours")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+            sum(col("event_id")).as("ck"))
+          .selectExpr("window.start AS ts", "event_type", "n", "sv", "ck")
+        val q = agg.writeStream.outputMode("append")
+          .option("checkpointLocation", ckptS.toString)
+          .foreachBatch(silverSink)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runSilver()
+
+      // ---- bronze segment 2 + sentinel: compaction OFF (tail attached) ----
+      (0 until segmentChunks).foreach(publishChunk(1, _))
+      val sentinel = spark.range(1).selectExpr("-1L AS event_id",
+        s"timestamp_millis(${maxMs + 40L * 86400000}) AS ts",
+        "-1L AS user_id", s"'$SentinelType' AS event_type", "0D AS value")
+      val sentStage = base.resolve("stage_sentinel")
+      sentinel.coalesce(1).write.parquet(sentStage.toString)
+      publish(sentStage, streamDir, f"batch_$published%03d", now + published * 1000L)
+      runBronze(LakeSink.datePartitioned(bronzeDir, tsCol = "ts",
+        compactEvery = 0L))
+
+      // ---- silver drain #2 (+ its own kill+restart) ----
+      stampBronzeByDate()
+      runSilver()
+      val silverReplayed = dropLastCommitRecord(ckptS)
+      System.err.println(s"[b2g] silver: dropped commit $silverReplayed; " +
+        "drain #3 must replay it idempotently")
+      runSilver()
+
+      // ---- gold: batch census over the silver lake ----
+      val gold = spark.read.parquet(silverDir)
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events"),
+          round(sum(col("sv")), 2).as("total_value"),
+          sum(col("ck")).as("id_checksum"))
+      val rows = gold.collect().toIndexedSeq
+      val schema = gold.schema
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      cleanupScratch(base)
+    }
   }
 
   /** RAM-backed scratch when /dev/shm is writable (replay cost is

@@ -1359,8 +1359,38 @@ object StreamingQueries {
       _.select("event_id", "ts", "user_id", "event_type", "value"))
   }
 
+  /** st37: BRONZE → SILVER → GOLD — st32 (lake sink) and st36 (lake source)
+    * composed into the reference's actual end-to-end topology
+    * (Kafka → stateful transform → Cassandra, spark-streaming.py:150–221)
+    * with a kill+restart on EACH hop: events → production lake sink
+    * (staged commit + ledger + compaction, engine commit record dropped
+    * mid-lay-down) → a second checkpointed stream tails the bronze lake
+    * incrementally and runs a watermarked 6h-window × type aggregation →
+    * second lake sink (its own commit record dropped and replayed) → batch
+    * gold census. The oracle reproduces gold straight from the raw fixture:
+    * a window double-flushed across the silver restart, a bronze batch
+    * replayed into duplicate rows, a late-dropped row, or a lost window
+    * each shift (n_windows, n_events, total_value, id_checksum) for some
+    * (event_date, event_type) cell. See
+    * [[ReplayHarness.replayBronzeSilverGold]] for the two production
+    * disciplines (date-ordered tail + compact-before-tail) that make the
+    * composite exact.
+    */
+  val st37 = Q("st37_stream_bronze_silver_gold",
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_type,
+      |    count(*) AS n, sum(value) AS sv, sum(event_id) AS ck
+      |  FROM events GROUP BY 1, 2)
+      |SELECT ws::DATE AS event_date, event_type,
+      |  count(*)::BIGINT AS n_windows, sum(n)::BIGINT AS n_events,
+      |  round(sum(sv), 2) AS total_value, sum(ck)::BIGINT AS id_checksum
+      |FROM w GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayBronzeSilverGold(s, dir)
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
-      st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st39)
+      st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
+      st39)
 }
