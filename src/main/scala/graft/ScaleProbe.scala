@@ -667,6 +667,77 @@ object ScaleProbe {
       out
     }
 
+    // hot-key rung: st38's scale claim — a stateful top-k whose key is
+    // ~100% hot (EVERY row of the run remapped into ONE 6 h window) must
+    // not funnel the whole stream through one state store. The ladder runs
+    // the same drain with 1 / 4 / 16 shards: at 1 the (window) key hashes
+    // to a single state partition and one task applies every row's
+    // counter update (the straggler); at s>1 the (window, hash(item)%s)
+    // key spreads the SAME rows over s stores. Wall falling with s is the
+    // no-straggler evidence; the bounded-state evidence is printed
+    // alongside — state entries across all shards equal |distinct items|
+    // (a constant ~few hundred), never O(rows), at every rung.
+    val hotkeyR = (if (phase == "all" || phase == "hotkey") Seq(1, 4, 16)
+      else Seq.empty[Int]).map { shards =>
+      val so = graft.streaming.StatefulOps
+      val ev = graft.core.Tables.load(spark, dir, "events")
+      // one hot window starting 2024-06-01 00:00 UTC; item domain =
+      // |types| x 200 composites; row spread inside the window derived
+      // from the original timestamp
+      val winStart = 1717200000000L
+      val hot = ev.select(
+        col("event_id"),
+        expr(s"timestamp_millis($winStart + pmod(unix_millis(ts), 21600000))").as("ts"),
+        col("user_id"),
+        concat(col("event_type"), lit("_"), pmod(col("user_id"), lit(200))).as("event_type"),
+        col("value"))
+      val nRows = hot.count()
+      val nItems = hot.select("event_type").distinct().count()
+      val base = graft.streaming.ReplayHarness.scratchDir("graft_hotkey_")
+      val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+      val ckpt = base.resolve(s"ckpt_$shards").toString
+      def publishOne(name: String, df: DataFrame, mod: Long): Unit = {
+        val stage = base.resolve(s"stage_$name")
+        df.coalesce(1).write.parquet(stage.toString)
+        val listing = java.nio.file.Files.list(stage)
+        val part = try listing.filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part in $stage"))
+        finally listing.close()
+        val target = streamDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, target)
+        target.toFile.setLastModified(mod)
+      }
+      val now = System.currentTimeMillis()
+      publishOne("batch_000", hot, now - 120000)
+      publishOne("batch_zzz", spark.range(1).selectExpr("-1L AS event_id",
+        s"timestamp_millis(${winStart + 2L * 86400000}) AS ts", "-1L AS user_id",
+        "'zzz_sentinel' AS event_type", "0D AS value"), now - 60000)
+      val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val t = try time {
+        import spark.implicits._
+        val in = spark.readStream.schema(hot.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val q = so.shardedWindowTopKTWS(in.as[so.Event], shards = shards)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        prevProvider match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      }
+      System.err.println(f"[scale] hotkey shards=$shards%2d  rows=$nRows%8d  " +
+        f"state-entries=$nItems%5d  drain=$t%6.2f s")
+      (shards, t)
+    }
+
     // e7 materialization rung: the SAME bm25 pipeline with the inverted
     // index pinned via localCheckpoint (lineage-free executor blocks; dies
     // with an executor) vs written-to-parquet-and-read-back (the reliable
@@ -730,6 +801,8 @@ object ScaleProbe {
       s""""ivfpqmask_${pct}pct":{"scan":$t}"""
     } ++ lakeSweepR.map { case (k, t) =>
       s""""lakesweep_${k}":{"sweep":$t}"""
+    } ++ hotkeyR.map { case (s, t) =>
+      s""""hotkey_s${s}":{"drain":$t}"""
     } ++ e7Mat.map { case (k, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""e7mat_${k}x":{""", ",", "}")

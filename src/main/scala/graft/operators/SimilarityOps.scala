@@ -1458,19 +1458,45 @@ object SimilarityOps {
     * The exact-refine corpus is the current view (updates applied, deletes
     * removed) — a deleted vector must not resurface at re-rank either.
     */
+  /** The e12/e13 deterministic churn spec — updated ids (vec_id % 7 = 3)
+    * get their embedding rotated one position (pure element copy: no float
+    * arithmetic, so both engines reproduce it EXACTLY), deleted ids
+    * (vec_id % 11 = 5) vanish. This is the ONE Spark-side definition,
+    * shared by e12, e13 and IvfPqStoreSpec; the only copies left to keep
+    * in sync are the SQL mirrors inside the two oracles.
+    */
+  private[graft] val ChurnRotate =
+    "transform(sequence(1, 64), i -> element_at(embedding, (i % 64) + 1))"
+
+  /** Rotation applied, deletions NOT removed (e12's tombstone input). */
+  private[graft] def churnRotated(embs: DataFrame): DataFrame =
+    embs.selectExpr("vec_id",
+      s"CASE WHEN vec_id % 7 = 3 THEN $ChurnRotate ELSE embedding END AS embedding")
+
+  /** The re-embedded rows arriving at the ingest path. */
+  private[graft] def churnArrivals(embs: DataFrame): DataFrame =
+    churnRotated(embs).filter(col("vec_id") % 7 === 3)
+
+  private[graft] def churnUpdatedIds(embs: DataFrame): DataFrame =
+    embs.filter(col("vec_id") % 7 === 3).select("vec_id")
+
+  private[graft] def churnDeletedIds(embs: DataFrame): DataFrame =
+    embs.filter(col("vec_id") % 11 === 5).select("vec_id")
+
+  /** The post-churn CURRENT view: rotation applied AND deletions removed —
+    * what e13 re-trains on and what both specs serve against.
+    */
+  def churnedView(embs: DataFrame): DataFrame =
+    churnRotated(embs.filter(col("vec_id") % 11 =!= 5))
+
   def ivfpqUpsertRetrieve(embs: DataFrame, nProbes: Int = IvfPqProbes,
       shortlist: Int = RefineShortlist): DataFrame = {
-    // deterministic churn both engines reproduce EXACTLY: updated ids get
-    // their embedding rotated by one position (pure element copy — no
-    // float arithmetic, so no rounding question), deleted ids vanish
-    val rot = "transform(sequence(1, 64), i -> element_at(embedding, (i % 64) + 1))"
-    val cur = embs.selectExpr("vec_id",
-      s"CASE WHEN vec_id % 7 = 3 THEN $rot ELSE embedding END AS embedding")
-    val updIds = embs.filter(col("vec_id") % 7 === 3).select("vec_id")
-    val delIds = embs.filter(col("vec_id") % 11 === 5).select("vec_id")
+    val cur = churnRotated(embs)
+    val updIds = churnUpdatedIds(embs)
+    val delIds = churnDeletedIds(embs)
     val idx = ivfpqBuild(embs) // ver-0: the original corpus
     // delete wins over update: an id in both is never re-encoded
-    val arriving = cur.filter(col("vec_id") % 7 === 3)
+    val arriving = churnArrivals(embs)
       .join(delIds, Seq("vec_id"), "left_anti")
     val ver1 = ivfpqIngest(arriving, idx)
     val mask = updIds.union(delIds).distinct()
@@ -1722,8 +1748,11 @@ object SimilarityOps {
         published.max
       }
     val dir = root.resolve(s"v$ver")
+    // partition discovery types the cell directory values as INT; normalize
+    // to the in-memory codes' LONG (same rule as [[ivfpqCompactCodes]]) so
+    // every consumer of a loaded index can getLong("cell") safely
     val codes = spark.read.parquet(dir.resolve("codes").toString)
-      .select(col("vec_id"), col("s"), col("code"), col("cell").cast("int").as("cell"))
+      .select(col("vec_id"), col("s"), col("code"), col("cell").cast("long").as("cell"))
     (ver, IvfPqIndex(
       spark.read.parquet(dir.resolve("cents").toString),
       spark.read.parquet(dir.resolve("cb").toString),
@@ -1743,9 +1772,7 @@ object SimilarityOps {
     val base = graft.streaming.ReplayHarness.scratchDir("graft_ivfpqstore_")
     try {
       writeIndexVersion(spark, base.toString, ivfpqBuild(embs), 1)
-      val rot = "transform(sequence(1, 64), i -> element_at(embedding, (i % 64) + 1))"
-      val cur = embs.filter(col("vec_id") % 11 =!= 5).selectExpr("vec_id",
-        s"CASE WHEN vec_id % 7 = 3 THEN $rot ELSE embedding END AS embedding")
+      val cur = churnedView(embs)
       writeIndexVersion(spark, base.toString, ivfpqBuild(cur), 2)
       val (ver, idx) = readCurrentIndex(spark, base.toString)
       require(ver == 2, s"pointer should serve the swapped v2, got v$ver")

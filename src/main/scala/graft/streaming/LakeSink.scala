@@ -98,12 +98,20 @@ object LakeSink {
       val staging = new Path(new Path(root, StagingRoot), s"b$batchId")
       if (fs.exists(marker)) {
         // restart-from-checkpoint replay of an already-committed batch:
-        // the ledger makes it a no-op (this exact path is what keeps the
-        // lake duplicate-free across the st10/st27-style kill+restart).
+        // the ledger makes the WRITE a no-op (this exact path is what keeps
+        // the lake duplicate-free across the st10/st27-style kill+restart) —
+        // but the batch must still be CONSUMED. When the upstream is
+        // stateful (e.g. a watermarked window agg feeding this sink), the
+        // replayed micro-batch is what re-loads and re-commits every state
+        // store partition; skipping the action entirely commits zero
+        // partitions and Spark 4's commit validation aborts the query with
+        // STATE_STORE_COMMIT_VALIDATION_FAILED. A full-partition noop write
+        // materializes the plan (state commits) without touching the lake.
+        batch.write.format("noop").mode("overwrite").save()
         // A crash between marker and staging cleanup leaves the staged
         // copy behind — reclaim it here, where the marker proves it stale
         fs.delete(staging, true)
-        System.err.println(s"[lake] batch $batchId already committed, skipping")
+        System.err.println(s"[lake] batch $batchId already committed, skipping write")
       } else {
         // STAGE: materialize the batch invisibly (underscore root), already
         // in its Hive leaf shape. mode=overwrite makes a replay of a

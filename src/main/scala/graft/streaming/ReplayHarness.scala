@@ -626,7 +626,7 @@ object ReplayHarness {
     * sink's success and the engine's commit write leaves), so the next
     * query instance must re-execute that batch. Returns the replayed id.
     */
-  private def dropLastCommitRecord(ckpt: Path): Long = {
+  private[graft] def dropLastCommitRecord(ckpt: Path): Long = {
     val commitsDir = ckpt.resolve("commits")
     val lastCommit = {
       val listing = Files.list(commitsDir)
@@ -807,14 +807,25 @@ object ReplayHarness {
       runSilver()
 
       // ---- gold: batch census over the silver lake ----
+      // collect() pins the k-row census to the driver so the scratch tree
+      // can be reclaimed in finally. The date travels as a STRING across
+      // the collect: decoding a DateType to java.sql.Date goes through
+      // DateTimeUtils.toJavaDate → sun.util.calendar, which is
+      // module-sealed on Java 17 unless the JVM was launched with
+      // --add-opens (plain `java -cp` isn't). Cast back after re-create —
+      // the string→date cast runs entirely inside Catalyst.
       val gold = spark.read.parquet(silverDir)
         .groupBy(col("event_date"), col("event_type"))
         .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events"),
           round(sum(col("sv")), 2).as("total_value"),
           sum(col("ck")).as("id_checksum"))
+        .withColumn("event_date", col("event_date").cast("string"))
       val rows = gold.collect().toIndexedSeq
       val schema = gold.schema
       spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .withColumn("event_date", col("event_date").cast("date"))
+        .select("event_date", "event_type", "n_windows", "n_events",
+          "total_value", "id_checksum")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       cleanupScratch(base)

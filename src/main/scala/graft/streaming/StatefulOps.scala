@@ -713,6 +713,119 @@ object StatefulOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  final case class ShardWinner(window_start: java.sql.Timestamp,
+      window_end: java.sql.Timestamp, event_type: String, n: Long)
+
+  /** Stage 1 of the HOT-KEY top-k: the (window, shard) PRE-AGGREGATE that
+    * [[WindowTopKProcessor]]'s scaladoc sketches. The window key is 100%
+    * hot by construction — every row of a 6 h interval lands on ONE state
+    * key — so a single-store per-window operator serializes the whole
+    * window's traffic through one state partition (the straggler). Keying
+    * on (window, hash(type) % shards) instead spreads that traffic across
+    * `shards` stores while keeping the re-merge EXACT: the shard is a
+    * function of the GROUPING key (the type), so each type's counter lives
+    * wholly in one shard and a shard's local top-k winners are globally
+    * complete candidates — merging the ≤ shards·k winners reproduces the
+    * unsharded top-k bit-for-bit (the two-level exact top-k; same
+    * decomposition as a partial+final hash aggregate, lifted to ranked
+    * state). State per key stays O(|types in shard|); emission stays one
+    * event-time timer per (window, shard), all shards of a window firing
+    * in the SAME micro-batch (identical deadline, same eviction watermark
+    * comparison).
+    */
+  class ShardTopKProcessor(k: Int, windowMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, Int), Event, ShardWinner] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      counts = getHandle.getMapState[String, Long]("shard_type_counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (Long, Int), rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[ShardWinner] = {
+      rows.foreach { e =>
+        val n = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, n + 1L)
+      }
+      val deadline = key._1 + windowMs
+      if (!getHandle.listTimers().contains(deadline))
+        getHandle.registerTimer(deadline)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (Long, Int),
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ShardWinner] = {
+      val all = counts.iterator().toSeq
+      counts.clear()
+      // k-bounded emission: the shard's own top-k are the only rows that
+      // can place in the merged top-k (every counter here is type-complete)
+      all.sortBy { case (t, n) => (-n, t) }.take(k).map { case (t, n) =>
+        ShardWinner(new java.sql.Timestamp(key._1),
+          new java.sql.Timestamp(key._1 + windowMs), t, n)
+      }.iterator
+    }
+  }
+
+  /** Stage 2: the K-BOUNDED RE-MERGE. Input volume per window is ≤
+    * shards·k winner rows — constant, not data-sized — and ALL of a
+    * window's shards emit in the same micro-batch (stage 1's timers share
+    * the window-end deadline, and timer firing is a per-batch global
+    * watermark comparison), so the merge needs no cross-batch state: rank
+    * the batch's winners for the key and emit. A crash mid-batch replays
+    * the whole micro-batch — both stages re-run — so the same-batch
+    * contract survives restart.
+    */
+  class TopKMergeProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ShardWinner, WindowTopK] {
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[ShardWinner],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[WindowTopK] = {
+      rows.toSeq.sortBy(w => (-w.n, w.event_type)).take(k).zipWithIndex.map {
+        case (w, i) => WindowTopK(w.window_start, i + 1, w.event_type, w.n)
+      }.iterator
+    }
+  }
+
+  /** Two chained stateful operators in ONE streaming query — Spark 4's
+    * `transformWithState(processor, eventTimeColumnName, mode)` overload
+    * re-stamps stage 1's output event time as `window_end`, which is what
+    * lets a second stateful operator sit downstream of the first in append
+    * mode. The stamp is valid by construction: a window fires at the FIRST
+    * batch whose eviction watermark passes its end, so `window_end` is
+    * always ahead of that batch's late-events watermark (the value
+    * UpdateEventTimeColumnExec validates against).
+    *
+    * Same UTC pin as [[windowTopKTWS]]: the epoch-ms floor matches
+    * session-local tumbling windows only under a zero-offset session zone.
+    */
+  def shardedWindowTopKTWS(events: Dataset[Event], k: Int = 3,
+      windowMs: Long = 6L * 3600 * 1000, shards: Int = 8): Dataset[WindowTopK] = {
+    import events.sparkSession.implicits._
+    val tz = events.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val rules = java.time.ZoneId.of(tz).getRules
+    require(rules.isFixedOffset &&
+      rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+      s"shardedWindowTopKTWS keys windows on the epoch-ms floor; session " +
+        s"zone is '$tz' — set spark.sql.session.timeZone=UTC")
+    val winners = events.withWatermark("ts", "10 minutes")
+      .groupByKey { e =>
+        val ws = e.ts.getTime - java.lang.Math.floorMod(e.ts.getTime, windowMs)
+        (ws, java.lang.Math.floorMod(e.event_type.hashCode, shards))
+      }
+      .transformWithState(new ShardTopKProcessor(k, windowMs),
+        "window_end", OutputMode.Append())
+    winners.groupByKey(_.window_start.getTime)
+      .transformWithState(new TopKMergeProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Arbitrary state with EVENT-TIME TIMEOUT eviction: per-user idle-session
     * summary. Events accumulate silently in state; when the watermark passes
     * last-event-time + 30 minutes the timeout callback fires ONCE, emits the

@@ -1267,6 +1267,47 @@ object StreamingQueries {
       .filter(col("event_type") =!= SentinelType)
   }
 
+  /** st38: st34's top-k under a HOT KEY — the (window, shard) pre-aggregate
+    * + k-bounded re-merge that [[StatefulOps.WindowTopKProcessor]]'s
+    * scaladoc sketches, certified. The window key is ~100% hot by
+    * construction (every row of a 6 h interval maps to one key), and the
+    * ranked domain is widened to |types|×20 composite items so the
+    * re-merge is non-trivial: stage 1 keys on (window, hash(item) % 8) —
+    * spreading the hot window's state and update traffic across 8 stores —
+    * and emits each shard's local top-3 at window close; stage 2 re-merges
+    * the ≤ 8·3 winners per window. EXACT, not approximate: the shard is a
+    * function of the item, so each item's counter is shard-complete and
+    * the merged ranking equals the unsharded one — the same oracle shape
+    * as st34, over the composite item. Two chained stateful operators in
+    * one append-mode query (Spark 4 `eventTimeColumnName` chaining); a
+    * dropped shard, a double-fired timer, a winner list crossing batches,
+    * or a tie-break divergence between the stages all break the hash.
+    */
+  val st38 = Q("st38_stream_hotkey_sharded_topk",
+    """WITH counts AS (
+      |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+      |    event_type || '_' || (user_id % 20)::VARCHAR AS item,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start, rnk, item, n FROM (
+      |  SELECT window_start, item, n,
+      |    row_number() OVER (PARTITION BY window_start
+      |                       ORDER BY n DESC, item) AS rnk
+      |  FROM counts) t WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    replayEvents(s, dir, "append", requireRocksDB = true,
+      sentinelTypes = Seq(SentinelType)) { df =>
+      StatefulOps.shardedWindowTopKTWS(
+        df.select(col("event_id"), col("ts"), col("user_id"),
+          concat(col("event_type"), lit("_"), pmod(col("user_id"), lit(20)))
+            .as("event_type"),
+          col("value")).as[StatefulOps.Event]).toDF
+    }
+      .filter(!col("event_type").startsWith(SentinelType))
+      .withColumnRenamed("event_type", "item")
+      .select("window_start", "rnk", "item", "n")
+  }
+
   /** st36: the LAKE AS A STREAMING SOURCE — st32's converse, closing the
     * bronze→silver chain: a downstream incremental job `readStream`s the
     * date-partitioned lake the sink wrote (compacted leaves included) and
@@ -1392,5 +1433,5 @@ object StreamingQueries {
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
-      st39)
+      st38, st39)
 }

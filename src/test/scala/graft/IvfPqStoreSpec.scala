@@ -18,9 +18,7 @@ class IvfPqStoreSpec extends AnyFunSuite {
 
   private def embs = graft.core.Tables.load(spark, sf, "embeddings")
 
-  private val rot = "transform(sequence(1, 64), i -> element_at(embedding, (i % 64) + 1))"
-  private def cur = embs.filter(col("vec_id") % 11 =!= 5).selectExpr("vec_id",
-    s"CASE WHEN vec_id % 7 = 3 THEN $rot ELSE embedding END AS embedding")
+  private def cur = SimilarityOps.churnedView(embs)
 
   /** e10's read path over an index, against a given refine corpus. */
   private def serve(idx: SimilarityOps.IvfPqIndex, corpus: DataFrame): Seq[String] = {

@@ -247,6 +247,90 @@ class LakeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful upstream: committed-batch replay and a pre-marker crash both recover the silver hop exactly-once") {
+    // The st37 silver shape in miniature: watermarked window agg → LakeSink.
+    // Two regressions under one oracle:
+    //  (a) a crash at the sink's pre-marker instant INSIDE the stateful hop
+    //      (st39 certifies this for a stateless hop only), and
+    //  (b) a restart-from-checkpoint replay of an already-committed batch —
+    //      the sink's marker-exists branch must still MATERIALIZE the batch
+    //      so every state-store partition loads and commits; returning
+    //      without an action aborts the query under Spark 4's commit
+    //      validation (STATE_STORE_COMMIT_VALIDATION_FAILED — the r12 st37
+    //      defect this test pins).
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("lake_stateful_")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val lake = base.resolve("silver").toString
+    val ckpt = base.resolve("ckpt")
+
+    def publishChunk(name: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit = {
+      val stage = base.resolve(s"stage_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part = try listing.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part in $stage"))
+      finally listing.close()
+      java.nio.file.Files.move(part, streamDir.resolve(s"$name.parquet"))
+    }
+    // two 6h windows of data, then a far-future sentinel that flushes both
+    publishChunk("b0", Seq((1L, ts("2024-05-01 01:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-05-01 02:00:00"), 1L, "click", 2.0),
+      (3L, ts("2024-05-01 05:00:00"), 2L, "view", 3.0)))
+    publishChunk("b1", Seq((4L, ts("2024-05-01 07:00:00"), 1L, "view", 4.0),
+      (5L, ts("2024-05-01 11:00:00"), 2L, "click", 5.0)))
+    publishChunk("b2", Seq((99L, ts("2024-05-03 00:00:00"), -1L, "sentinel", 0.0)))
+
+    val schema = Seq.empty[(Long, Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value").schema
+    def run(sink: (DataFrame, Long) => Unit): Option[Throwable] = {
+      val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .selectExpr("window.start AS ts", "event_type", "n", "sv")
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch(sink).trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(); None }
+      catch { case e: Throwable => Some(e) }
+    }
+
+    // phase A: crash at the pre-marker instant of micro-batch 1
+    val crashed = run(LakeSink.datePartitioned(lake, compactEvery = 0L,
+      faultInjector = (bid, p) =>
+        if (bid == 1L && p == "pre-marker") throw new RuntimeException("crash at pre-marker")))
+    assert(crashed.isDefined, "pre-marker fault never fired")
+
+    // phase B: a fresh sink replays the crashed batch and drains to the end
+    assert(run(LakeSink.datePartitioned(lake, compactEvery = 0L)).isEmpty)
+
+    // phase C: drop the engine's last commit record — the restarted run
+    // replays a batch whose lake marker ALREADY exists, through the
+    // stateful agg. Without the skip-branch materialization this throws
+    // STATE_STORE_COMMIT_VALIDATION_FAILED.
+    graft.streaming.ReplayHarness.dropLastCommitRecord(ckpt)
+    val replayed = run(LakeSink.datePartitioned(lake, compactEvery = 0L))
+    assert(replayed.isEmpty,
+      s"committed-batch replay broke the stateful hop: ${replayed.map(_.getMessage)}")
+
+    // oracle: the flushed windows, exactly once, sentinel excluded
+    val got = spark.read.parquet(lake)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("ts").cast("string"), col("event_type"), col("n"), col("sv"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = Seq(
+      "[2024-05-01 00:00:00,click,1,2.0]",
+      "[2024-05-01 00:00:00,view,2,4.0]",
+      "[2024-05-01 06:00:00,click,1,5.0]",
+      "[2024-05-01 06:00:00,view,1,4.0]")
+    assert(got === want, s"silver lake content diverged: $got")
+  }
+
   test("parallel sweep rewrites every leaf exactly like the serial sweep") {
     import spark.implicits._
     // two identical 6-leaf fragmented lakes: one swept serially, one with
