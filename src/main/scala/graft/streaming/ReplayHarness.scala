@@ -674,22 +674,51 @@ object ReplayHarness {
     *     (25h) covers exactly that bound — no real row is ever late. (A
     *     production bronze tail reads appends in rough arrival order; the
     *     stamp reconstructs that order for a replayed fixture.)
-    *   - bronze COMPACTION runs only in segment 1, BEFORE the tail first
-    *     attaches (the tail then reads the compacted rewrites); segment 2
-    *     appends with compaction off. A path-tracking file source cannot
-    *     survive its inputs being rewritten underneath it — the same rule
-    *     every file-based CDC tail lives by; rewriting a tailed prefix
-    *     needs a manifest-based table format instead.
+    *   - in the default mode, bronze COMPACTION runs only in segment 1,
+    *     BEFORE the tail first attaches (the tail then reads the compacted
+    *     rewrites); segment 2 appends with compaction off. A bare
+    *     path-tracking file source cannot survive its inputs being
+    *     rewritten underneath it — the rule every file-based CDC tail
+    *     lives by. The liveCompaction mode below lifts exactly this
+    *     restriction by hardening the consumer instead.
     *
     * A far-future sentinel (its own date leaf, highest mod time, read
     * last) advances the silver watermark past every real window's end so
     * append mode flushes them all; the sentinel's OWN window stays 25h
     * short of finalizing, so no sentinel row can reach silver or gold.
+    *
+    * ==Live compaction (st40)==
+    *
+    * `liveCompaction = true` drops the compact-before-tail discipline and
+    * instead compacts the ALREADY-TAILED bronze leaves BETWEEN silver
+    * drains — the scenario the plain tail cannot survive (the rewrite's
+    * new file names re-deliver every row of the leaf to a path-tracking
+    * source). The silver hop is hardened with the two moves a production
+    * Delta/Iceberg CDC consumer makes (`ignoreChanges` re-delivery
+    * semantics), composed from Spark primitives:
+    *
+    *   - `dropDuplicatesWithinWatermark(event_id)` upstream of the window
+    *     agg: a re-delivered row whose event time is still inside the
+    *     watermark horizon is dropped by dedup state (its id is retained
+    *     exactly until the watermark passes it);
+    *   - the watermark's own late filter: a re-delivered row OLDER than
+    *     the watermark is dropped before the dedup — and it cannot be a
+    *     first delivery, because compaction only rewrites rows that were
+    *     readable (and mod-time date-ordered) before the sweep.
+    *
+    *   The two horizons meet with no gap: every re-delivered row is on
+    *   one side or the other, so the tail is exactly-once under live
+    *   rewrites with dedup state bounded by ingest-rate × watermark
+    *   horizon, not corpus. `spark.sql.files.ignoreMissingFiles` is set
+    *   for the drains to close the list-then-deleted race a sweep
+    *   concurrent with a RUNNING drain would open (the rows of a skipped
+    *   file still arrive via the rewrite).
     */
   def replayBronzeSilverGold(
       spark: SparkSession,
       sfDir: String,
-      segmentChunks: Int = 2): DataFrame = {
+      segmentChunks: Int = 2,
+      liveCompaction: Boolean = false): DataFrame = {
     val events = graft.core.Tables.load(spark, sfDir, "events")
     val base = scratchDir("graft_b2g_")
     val streamDir = Files.createDirectory(base.resolve("in"))
@@ -750,12 +779,17 @@ object ReplayHarness {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(4, prevShuffle.toInt).toString)
+    val prevIgnoreMissing = spark.conf.get("spark.sql.files.ignoreMissingFiles")
+    if (liveCompaction) spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
     try {
-      // ---- bronze segment 1: compaction ON (sweep lands before the tail) ----
+      // ---- bronze segment 1 ----
+      // compact-before-tail mode: the sweep lands during lay-down, before
+      // the tail attaches. Live mode: lay down FRAGMENTED and let the
+      // between-drain sweep rewrite leaves the tail has already consumed.
       (0 until segmentChunks).foreach(publishChunk(0, _))
       runBronze(LakeSink.datePartitioned(bronzeDir, tsCol = "ts",
-        compactEvery = segmentChunks.toLong, targetFileBytes = 512L << 10,
-        minFilesToCompact = 2))
+        compactEvery = if (liveCompaction) 0L else segmentChunks.toLong,
+        targetFileBytes = 512L << 10, minFilesToCompact = 2))
       val bronzeReplayed = dropLastCommitRecord(ckptB)
       System.err.println(s"[b2g] bronze: dropped commit $bronzeReplayed; " +
         "segment-2 run must recover via the ledger")
@@ -773,7 +807,14 @@ object ReplayHarness {
           .option("maxFilesPerTrigger", "5")
           .option("maxFileAge", "100000d") // date-derived stamps are "old"
           .parquet(bronzeDir)
-        val agg = in.withWatermark("ts", "25 hours")
+        val watermarked = in.withWatermark("ts", "25 hours")
+        // live-rewrite hardening: drop a compaction re-delivery while its
+        // id is inside the watermark horizon; older re-deliveries fall to
+        // the watermark's own late filter (see the liveCompaction scaladoc)
+        val deduped =
+          if (liveCompaction) watermarked.dropDuplicatesWithinWatermark("event_id")
+          else watermarked
+        val agg = deduped
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
             sum(col("event_id")).as("ck"))
@@ -785,7 +826,17 @@ object ReplayHarness {
           .start()
         q.awaitTermination()
       }
+      // compact the TAILED bronze prefix in place — every leaf's files are
+      // rewritten under new names, so the next drain re-lists and
+      // re-delivers the whole leaf; the hardened silver hop must shed it
+      def sweepBronze(): Unit = {
+        val done = LakeSink.compactPartitions(spark, bronzeDir,
+          targetFileBytes = 512L << 10, minFiles = 2)
+        System.err.println(s"[b2g] live-compacted ${done.size} tailed bronze leaves")
+        stampBronzeByDate() // rewrites carry fresh mod times; restore date order
+      }
       runSilver()
+      if (liveCompaction) sweepBronze()
 
       // ---- bronze segment 2 + sentinel: compaction OFF (tail attached) ----
       (0 until segmentChunks).foreach(publishChunk(1, _))
@@ -804,6 +855,11 @@ object ReplayHarness {
       val silverReplayed = dropLastCommitRecord(ckptS)
       System.err.println(s"[b2g] silver: dropped commit $silverReplayed; " +
         "drain #3 must replay it idempotently")
+      // live mode: sweep AGAIN so drain #3 faces the committed-batch replay
+      // and a fresh leaf rewrite simultaneously — the two recovery paths
+      // (engine replay via the sink ledger, re-delivery via dedup + late
+      // filter) must compose without double-counting a single row
+      if (liveCompaction) sweepBronze()
       runSilver()
 
       // ---- gold: batch census over the silver lake ----
@@ -828,6 +884,7 @@ object ReplayHarness {
           "total_value", "id_checksum")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.files.ignoreMissingFiles", prevIgnoreMissing)
       cleanupScratch(base)
     }
   }

@@ -331,6 +331,70 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(got === want, s"silver lake content diverged: $got")
   }
 
+  test("live compaction re-delivery: bare tail double-counts, hardened tail stays exactly-once") {
+    // st40's mechanism in miniature, WITH the negative control the full
+    // composite can't show: compacting a tailed leaf re-delivers all of
+    // its rows to a path-tracking file source. A bare windowed agg counts
+    // them twice; dropDuplicatesWithinWatermark + the watermark's late
+    // filter shed them exactly.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    def runVariant(hardened: Boolean): Seq[String] = {
+      val base = java.nio.file.Files.createTempDirectory(s"lake_live_$hardened")
+      val lake = base.resolve("bronze").toString
+      val ckpt = base.resolve("ckpt").toString
+      // one leaf, fragmented by two appends — all rows in the 00:00 window
+      Seq((1L, ts("2024-05-01 01:00:00"), 1L, "view", 1.0),
+        (2L, ts("2024-05-01 02:00:00"), 1L, "click", 2.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("append").parquet(lake)
+      Seq((3L, ts("2024-05-01 03:00:00"), 2L, "view", 3.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("append").parquet(lake)
+
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val schema = spark.read.parquet(lake).schema
+      def drain(): Unit = {
+        val in = spark.readStream.schema(schema)
+          .option("maxFileAge", "100000d").parquet(lake)
+        val wm = in.withWatermark("ts", "1 hour")
+        val src = if (hardened) wm.dropDuplicatesWithinWatermark("event_id") else wm
+        val q = src.groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .selectExpr("CAST(window.start AS STRING) AS ws", "event_type", "n")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            out.synchronized { out ++= b.collect().map(_.toString) }; ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain() // window still open (watermark 1h behind its 06:00 end)
+      val swept = LakeSink.compactPartitions(spark, lake, 1L << 30, minFiles = 2)
+      assert(swept.map(_._1) === Seq("event_date=2024-05-01"), "sweep did not rewrite the tailed leaf")
+      // sentinel leaf advances the watermark past the real window's end
+      Seq((99L, ts("2024-05-03 00:00:00"), -1L, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("append").parquet(lake)
+      drain() // re-lists the rewritten leaf: 3 re-delivered rows + sentinel
+      out.filterNot(_.contains("sentinel")).sorted.toSeq
+    }
+    val bare = runVariant(hardened = false)
+    val hard = runVariant(hardened = true)
+    val exact = Seq("[2024-05-01 00:00:00,click,1]", "[2024-05-01 00:00:00,view,2]")
+    assert(hard === exact, s"hardened tail diverged: $hard")
+    assert(bare !== exact,
+      "bare tail unexpectedly survived the rewrite — the negative control " +
+        s"lost its teeth (got $bare); did FileStreamSource learn manifests?")
+    assert(bare.exists(_.contains("view,4")) || bare.exists(_.contains("click,2")),
+      s"bare tail expected to double-count the re-delivered leaf, got $bare")
+  }
+
   test("parallel sweep rewrites every leaf exactly like the serial sweep") {
     import spark.implicits._
     // two identical 6-leaf fragmented lakes: one swept serially, one with
