@@ -1319,8 +1319,12 @@ object SimilarityOps {
     * or an encode drift all break the hash. Read path + output shape are
     * e10's (top-[[PqTopK]] exact-refined per query).
     */
-  val e11 = Q(
-    "e11_ivfpq_ingest",
+  /** e11's full oracle — shared verbatim by e14: the streamed ingest must
+    * serve EXACTLY what the batch ingest serves (micro-batching, the store
+    * round-trip, and the kill+restart are implementation detail the result
+    * may not observe).
+    */
+  private val e11GrowSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, ${duckDot64("embedding", "embedding")} AS sq
        |  FROM embeddings),
@@ -1431,8 +1435,106 @@ object SimilarityOps {
        |  SELECT qid, vec_id, dist,
        |    row_number() OVER (PARTITION BY qid ORDER BY round(dist, 4), vec_id) AS rnk
        |  FROM rerank) t
-       |WHERE rnk <= $PqTopK""".stripMargin) { (s, dir) =>
+       |WHERE rnk <= $PqTopK""".stripMargin
+
+  val e11 = Q("e11_ivfpq_ingest", e11GrowSql) { (s, dir) =>
     ivfpqGrowRetrieve(Tables.load(s, dir, "embeddings"))
+  }
+
+  /** e14's pipeline: e11's grow, but the arriving 20% STREAMS in — a
+    * checkpointed file-stream replay in three micro-batches, each encoded
+    * against the v1 quantizers ([[ivfpqIngest]] — row-wise deterministic,
+    * so chunking cannot change a code) and appended to the persisted store
+    * under a per-batch deterministic path (`ingest/b<id>`, mode=overwrite:
+    * the write is idempotent under replay, the same discipline as
+    * [[graft.streaming.LakeSink]]'s ledger in one move, since the path IS
+    * the batch id). The engine's last commit record is then dropped and
+    * the stream restarted — the replayed batch must overwrite, not
+    * duplicate. Serve = v1 codes read back through the pointer ∪ the
+    * ingest dirs read back cell-partitioned, through e10's scan + refine.
+    * At 100 TB: ingest cost ∝ batch (e11's rung), the store append is one
+    * small cell-partitioned write per batch, and a scheduled
+    * [[ivfpqCompactCodes]] folds ingest dirs into the main codes table.
+    */
+  def ivfpqStreamIngestRetrieve(spark: SparkSession, embs: DataFrame,
+      nProbes: Int = IvfPqProbes, shortlist: Int = RefineShortlist): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val existing = embs.filter(col("vec_id") % 5 =!= 4)
+    val arriving = embs.filter(col("vec_id") % 5 === 4)
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_ivfpqstream_")
+    try {
+      val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+      val ckpt = base.resolve("ckpt").toString
+      val store = base.resolve("store").toString
+      val idx = ivfpqBuild(existing)
+      writeIndexVersion(spark, store, idx, 1)
+      // three arrival chunks, published oldest-first for deterministic
+      // micro-batch assignment (vec_id-derived, so the split is replayable)
+      val now = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val stage = base.resolve(s"stage_$i")
+        arriving.filter(pmod(col("vec_id"), lit(3)) === i)
+          .select("vec_id", "embedding")
+          .coalesce(1).write.parquet(stage.toString)
+        val listing = java.nio.file.Files.list(stage)
+        val part = try listing.filter(_.getFileName.toString.startsWith("part-"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part in $stage"))
+        finally listing.close()
+        val target = streamDir.resolve(f"batch_$i%03d.parquet")
+        java.nio.file.Files.move(part, target)
+        target.toFile.setLastModified(now - (5 - i) * 60000L)
+      }
+      val v1 = readCurrentIndex(spark, store)._2
+      def drain(): Unit = {
+        val q = spark.readStream
+          .schema(arriving.select("vec_id", "embedding").schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            ivfpqIngest(batch, v1)
+              .write.partitionBy("cell").mode("overwrite")
+              .parquet(s"$store/ingest/b$batchId")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val replayed = graft.streaming.ReplayHarness
+        .dropLastCommitRecord(base.resolve("ckpt"))
+      System.err.println(s"[e14] dropped engine commit $replayed; " +
+        "the restarted ingest must overwrite, not duplicate")
+      drain()
+      // read the grown index back from the store (pointer + ingest dirs):
+      // the same LONG normalization of partition-discovered cells as
+      // readCurrentIndex/ivfpqCompactCodes
+      val ingested = (0 until 3).map { i =>
+        spark.read.parquet(s"$store/ingest/b$i")
+          .select(col("vec_id"), col("s"), col("code"),
+            col("cell").cast("long").as("cell"))
+      }.reduce(_ unionByName _)
+      val grown = IvfPqIndex(v1.cents, v1.cb, v1.codes.unionByName(ingested))
+      val q = embs.filter(col("vec_id") < 3)
+      val short = ivfpqScan(q, grown, nProbes, shortlist)
+        .select(col("qid"), col("doc_id"))
+      val out = exactRerank(embs, q, short)
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), out.schema)
+    } finally graft.streaming.ReplayHarness.cleanupScratch(base)
+  }
+
+  /** e14: STREAMING index ingest — e11's grow edge as a continuously
+    * running pipeline (the production shape: embeddings arrive from an
+    * upstream model service; the index must grow without a rebuild and
+    * without a duplicate under engine recovery). Oracle = e11's, verbatim:
+    * the stream, the store round-trip, and the kill+restart must be
+    * invisible in the served result — a double-ingested batch (duplicate
+    * shortlist candidates), a dropped arrival chunk, or a cell-type drift
+    * on read-back each break the hash.
+    */
+  val e14 = Q("e14_ivfpq_stream_ingest", e11GrowSql) { (s, dir) =>
+    ivfpqStreamIngestRetrieve(s, Tables.load(s, dir, "embeddings"))
   }
 
   /** UPSERT + DELETE — the last lifecycle edge after build (e9), scan
@@ -1822,5 +1924,6 @@ object SimilarityOps {
     ivfpqRebuildSwapRetrieve(s, Tables.load(s, dir, "embeddings"))
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
+  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11,
+    e12, e13, e14)
 }

@@ -1308,6 +1308,45 @@ object StreamingQueries {
       .select("window_start", "rnk", "item", "n")
   }
 
+  /** st41: st38 across a deterministic checkpoint restart — what st35
+    * certifies for ONE stateful operator, certified for the CHAIN: both
+    * operators' state (stage 1's per-shard MapState counters + timer
+    * registry, stage 2 stateless-by-design) AND the chained watermark
+    * column (UpdateEventTimeColumn between them) must restore from the
+    * checkpoint. With the two-phase split, every second-chunk window is
+    * counted-but-unemitted at shutdown (SPARK-40925's one-batch eviction
+    * lag); those windows reach the output only if the restarted chain
+    * restores shard counters and timers, fires them as the resumed
+    * watermark advances, AND the re-merge still receives all of a
+    * window's shard winners in one batch. A lost shard drops items from
+    * a ranking; a torn chain drops whole windows; either breaks the hash
+    * against st38's oracle.
+    */
+  val st41 = Q("st41_stream_sharded_topk_restart",
+    """WITH counts AS (
+      |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+      |    event_type || '_' || (user_id % 20)::VARCHAR AS item,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start, rnk, item, n FROM (
+      |  SELECT window_start, item, n,
+      |    row_number() OVER (PARTITION BY window_start
+      |                       ORDER BY n DESC, item) AS rnk
+      |  FROM counts) t WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val topk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => StatefulOps.shardedWindowTopKTWS(
+        df.select(col("event_id"), col("ts"), col("user_id"),
+          concat(col("event_type"), lit("_"), pmod(col("user_id"), lit(20)))
+            .as("event_type"),
+          col("value")).as[StatefulOps.Event]).toDF
+    ReplayHarness.replayEventsTwoPhase(s, dir, outputMode = "append",
+      sentinelTypes = Seq(SentinelType))(topk)(topk)
+      .filter(!col("event_type").startsWith(SentinelType))
+      .withColumnRenamed("event_type", "item")
+      .select("window_start", "rnk", "item", "n")
+  }
+
   /** st36: the LAKE AS A STREAMING SOURCE — st32's converse, closing the
     * bronze→silver chain: a downstream incremental job `readStream`s the
     * date-partitioned lake the sink wrote (compacted leaves included) and
@@ -1461,5 +1500,5 @@ object StreamingQueries {
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
-      st38, st39, st40)
+      st38, st39, st40, st41)
 }

@@ -441,6 +441,42 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(last.head.getAs[Double]("total_value") === 5.0)
   }
 
+  test("sharded window top-k is shard-count invariant (exact two-level decomposition)") {
+    // st38's correctness core: the shard is a function of the grouping key,
+    // so each item's counter is shard-complete and the merged ranking must
+    // equal the unsharded one for ANY shard count — including shard counts
+    // that straddle the suite's 4 shuffle partitions.
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(shards: Int): Seq[String] = {
+      val ms = startStream()
+      val q = StatefulOps.shardedWindowTopKTWS(ms.toDS(), k = 2, shards = shards)
+        .writeStream.format("memory").queryName(s"shard_topk_$shards")
+        .outputMode("append").start()
+      ms.addData(
+        Event(1, ts("2024-01-01 01:00:00"), 1, "a", 1.0),
+        Event(2, ts("2024-01-01 02:00:00"), 1, "a", 1.0),
+        Event(3, ts("2024-01-01 02:30:00"), 2, "b", 1.0),
+        Event(4, ts("2024-01-01 03:00:00"), 2, "c", 1.0),
+        Event(5, ts("2024-01-01 03:10:00"), 3, "c", 1.0), // a=2, c=2, b=1: tie
+        Event(6, ts("2024-01-01 07:00:00"), 1, "b", 1.0)) // second window
+      q.processAllAvailable()
+      ms.addData(Event(99, ts("2024-01-02 00:00:00"), 9, "zz", 0.0)) // flush
+      q.processAllAvailable()
+      val rows = spark.sql(s"SELECT * FROM shard_topk_$shards")
+        .collect().map(_.toString).sorted.toSeq
+      q.stop()
+      rows
+    }
+    val expected = Seq(
+      "[2024-01-01 00:00:00.0,1,a,2]", // (n DESC, type ASC): a=2 before c=2
+      "[2024-01-01 00:00:00.0,2,c,2]",
+      "[2024-01-01 06:00:00.0,1,b,1]")
+    for (shards <- Seq(1, 2, 8))
+      assert(run(shards) === expected, s"shards=$shards diverged")
+  }
+
   test("transformWithState MapState counts per type; ListState stays capped at top-K") {
     import spark.implicits._
     val ms = startStream()
