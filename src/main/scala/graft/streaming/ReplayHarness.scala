@@ -903,6 +903,74 @@ object ReplayHarness {
   /** Reclaim a scratch tree once nothing lazy still reads from it. */
   private[graft] def cleanupScratch(p: Path): Unit = deleteRecursively(p)
 
+  /** st42: the checkpoint's STATE STORE read back as a DataFrame — Spark
+    * 4's state data source (`spark.read.format("statestore")`), the ops
+    * introspection surface a 100 TB deployment debugs with (which keys
+    * are open? how big is a window's buffer? is one partition's store
+    * bloated?) without touching the running query. The harness streams
+    * only the FIRST HALF of the fixture (ts below the [min,max] midpoint
+    * — a pure function of the data, so the oracle can reproduce the cut)
+    * through the st37-silver window agg and stops; the state store then
+    * holds exactly the OPEN windows: groups whose window end is still
+    * ahead of the final eviction watermark (max half-ts − 25h; trailing
+    * no-data batches settle eviction, so the boundary is exact — a
+    * window whose end equals the watermark is evicted, `end > wm` kept).
+    * The returned census is the store's own content — key fields plus
+    * the raw partial-aggregation buffer — so a leaked evicted window, a
+    * lost partition's store, or a buffer/oracle divergence each break
+    * the hash.
+    */
+  def stateStoreIntrospect(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val base = scratchDir("graft_stateread_")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val ckpt = base.resolve("ckpt").toString
+    val Array(minMs, maxMs) = events
+      .agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
+      .collect()(0).toSeq.map(v => v.asInstanceOf[Long]).toArray
+    val midMs = (minMs + maxMs) / 2
+    val half = events.filter(unix_millis(col("ts")) < midMs)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(4, prevShuffle.toInt).toString)
+    try {
+      val now = System.currentTimeMillis()
+      (0 until 2).foreach { i =>
+        val stage = base.resolve(s"stage_$i")
+        half.filter(pmod(col("event_id"), lit(2)) === i)
+          .coalesce(1).write.parquet(stage.toString)
+        publish(stage, streamDir, f"batch_$i%03d", now - (4 - i) * 60000L)
+      }
+      val q = spark.readStream.schema(half.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        .withWatermark("ts", "25 hours")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("noop")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the store as a relation: key = (window, event_type), value = the
+      // partial agg buffer. Timestamps travel as strings across the pinning
+      // collect (same module-opens hazard class as the b2g gold census)
+      val state = spark.read.format("statestore").option("path", ckpt).load()
+        .selectExpr("CAST(key.window.start AS STRING) AS window_start",
+          "key.event_type AS event_type", "value.count AS n",
+          "round(value.sum, 2) AS sv")
+      val rows = state.collect().toIndexedSeq
+      val schema = state.schema
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .withColumn("window_start", col("window_start").cast("timestamp"))
+        .select("window_start", "event_type", "n", "sv")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      cleanupScratch(base)
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

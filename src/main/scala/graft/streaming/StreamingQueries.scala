@@ -1347,6 +1347,36 @@ object StreamingQueries {
       .select("window_start", "rnk", "item", "n")
   }
 
+  /** st42: the checkpoint's STATE STORE as a queryable DataFrame — Spark
+    * 4's state data source, certified against an oracle that reproduces
+    * the store's exact expected content: stream HALF the fixture (ts
+    * below the [min,max] midpoint) through the silver window agg, stop,
+    * and read the store back. What remains is precisely the OPEN windows
+    * — groups whose window end is ahead of the final eviction watermark
+    * (max half-ts − 25h) — with their raw partial-aggregation buffers.
+    * This is the ops surface a production deployment introspects state
+    * with (skew, bloat, stuck keys) without touching the running query;
+    * a leaked evicted window, a missing partition's store, or a
+    * buffer-vs-recompute divergence each break the hash. See
+    * [[ReplayHarness.stateStoreIntrospect]].
+    */
+  val st42 = Q("st42_state_store_reader",
+    """WITH b AS (
+      |  SELECT (epoch_ms(min(ts)) + epoch_ms(max(ts))) // 2 AS mid FROM events),
+      |h AS (
+      |  SELECT * FROM events WHERE epoch_ms(ts) < (SELECT mid FROM b)),
+      |wm AS (
+      |  SELECT max(epoch_ms(ts)) - 25 * 3600 * 1000 AS w FROM h),
+      |g AS (
+      |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+      |    count(*) AS n, round(sum(value), 2) AS sv
+      |  FROM h GROUP BY 1, 2)
+      |SELECT window_start, event_type, n, sv FROM g
+      |WHERE epoch_ms(window_start) + 6 * 3600 * 1000 > (SELECT w FROM wm)"""
+      .stripMargin) { (s, dir) =>
+    ReplayHarness.stateStoreIntrospect(s, dir)
+  }
+
   /** st36: the LAKE AS A STREAMING SOURCE — st32's converse, closing the
     * bronze→silver chain: a downstream incremental job `readStream`s the
     * date-partitioned lake the sink wrote (compacted leaves included) and
@@ -1500,5 +1530,5 @@ object StreamingQueries {
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
-      st38, st39, st40, st41)
+      st38, st39, st40, st41, st42)
 }

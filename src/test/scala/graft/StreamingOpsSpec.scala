@@ -477,6 +477,88 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(run(shards) === expected, s"shards=$shards diverged")
   }
 
+  test("state data source: metadata names the operator; change feed replays puts and evictions") {
+    // st42 certifies the store's final content against the oracle; this
+    // pins the two companion surfaces: state-metadata (which operators /
+    // stores / partition counts live in a checkpoint) and readChangeFeed
+    // (the per-batch CDC of state transitions — update rows as windows
+    // accumulate, delete rows as the watermark evicts them).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    // readChangeFeed replays per-batch .changelog files — RocksDB only
+    // writes them under changelog checkpointing, and the SHARED session may
+    // arrive here with RocksDB (but not changelogs) left on by an earlier
+    // test. Pin the production combo explicitly and restore after.
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevChangelog = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+    val base = java.nio.file.Files.createTempDirectory("state_cdc_")
+    val in = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val ckpt = base.resolve("ckpt").toString
+    def pub(name: String, rows: Seq[(Long, Timestamp, String, Double)]): Unit = {
+      val stage = base.resolve(s"st_$name")
+      rows.toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.parquet(stage.toString)
+      val l = java.nio.file.Files.list(stage)
+      val p = try l.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException("no part"))
+      finally l.close()
+      java.nio.file.Files.move(p, in.resolve(s"$name.parquet"))
+    }
+    // batch 0 opens two windows; its max ts (07:00, wm 06:00) evicts the
+    // 00:00 window in the trailing no-data batch
+    pub("b0", Seq((1L, ts("2024-01-01 01:00:00"), "a", 1.0),
+      (2L, ts("2024-01-01 02:00:00"), "a", 2.0),
+      (3L, ts("2024-01-01 07:00:00"), "b", 3.0)))
+    val schema = Seq.empty[(Long, Timestamp, String, Double)]
+      .toDF("event_id", "ts", "event_type", "value").schema
+    val q = spark.readStream.schema(schema).parquet(in.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val meta = spark.read.format("state-metadata").option("path", ckpt).load()
+      .select("operatorName", "stateStoreName", "numPartitions").collect()
+    assert(meta.map(_.toString).toSeq === Seq("[stateStoreSave,default,4]"),
+      s"unexpected state metadata: ${meta.mkString(",")}")
+
+    val feed = spark.read.format("statestore").option("path", ckpt)
+      .option("readChangeFeed", "true").option("changeStartBatchId", "0")
+      .load()
+      .selectExpr("batch_id", "change_type",
+        "CAST(key.window.start AS STRING) AS ws", "key.event_type AS et",
+        "value.count AS n")
+      .collect().map(_.toString).sorted.toSeq
+    // batch 0: both windows written (a counted twice); the eviction batch
+    // deletes the closed 00:00 window (its delete row carries a null value)
+    assert(feed.exists(_.startsWith("[0,update,2024-01-01 00:00:00")), s"feed: $feed")
+    assert(feed.contains("[0,update,2024-01-01 06:00:00,b,1]"), s"feed: $feed")
+    assert(feed.exists(r => r.startsWith("[1,delete,2024-01-01 00:00:00,a,")), s"feed: $feed")
+    assert(!feed.exists(r => r.contains("delete") && r.contains("06:00:00")),
+      s"open window must not be evicted: $feed")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChangelog match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      }
+    }
+  }
+
   test("transformWithState MapState counts per type; ListState stays capped at top-K") {
     import spark.implicits._
     val ms = startStream()
