@@ -738,6 +738,65 @@ object ScaleProbe {
       (shards, t)
     }
 
+    // live-compaction re-delivery rung: st40's cost claim — when a sweep
+    // rewrites already-tailed leaves, the hardened consumer re-reads and
+    // SHEDS the whole table once (watermark late filter + within-watermark
+    // dedup), so the incremental drain after a full rewrite costs about
+    // one extra table scan + shuffle of dropped rows, NOT a re-aggregation
+    // (no state growth: every re-delivered row dies before or inside the
+    // dedup). Measured as drain #2 wall over an untouched lake (lists
+    // nothing new) vs over a fully rewritten one (re-lists everything).
+    val liveCompactR = (if (phase == "all" || phase == "livecompact") Seq(1)
+      else Seq.empty[Int]).flatMap { _ =>
+      val ev = graft.core.Tables.load(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val nRows = ev.count()
+      def layLake(): java.nio.file.Path = {
+        val base = java.nio.file.Files.createTempDirectory("graft-livecompact")
+        val lake = base.resolve("lake").toString
+        (0 until 2).foreach { i => // two appends: every leaf sweep-eligible
+          ev.filter(pmod(col("event_id"), lit(2)) === i)
+            .withColumn("event_date", to_date(col("ts")))
+            .write.partitionBy("event_date").mode("append").parquet(lake)
+        }
+        base
+      }
+      def drain(base: java.nio.file.Path): Double = time {
+        val lake = base.resolve("lake").toString
+        val schema = spark.read.parquet(lake).schema
+        val q = spark.readStream.schema(schema)
+          .option("maxFileAge", "100000d").parquet(lake)
+          .withWatermark("ts", "25 hours")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val out = try {
+        val quiet = layLake()
+        drain(quiet) // attach
+        val tQuiet = drain(quiet) // drain #2, nothing new
+        val swept = layLake()
+        drain(swept) // attach
+        val n = graft.streaming.LakeSink.compactPartitions(
+          spark, swept.resolve("lake").toString, 1L << 30, minFiles = 2).size
+        val tSwept = drain(swept) // drain #2, EVERY leaf re-delivered
+        org.apache.commons.io.FileUtils.deleteQuietly(quiet.toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(swept.toFile)
+        System.err.println(f"[scale] livecompact rows=$nRows%8d leaves=$n%3d  " +
+          f"drain2(quiet)=$tQuiet%6.2f s  drain2(rewritten)=$tSwept%6.2f s")
+        Seq(("quiet", tQuiet), ("rewritten", tSwept))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      out
+    }
+
     // e7 materialization rung: the SAME bm25 pipeline with the inverted
     // index pinned via localCheckpoint (lineage-free executor blocks; dies
     // with an executor) vs written-to-parquet-and-read-back (the reliable
@@ -803,6 +862,8 @@ object ScaleProbe {
       s""""lakesweep_${k}":{"sweep":$t}"""
     } ++ hotkeyR.map { case (s, t) =>
       s""""hotkey_s${s}":{"drain":$t}"""
+    } ++ liveCompactR.map { case (tag, t) =>
+      s""""livecompact_$tag":{"drain2":$t}"""
     } ++ e7Mat.map { case (k, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""e7mat_${k}x":{""", ",", "}")
