@@ -715,17 +715,36 @@ object ScaleProbe {
       val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val t = try time {
-        import spark.implicits._
-        val in = spark.readStream.schema(hot.schema)
-          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
-        val q = so.shardedWindowTopKTWS(in.as[so.Event], shards = shards)
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .format("noop")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val (t, stateEntries) = try {
+        val tDrain = time {
+          import spark.implicits._
+          val in = spark.readStream.schema(hot.schema)
+            .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+          val q = so.shardedWindowTopKTWS(in.as[so.Event], shards = shards)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("noop")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // MEASURED bounded-state evidence: read stage 1's MapState back off
+        // the checkpoint (the st42 surface) as of the hot data batch — the
+        // last version where the window is still open (the sentinel batch
+        // then fires the timers and clears it). One reader row per map
+        // entry, so the count IS the peak counter population across all
+        // shard stores. A fixture-derived constant here would stay green
+        // even if the operator's state actually grew O(rows).
+        val measured = (0 to 1).view.map { op =>
+          try spark.read.format("statestore").option("path", ckpt)
+            .option("operatorId", op.toString)
+            .option("stateVarName", "shard_type_counts")
+            .option("batchId", "0").load().count()
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        }.find(_ >= 0)
+          .getOrElse(sys.error("hotkey rung: stage-1 MapState unreadable " +
+            "from either chained operator — bounded-state evidence lost"))
+        (tDrain, measured)
       } finally {
         prevProvider match {
           case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -733,8 +752,11 @@ object ScaleProbe {
         }
         org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
       }
+      require(stateEntries == nItems,
+        s"hotkey rung: measured state entries $stateEntries != distinct items " +
+          s"$nItems — per-item counters are not the only state held")
       System.err.println(f"[scale] hotkey shards=$shards%2d  rows=$nRows%8d  " +
-        f"state-entries=$nItems%5d  drain=$t%6.2f s")
+        f"state-entries=$stateEntries%5d (measured)  drain=$t%6.2f s")
       (shards, t)
     }
 

@@ -645,6 +645,35 @@ object ReplayHarness {
     replayedId
   }
 
+  /** Assert that batch `batchId` consumed NO source data: its offsets-log
+    * source positions equal the previous batch's. The live-compaction replay
+    * leans on this — it deletes the dropped commit's input files (the sweep
+    * rewrites every leaf) while `ignoreMissingFiles` is set, so if the
+    * replayed batch DID reference data files its rows would be silently
+    * skipped on replay and arrive only as re-deliveries behind the
+    * sentinel-advanced watermark — shed as late, permanently undercounted.
+    * Today the invariant holds by construction (AvailableNow's trailing
+    * batch is the no-data watermark-eviction batch), but it is load-bearing:
+    * a maxFilesPerTrigger/chunking change that puts data files in the last
+    * batch must fail HERE, not as a one-in-a-hundred hash mismatch.
+    */
+  private def requireNoDataCommit(ckpt: Path, batchId: Long): Unit = {
+    def sourceOffsets(id: Long): Seq[String] = {
+      val f = ckpt.resolve("offsets").resolve(id.toString)
+      require(Files.exists(f), s"offsets/$id missing — checkpoint layout changed?")
+      // line 1 = version, line 2 = batch metadata (timestamps, confs); the
+      // remaining lines are the per-source offsets — the only part that
+      // moves when a batch consumes data
+      Files.readAllLines(f).asScala.toSeq.drop(2)
+    }
+    require(batchId > 0, s"batch $batchId has no predecessor to compare against")
+    val (prev, cur) = (sourceOffsets(batchId - 1), sourceOffsets(batchId))
+    require(prev == cur,
+      s"dropped commit $batchId references source data (offsets moved " +
+        s"$prev -> $cur); sweeping its input files before the replay would " +
+        "silently lose rows — re-chunk so the final batch is a no-data batch")
+  }
+
   /** BRONZE → SILVER → GOLD — the reference's end-to-end topology
     * (Kafka → stateful transform → Cassandra, spark-streaming.py:150-221)
     * generalized to the lake, composing the two hops st32 and st36 certify
@@ -858,8 +887,14 @@ object ReplayHarness {
       // live mode: sweep AGAIN so drain #3 faces the committed-batch replay
       // and a fresh leaf rewrite simultaneously — the two recovery paths
       // (engine replay via the sink ledger, re-delivery via dedup + late
-      // filter) must compose without double-counting a single row
-      if (liveCompaction) sweepBronze()
+      // filter) must compose without double-counting a single row. Safe
+      // ONLY because the replayed batch read no files (asserted): the
+      // sweep deletes the paths its offset entry references, and
+      // ignoreMissingFiles would otherwise skip those rows on replay
+      if (liveCompaction) {
+        requireNoDataCommit(ckptS, silverReplayed)
+        sweepBronze()
+      }
       runSilver()
 
       // ---- gold: batch census over the silver lake ----

@@ -447,6 +447,9 @@ class StreamingOpsSpec extends AnyFunSuite {
     // equal the unsharded one for ANY shard count — including shard counts
     // that straddle the suite's 4 shuffle partitions.
     import spark.implicits._
+    // RocksDB is required by TWS; restore the session's previous provider
+    // after — the shared session leaks the conf into later tests otherwise
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     def run(shards: Int): Seq[String] = {
@@ -473,8 +476,13 @@ class StreamingOpsSpec extends AnyFunSuite {
       "[2024-01-01 00:00:00.0,1,a,2]", // (n DESC, type ASC): a=2 before c=2
       "[2024-01-01 00:00:00.0,2,c,2]",
       "[2024-01-01 06:00:00.0,1,b,1]")
-    for (shards <- Seq(1, 2, 8))
-      assert(run(shards) === expected, s"shards=$shards diverged")
+    try {
+      for (shards <- Seq(1, 2, 8))
+        assert(run(shards) === expected, s"shards=$shards diverged")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("state data source: metadata names the operator; change feed replays puts and evictions") {
