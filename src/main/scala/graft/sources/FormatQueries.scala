@@ -441,5 +441,47 @@ object FormatQueries {
         sum(col("doc_id")).as("id_checksum"))
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10)
+  /** f11: LAKE TIME TRAVEL — read-as-of-batch-N over the production sink's
+    * layout ([[graft.streaming.LakeSink.readAsOf]]). The commit ledger plus
+    * per-batch deterministic file names (`gb<id>-`) and compaction-horizon
+    * stamps (`gc<B>-`) make a historical snapshot a pure LISTING FILTER:
+    * no copied data, no manifest format. The fixture is laid down as six
+    * id-interleaved batches with ONE compaction sweep after batch 3, so
+    * the as-of-3 snapshot must be served from a mix of compacted rewrites
+    * (gc3 — included, horizon <= 3) and must EXCLUDE the later gb4/gb5
+    * appends sitting in the same leaves. The oracle is the census over
+    * exactly the first four batches' rows (`event_id % 6 <= 3`): an
+    * excluded-but-listed late file, a lost compacted row, or a horizon
+    * mis-stamp each shift a (date, type) cell and break the hash. At
+    * 100 TB the snapshot costs what every FS table read costs — one
+    * listing per leaf — because the lineage lives in the NAMES.
+    */
+  val f11 = Q(
+    "f11_lake_time_travel",
+    """SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM events WHERE event_id % 6 <= 3 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_asof_")
+    val lakeDir = base.resolve("lake").toString
+    // small target size so the sweep genuinely merges multi-file leaves at
+    // fixture scale; compactEvery=4 puts the one sweep after batch 3
+    val sink = graft.streaming.LakeSink.datePartitioned(lakeDir,
+      compactEvery = 4L, targetFileBytes = 512L << 10, minFilesToCompact = 2)
+    (0 until 6).foreach { i =>
+      sink(events.filter(pmod(col("event_id"), lit(6)) === i), i.toLong)
+    }
+    val census = graft.streaming.LakeSink.readAsOf(s, lakeDir, 3L)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    // pin the k-row census and reclaim the RAM-backed lake (st36's
+    // discipline — a lazy read would hold the tmpfs tree alive per run)
+    val rows = census.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11)
 }

@@ -69,11 +69,31 @@ object LakeSink {
     * costs O(dirtied leaves), never O(all leaves): against a lake with
     * years of date partitions on an object store, listing every leaf per
     * sweep would be thousands of LIST calls for a handful of dirty dates.
-    * The dirty set is in-memory per instance: partitions dirtied just
-    * before a crash stay uncompacted until re-dirtied or until a
-    * scheduled FULL sweep (`compactPartitions(..., only = None)`) — the
-    * documented backstop; compaction is opportunistic maintenance, never
-    * a correctness dependency.
+    * The dirty set is DURABLE across restarts: each commit marker records
+    * the leaves its batch touched, and a completed sweep advances
+    * `_graft_commits/_sweep_horizon`; a fresh instance rebuilds its dirty
+    * set from the markers above the horizon, so leaves dirtied just before
+    * a crash are still scope-compacted by the successor instead of waiting
+    * for the scheduled FULL sweep (`compactPartitions(..., only = None)`)
+    * — which remains the documented backstop (e.g. for markers already
+    * pruned by [[vacuum]]'s ledger bound); compaction is opportunistic
+    * maintenance, never a correctness dependency.
+    *
+    * SINGLE-WRITER FENCE: the sink assumes exactly one live writer per
+    * `lakeDir` — the same discipline every transactional lake format
+    * enforces — and now ENFORCES it with an epoch token: each instance's
+    * first batch atomically creates `_graft_writer/<epoch>` (epoch = max
+    * existing + 1; create-no-overwrite is the FS primitive that makes the
+    * claim exclusive), and every subsequent mutation point re-validates
+    * that no higher epoch exists. A zombie instance — an old driver
+    * surviving a failover, or a misconfigured second job — fails LOUDLY
+    * with the fencing error instead of interleaving staged commits with
+    * the live writer undetected. What remains is the instantaneous
+    * check-then-rename window between a validation and the next FS
+    * mutation (the gap an optimistic-concurrency commit exchange à la
+    * Delta/Iceberg exists to close); the fence turns an undetectable
+    * steady-state corruption into at worst a one-batch race that the
+    * per-batch deterministic file names keep idempotent.
     *
     * `faultInjector(batchId, point)` is the crash-simulation hook the
     * crash-matrix tests and the st39 replay drive — a production caller
@@ -90,10 +110,22 @@ object LakeSink {
       minFilesToCompact: Int = 4,
       faultInjector: (Long, String) => Unit = (_, _) => ()): (DataFrame, Long) => Unit = {
     val dirty = scala.collection.mutable.Set.empty[String]
+    var epoch = -1L // unacquired until the instance's first batch
     (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val root = new Path(lakeDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (epoch < 0) {
+        epoch = acquireWriterEpoch(fs, root)
+        // restart recovery: re-scope the sweep to everything committed
+        // since the last completed sweep — the in-memory set a crashed
+        // predecessor lost is reconstructed from its own markers
+        dirty ++= rebuildDirtySet(fs, root)
+        if (dirty.nonEmpty) System.err.println(
+          s"[lake] writer epoch $epoch rebuilt dirty set from the ledger: " +
+            dirty.toSeq.sorted.mkString(", "))
+      }
+      checkWriterFence(fs, root, epoch)
       val marker = new Path(new Path(root, "_graft_commits"), batchId.toString)
       val staging = new Path(new Path(root, StagingRoot), s"b$batchId")
       if (fs.exists(marker)) {
@@ -124,17 +156,117 @@ object LakeSink {
         // files into the leaves under per-batch deterministic names, and
         // only then write the marker — the leaf listing doubles as the
         // dirty-set bookkeeping (a null event time stages under Hive's
-        // default-partition leaf, which this records by its real name)
-        dirty ++= commitStaged(fs, root, staging, batchId, faultInjector)
+        // default-partition leaf, which this records by its real name).
+        // Re-validate the fence at the two visibility edges: the first
+        // rename-in (data becomes readable) and the marker write (the
+        // batch becomes "committed" to every replay decision after it)
+        checkWriterFence(fs, root, epoch)
+        val committed = commitStaged(fs, root, staging, batchId, faultInjector)
+        dirty ++= committed
         faultInjector(batchId, "pre-marker")
-        fs.create(marker, true).close()
+        checkWriterFence(fs, root, epoch)
+        // the marker's CONTENT is the committed leaf list — the durable
+        // per-commit partition values a successor's dirty-set rebuild reads
+        writeSmallFile(fs, marker, committed.sorted.mkString("\n"))
         fs.delete(staging, true)
       }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        checkWriterFence(fs, root, epoch)
         compactPartitions(spark, lakeDir, targetFileBytes, minFilesToCompact,
           only = Some(dirty.toSet))
+        // horizon AFTER the sweep completes: a crash in between re-sweeps
+        // (idempotent) rather than silently skipping the lost leaves
+        writeSmallFile(fs,
+          new Path(new Path(root, "_graft_commits"), SweepHorizonFile),
+          batchId.toString)
         dirty.clear()
       }
+  }
+
+  private val WriterRoot = "_graft_writer"
+  private val SweepHorizonFile = "_sweep_horizon"
+
+  /** Highest claimed writer epoch (0 when none). The listing is a single
+    * LIST of a directory holding O(writer generations) tiny files —
+    * bounded by [[vacuum]]'s pruning, not by stream lifetime.
+    */
+  private def maxWriterEpoch(fs: org.apache.hadoop.fs.FileSystem, root: Path): Long = {
+    val dir = new Path(root, WriterRoot)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.nonEmpty &&
+        s.getPath.getName.forall(_.isDigit))
+      .map(_.getPath.getName.toLong).foldLeft(0L)(math.max)
+  }
+
+  /** Claim the next writer epoch with create-no-overwrite (atomic on HDFS
+    * and object stores with conditional put; best-effort on raw local FS).
+    * Losing the creation race to a concurrent claimant just advances to
+    * the next number — the LOSER of the overall fence is decided by
+    * [[checkWriterFence]] at every later mutation, not here.
+    */
+  private def acquireWriterEpoch(fs: org.apache.hadoop.fs.FileSystem, root: Path): Long = {
+    val dir = new Path(root, WriterRoot)
+    fs.mkdirs(dir)
+    var e = maxWriterEpoch(fs, root) + 1
+    var claimed = false
+    while (!claimed) {
+      try { fs.create(new Path(dir, e.toString), false).close(); claimed = true }
+      catch { case _: java.io.IOException => e += 1 }
+    }
+    System.err.println(s"[lake] writer epoch $e acquired for $root")
+    e
+  }
+
+  /** Fail loudly if a newer writer has claimed this lake. */
+  private def checkWriterFence(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, epoch: Long): Unit = {
+    val m = maxWriterEpoch(fs, root)
+    if (m > epoch) throw new IllegalStateException(
+      s"writer fenced: this sink holds epoch $epoch but epoch $m has been " +
+        s"claimed for $root — a newer instance owns the lake; refusing to " +
+        "interleave commits (zombie driver after a failover, or two jobs " +
+        "configured onto one lakeDir)")
+  }
+
+  /** Rebuild the sweep scope a crashed writer lost: union of the leaf
+    * lists recorded in every commit marker above the persisted sweep
+    * horizon. Markers written before the leaf list existed (or pruned by
+    * vacuum) contribute nothing — the full-sweep backstop covers them.
+    */
+  private def rebuildDirtySet(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] = {
+    val ledger = new Path(root, "_graft_commits")
+    if (!fs.exists(ledger)) return Set.empty
+    val horizon = {
+      val p = new Path(ledger, SweepHorizonFile)
+      if (!fs.exists(p)) -1L
+      else try readSmallFile(fs, p).trim.toLong
+      catch { case scala.util.control.NonFatal(_) => -1L } // torn write: over-sweep, never skip
+    }
+    fs.listStatus(ledger).toSeq
+      .filter(s => s.isFile && s.getPath.getName.nonEmpty &&
+        s.getPath.getName.forall(_.isDigit) && s.getPath.getName.toLong > horizon)
+      .flatMap(s => readSmallFile(fs, s.getPath).split('\n').toSeq)
+      .filter(_.nonEmpty).toSet
+  }
+
+  private def writeSmallFile(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   private val StagingRoot = "_staging"
@@ -246,6 +378,18 @@ object LakeSink {
         fs.delete(s.getPath, true)
       }
     }
+    // writer-epoch ledger: only the MAX epoch is ever consulted by the
+    // fence, so every lower token is dead weight — keep the top one
+    val writerDir = new Path(root, WriterRoot)
+    if (fs.exists(writerDir)) {
+      val epochs = fs.listStatus(writerDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+      if (epochs.size > 1) {
+        val top = epochs.map(_.getPath.getName.toLong).max
+        epochs.filter(_.getPath.getName.toLong < top)
+          .foreach(s => fs.delete(s.getPath, false))
+      }
+    }
     val prunedMarkers = if (!fs.exists(ledger)) 0
     else {
       val ids = fs.listStatus(ledger).toSeq
@@ -262,6 +406,71 @@ object LakeSink {
       old.size
     }
     (dropped, prunedMarkers)
+  }
+
+  /** TIME TRAVEL: the lake as of committed batch `asOf` — every row of
+    * every batch id <= asOf, none of any later batch. The commit ledger
+    * plus per-batch deterministic file names make the snapshot a pure
+    * LISTING FILTER, no data copy and no manifest format:
+    *
+    *   - `gb<id>-*` append files are included iff id <= asOf;
+    *   - `gc<B>-*` compaction rewrites (B = the max committed batch at
+    *     sweep time, stamped by [[compactPartitions]]) merge exactly the
+    *     batches <= B of their leaf, so they are included iff B <= asOf —
+    *     and if a leaf holds a rewrite with B > asOf, that leaf's
+    *     pre-compaction layout no longer exists and the read FAILS LOUDLY
+    *     rather than approximating (the pinned contract: compaction
+    *     BOUNDS time travel at its horizon; retaining rewritten files for
+    *     deeper snapshots is what manifest-format VACUUM windows are for);
+    *   - any other data file has no batch lineage (it was not written by
+    *     this sink) and likewise fails the read.
+    *
+    * Consistency matches the main read path: a snapshot listed while a
+    * crashed batch <= asOf awaits replay can see that batch's
+    * rolled-back-then-recommitted files in flux — the sink's documented
+    * reader-visibility caveat, unchanged. The listing is O(leaves+files)
+    * driver-side FS calls, the same cost every FS-backed table read pays
+    * for discovery; `basePath` keeps the Hive partition column.
+    */
+  def readAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      asOf: Long): DataFrame = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no lake at $lakeDir")
+    recoverSweeps(fs, root) // a half-swapped leaf must read whole here too
+    val files = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath).sortBy(_.getName.toString)
+      .flatMap { leaf =>
+        fs.listStatus(leaf).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName.toString)
+          .flatMap { f =>
+            val n = f.getPath.getName
+            def idAfter(prefix: String): Long = {
+              val digits = n.stripPrefix(prefix).takeWhile(_.isDigit)
+              require(digits.nonEmpty, s"unparseable lineage name $n in ${leaf.getName}")
+              digits.toLong
+            }
+            if (n.startsWith("gb")) {
+              if (idAfter("gb") <= asOf) Some(f.getPath.toString) else None
+            } else if (n.startsWith("gc")) {
+              val b = idAfter("gc")
+              if (b <= asOf) Some(f.getPath.toString)
+              else throw new IllegalStateException(
+                s"time travel to batch $asOf is lost for ${leaf.getName}: a " +
+                  s"compaction at horizon $b rewrote its batches <= $b into " +
+                  "merged files — snapshots older than the latest compaction " +
+                  "horizon are out of contract")
+            } else throw new IllegalStateException(
+              s"$n in ${leaf.getName} carries no batch lineage — this lake " +
+                "was not (only) written by LakeSink; time travel undefined")
+          }
+      }
+    require(files.nonEmpty, s"no files at or before batch $asOf under $lakeDir")
+    spark.read.option("basePath", lakeDir).parquet(files: _*)
   }
 
   /** One compaction sweep: rewrite every `event_date=*` leaf holding at
@@ -298,6 +507,24 @@ object LakeSink {
     // heal BEFORE enumerating: the leaf listing (and the scoped path's
     // fs.exists probes) must see restored leaves, not their absence
     recoverSweeps(fs, root)
+    // time-travel horizon: a rewrite merges every batch committed so far
+    // into files that no longer carry per-batch lineage, so the rewrite is
+    // stamped with the max committed batch id B (`gc<B>-p<k>`) — readAsOf
+    // can then include the whole rewrite for any snapshot >= B and must
+    // refuse snapshots < B (the pre-compaction layout is gone). A lake
+    // without a commit ledger (plain parquet appends) has no lineage to
+    // stamp; its rewrites keep their part-* names and stay outside the
+    // time-travel contract.
+    val asOfHorizon: Option[Long] = {
+      val ledger = new Path(root, "_graft_commits")
+      if (!fs.exists(ledger)) None
+      else {
+        val ids = fs.listStatus(ledger).toSeq
+          .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+          .map(_.getPath.getName.toLong)
+        if (ids.isEmpty) None else Some(ids.max)
+      }
+    }
     // dirty-set path: address the named leaves directly — O(|dirty|) FS
     // calls, no root enumeration; full sweep lists the table once
     val leaves: Seq[Path] = only match {
@@ -316,6 +543,16 @@ object LakeSink {
         // it), so a plain rewrite within the same leaf round-trips exactly
         val after = Layout.compactParquet(
           spark, leaf.toString, tmp.toString, targetFileBytes)
+        asOfHorizon.foreach { b =>
+          val parts = fs.listStatus(tmp)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName.toString)
+          parts.zipWithIndex.foreach { case (f, i) =>
+            val dst = new Path(tmp, s"gc$b-p$i.snappy.parquet")
+            require(fs.rename(f.getPath, dst),
+              s"lineage stamp rename failed: ${f.getPath} -> $dst")
+          }
+        }
         // crash-safe swap: the ORIGINAL is renamed aside before the
         // rewrite renames in, and deleted only LAST — at no instant is the
         // rewrite the partition's only copy, so a kill at any point leaves

@@ -512,6 +512,132 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(lake).count() === 1L)
   }
 
+  test("writer fence: a zombie instance is fenced out once a successor claims the lake") {
+    import spark.implicits._
+    def batchDf(ids: Range) = ids.map(i =>
+      (i.toLong, ts(if (i % 2 == 0) "2024-09-01 10:00:00" else "2024-09-02 10:00:00"),
+        1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val lake = GraftTestSpark.tmpDir("lake_fence") + "/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val zombie = LakeSink.datePartitioned(lake, compactEvery = 0L)
+    zombie(batchDf(0 until 10), 0L)
+    zombie(batchDf(10 until 20), 1L)
+    // failover: a successor instance claims the lake with its first batch
+    val live = LakeSink.datePartitioned(lake, compactEvery = 0L)
+    live(batchDf(20 until 30), 2L)
+    val censusBefore = spark.read.parquet(lake).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // the zombie wakes up: replaying its already-committed batch AND
+    // attempting a new one must both fail LOUDLY, touching nothing —
+    // before the fence this interleaved staged commits undetected
+    val replayErr = intercept[IllegalStateException](zombie(batchDf(10 until 20), 1L))
+    assert(replayErr.getMessage.contains("fenced"), replayErr.getMessage)
+    val newErr = intercept[IllegalStateException](zombie(batchDf(30 until 40), 3L))
+    assert(newErr.getMessage.contains("fenced"), newErr.getMessage)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake, "_graft_commits/3")),
+      "zombie wrote a commit marker")
+    val censusAfter = spark.read.parquet(lake).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(censusAfter === censusBefore, "zombie mutated the lake before failing")
+    assert(spark.read.parquet(lake)
+      .withColumn("f", input_file_name())
+      .filter(col("f").contains("gb3-")).isEmpty,
+      "zombie's batch-3 files reached a leaf")
+
+    // the live writer is unharmed and continues
+    live(batchDf(30 until 40), 3L)
+    assert(spark.read.parquet(lake).count() === 40L)
+    // vacuum keeps only the top epoch token
+    LakeSink.vacuum(spark, lake, java.time.LocalDate.parse("2000-01-01"))
+    val epochs = fs.listStatus(new org.apache.hadoop.fs.Path(lake, "_graft_writer"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(epochs === Seq("2"), s"epoch ledger not pruned to the max: $epochs")
+  }
+
+  test("durable dirty set: a sweep after restart still scopes to leaves dirtied before the kill") {
+    import spark.implicits._
+    // one part per leaf per batch, so leaf file counts are exact below
+    def rows(date: String, ids: Range) = ids.map(i =>
+      (i.toLong, ts(s"$date 10:00:00"), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value").coalesce(1)
+    val lake = GraftTestSpark.tmpDir("lake_durable") + "/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafFiles(d: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(lake, s"event_date=$d"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getModificationTime)).sorted.toSeq
+
+    // instance 1: three batches across leaves A+B, sweep at batch 2
+    // (compactEvery=3) — horizon persisted, dirty set cleared
+    val s1 = LakeSink.datePartitioned(lake, compactEvery = 3L,
+      targetFileBytes = 1L << 30, minFilesToCompact = 2)
+    (0 to 2).foreach { b =>
+      s1(rows("2024-10-01", b * 10 until b * 10 + 5)
+        .union(rows("2024-10-02", b * 10 + 5 until b * 10 + 10)), b.toLong)
+    }
+    assert(leafFiles("2024-10-01").size === 1 && leafFiles("2024-10-02").size === 1)
+    // then two more batches fragmenting ONLY leaf A; the driver dies
+    // before the next sweep (the in-memory dirty set is lost)
+    s1(rows("2024-10-01", 30 until 35), 3L)
+    s1(rows("2024-10-01", 35 until 40), 4L)
+    assert(leafFiles("2024-10-01").size === 3)
+    val leafBBefore = leafFiles("2024-10-02")
+
+    // instance 2 (restart): its batch touches only leaf C, and its sweep
+    // (batch 5 % 3 == 2) must still compact A — scoped via the dirty set
+    // REBUILT from markers 3 and 4 above the persisted horizon 2. Without
+    // the rebuild the sweep would scope to {C} and leave A fragmented.
+    val s2 = LakeSink.datePartitioned(lake, compactEvery = 3L,
+      targetFileBytes = 1L << 30, minFilesToCompact = 2)
+    s2(rows("2024-10-03", 40 until 45), 5L)
+    assert(leafFiles("2024-10-01").size === 1,
+      "pre-kill dirtied leaf not compacted after restart — dirty set not durable")
+    assert(leafFiles("2024-10-02") === leafBBefore,
+      "leaf undirtied since the last sweep was rewritten — scope too wide")
+    assert(spark.read.parquet(lake).count() === 45L)
+  }
+
+  test("time travel: read-as-of is an exact snapshot; compaction bounds it loudly") {
+    import spark.implicits._
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong, ts(if (i % 2 == 0) "2024-11-01 10:00:00" else "2024-11-02 10:00:00"),
+        1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val lake = GraftTestSpark.tmpDir("lake_asof") + "/lake"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id").collect().map(_.getLong(0)).toSet
+
+    // compactEvery=2 → sweeps after batches 1 and 3
+    val sink = LakeSink.datePartitioned(lake, compactEvery = 2L,
+      targetFileBytes = 1L << 30, minFilesToCompact = 2)
+    sink(rows(0 until 10), 0L)
+    sink(rows(10 until 20), 1L) // sweep: leaves hold gc1 rewrites
+    sink(rows(20 until 30), 2L) // gb2 appends on top
+
+    // snapshots: asOf 2 = everything; asOf 1 = the compacted prefix
+    // (served entirely from the gc1 rewrite); asOf 0 predates the
+    // compaction horizon — the layout is gone, the read must say so
+    assert(ids(LakeSink.readAsOf(spark, lake, 2L)) === (0L until 30L).toSet)
+    assert(ids(LakeSink.readAsOf(spark, lake, 1L)) === (0L until 20L).toSet)
+    val lost = intercept[IllegalStateException](LakeSink.readAsOf(spark, lake, 0L))
+    assert(lost.getMessage.contains("compaction"), lost.getMessage)
+    // the partition column survives the listing-filtered read
+    assert(LakeSink.readAsOf(spark, lake, 1L).columns.contains("event_date"))
+    assert(LakeSink.readAsOf(spark, lake, 1L)
+      .filter(col("event_date") =!= to_date(col("ts"))).isEmpty)
+
+    // a later sweep advances the horizon and re-bounds older snapshots
+    sink(rows(30 until 40), 3L) // sweep at 3: leaves rewritten to gc3
+    assert(ids(LakeSink.readAsOf(spark, lake, 3L)) === (0L until 40L).toSet)
+    val rebounded = intercept[IllegalStateException](LakeSink.readAsOf(spark, lake, 2L))
+    assert(rebounded.getMessage.contains("compaction"), rebounded.getMessage)
+  }
+
   test("replayEventsToLake: engine recovery replays the uncommitted batch, lake stays exactly-once") {
     // the st32 harness at suite scale: phase 1 drains 2 of 4 chunks, the
     // harness drops the engine's last commit record, and recovery MUST
