@@ -1239,6 +1239,52 @@ object SimilarityOps {
     exactRerank(embs, q, short)
   }
 
+  /** e15: METADATA-FILTERED ANN — the one production vector-store shape
+    * the lifecycle family leaves open: a dimension predicate combined with
+    * top-k ("nearest docs WHERE label < 4"). Two textbook strategies:
+    *
+    *   - PRE-FILTER (this function): mask the candidate code rows by the
+    *     allowed-id set BEFORE scoring, so the scan ranks every allowed
+    *     candidate in the probed cells and the full top-k budget is spent
+    *     on rows that satisfy the predicate. The mask is a broadcast
+    *     LEFT SEMI join on the codes' primary key — O(|allowed|) broadcast
+    *     bytes, zero extra shuffle (the codes-side join collapses into the
+    *     same cell-keyed scan e9 runs), never a corpus re-encode.
+    *   - POST-FILTER ([[ivfpqPostFilteredScan]]): run the unfiltered scan,
+    *     then drop disallowed rows from the top-k. Cheaper bookkeeping but
+    *     recall decays with predicate selectivity — a k-deep unfiltered
+    *     list keeps ~selectivity·k allowed rows. The property suite pins
+    *     pre >= post at equal probe + candidate budget.
+    *
+    * At 100 TB the allowed set itself can exceed broadcast size; the same
+    * plan then runs with the semi join as a shuffle join on vec_id, or the
+    * predicate column is denormalized into the codes relation at encode
+    * time (cell, label) and the mask becomes a pushed-down scan filter —
+    * both shapes preserved by expressing the mask as a relational join
+    * rather than a driver-side set.
+    */
+  def ivfpqFilteredScan(queries: DataFrame, idx: IvfPqIndex, allowed: DataFrame,
+      nProbes: Int = IvfPqProbes, topK: Int = PqTopK): DataFrame =
+    ivfpqScan(queries,
+      IvfPqIndex(idx.cents, idx.cb,
+        idx.codes.join(broadcast(allowed.select("vec_id")), Seq("vec_id"), "left_semi")),
+      nProbes, topK)
+
+  /** The post-filter baseline: unfiltered scan to `fetchK`, then keep the
+    * allowed rows and re-rank the survivors to `topK`. At fetchK == topK
+    * this is the equal-budget comparison point the property suite pins;
+    * production deployments over-fetch (fetchK = c·topK/selectivity) to
+    * buy recall back at the cost of scoring depth.
+    */
+  def ivfpqPostFilteredScan(queries: DataFrame, idx: IvfPqIndex, allowed: DataFrame,
+      nProbes: Int = IvfPqProbes, fetchK: Int = PqTopK, topK: Int = PqTopK): DataFrame = {
+    val kept = ivfpqScan(queries, idx, nProbes, fetchK)
+      .join(broadcast(allowed.select(col("vec_id").as("doc_id"))), Seq("doc_id"), "left_semi")
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("doc_id"))
+    kept.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select("qid", "rnk", "doc_id", "adist")
+  }
+
   /** The refine stage shared by e10/e11: exact squared-L2 re-rank of a
     * per-query shortlist against the raw-vector table, top-[[PqTopK]].
     */
@@ -1924,6 +1970,29 @@ object SimilarityOps {
     ivfpqRebuildSwapRetrieve(s, Tables.load(s, dir, "embeddings"))
   }
 
+  /** e15's oracle: e9's certified ADC chain with the predicate applied
+    * BEFORE the per-query ranking — exactly the pre-filter semantics
+    * (masking code rows changes which candidates are scored, never their
+    * scores, so filtering the `adist` relation is equivalent and keeps the
+    * oracle on the shared CTE chain). `label < 4` keeps ~40% of the corpus
+    * — selective enough that post-filter at equal budget visibly loses
+    * rows, which is what the companion property test prices.
+    */
+  val e15 = Q(
+    "e15_ivfpq_filtered_retrieve",
+    s"""WITH $duckIvfPqCtes
+       |SELECT qid, rnk, vec_id AS doc_id, round(dist, 4) AS adist FROM (
+       |  SELECT a.qid, a.vec_id, a.dist,
+       |    row_number() OVER (PARTITION BY a.qid
+       |      ORDER BY round(a.dist, 4), a.vec_id) AS rnk
+       |  FROM adist a JOIN embeddings v ON v.vec_id = a.vec_id
+       |  WHERE v.label < 4) t
+       |WHERE rnk <= $PqTopK""".stripMargin) { (s, dir) =>
+    val embs = Tables.load(s, dir, "embeddings")
+    ivfpqFilteredScan(embs.filter(col("vec_id") < 3), ivfpqBuild(embs),
+      embs.filter(col("label") < 4))
+  }
+
   val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11,
-    e12, e13, e14)
+    e12, e13, e14, e15)
 }

@@ -208,6 +208,64 @@ class SimilarityPropertySpec extends AnyFunSuite {
       f"residual coding must reconstruct better than direct PQ ($residual%.4f vs $direct%.4f)")
   }
 
+  test("e15 filtered ANN: pre-filter recall >= post-filter at equal probe and candidate budget") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    val allowed = embs.filter(col("label") < 4).select("vec_id")
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    assert(allowedSet.size > 50, "predicate unexpectedly selective — fixture drifted")
+
+    // ground truth: exact FILTERED top-5 per query (brute force over the
+    // allowed subset only — what a user asking "nearest WHERE label < 4"
+    // means; a disallowed true-neighbor must never count as a hit)
+    val base = embs.selectExpr("vec_id", "embedding", "vec_dot(embedding, embedding) AS sq")
+    val q = base.filter(col("vec_id") < 3)
+      .selectExpr("vec_id AS qid", "embedding AS qemb", "sq AS qsq")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+    val exact = base.filter(col("label").isNull || col("label") < 4)
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .selectExpr("qid", "vec_id", "sq + qsq - 2 * vec_dot(embedding, qemb) AS d")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val idx = SimilarityOps.ivfpqBuild(embs)
+    val queries = embs.filter(col("vec_id") < 3)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val pre = hits(SimilarityOps.ivfpqFilteredScan(queries, idx, allowed))
+    val postEqual = hits(SimilarityOps.ivfpqPostFilteredScan(queries, idx, allowed))
+    val postOver = hits(SimilarityOps.ivfpqPostFilteredScan(queries, idx, allowed,
+      fetchK = 4 * SimilarityOps.PqTopK))
+
+    // the contract: every returned row satisfies the predicate, on both paths
+    assert(pre.forall { case (_, d) => allowedSet.contains(d) }, "pre-filter leaked a disallowed doc")
+    assert(postEqual.forall { case (_, d) => allowedSet.contains(d) }, "post-filter leaked a disallowed doc")
+
+    def recall(got: Set[(Long, Long)]): Double =
+      got.count(exact.contains).toDouble / exact.size
+    val (rPre, rPostEq, rPostOver) = (recall(pre), recall(postEqual), recall(postOver))
+    info(f"filtered recall@5 vs exact-filtered: pre $rPre%.2f, " +
+      f"post(equal budget) $rPostEq%.2f, post(4x over-fetch) $rPostOver%.2f " +
+      f"(post kept ${postEqual.size} of ${pre.size} slots at equal budget)")
+    // the pinned property: at equal probe + candidate budget the pre-filter
+    // scan never scores below over-fetch-then-filter — it spends the whole
+    // k budget on allowed rows while post-filter forfeits ~(1-selectivity)*k
+    assert(rPre >= rPostEq,
+      f"pre-filter recall $rPre%.2f below equal-budget post-filter $rPostEq%.2f")
+    // and the slot count makes the mechanism visible: post-filter at equal
+    // budget returns fewer allowed rows than the full k the pre-filter fills
+    assert(postEqual.size <= pre.size,
+      s"post-filter returned more rows (${postEqual.size}) than pre-filter (${pre.size})")
+    // over-fetching buys recall back but can at best match the pre-filter's
+    // candidate set (all allowed rows of the same probed cells)
+    assert(rPostOver <= rPre + 1e-9,
+      f"4x over-fetch post-filter $rPostOver%.2f exceeded pre-filter $rPre%.2f — mask lost candidates")
+  }
+
   test("e7 BM25: idf ordering, tf saturation, and length normalization") {
     import spark.implicits._
     // crafted corpus — every pad token is unique to its document, so pads
