@@ -924,6 +924,130 @@ object ReplayHarness {
     }
   }
 
+  /** st43: SOURCE SCHEMA EVOLUTION through a stateful streaming tail — the
+    * bronze-upgrade path st26 (STATE schema evolution) does not cover: the
+    * upstream table gains a column mid-stream, and the consumer restarts
+    * with the WIDENED read schema on the same checkpoint. The certified
+    * contract, each piece load-bearing in the hash:
+    *
+    *   - phase 1 tails the original 5-column schema through a watermarked
+    *     `dropDuplicatesWithinWatermark(event_id)` (the st40 hardened-tail
+    *     operator — stateful, but keyed on event_id only, so the ADDED
+    *     column never touches the state schema and the checkpoint needs no
+    *     state migration);
+    *   - phase 2 restarts `readStream` with the union schema (f5's
+    *     mergeSchema discipline applied to the file-stream source): files
+    *     already processed stay processed, phase-1 OUTPUT files lack the
+    *     new column and null-fill under the phase-2 read schema — the
+    *     "old emissions predate the upgrade" shape, priced by the census
+    *     grouping pre-evolution rows under the 'legacy' sentinel;
+    *   - the restart must RESTORE dedup state across the schema change:
+    *     phase 2's first file re-delivers every phase-1 row of the last
+    *     20 h (ts >= max(phase-1) − 20 h — inside the restored watermark,
+    *     so the late filter cannot shed them, and inside the dedup
+    *     retention horizon, so ONLY restored state can). A consumer that
+    *     lost its state on the widened-schema restart double-counts ~266
+    *     rows at sf0.01 and breaks the hash; one that mis-null-fills or
+    *     drops pre-evolution rows shifts the 'legacy' cells.
+    *
+    * Returns the per-(channel, event_type) census with pre-evolution rows
+    * under channel='legacy', pinned (scratch reclaimed before returning).
+    */
+  def replaySourceEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val base = scratchDir("graft_srcevolve_")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val outDir = base.resolve("out")
+    val ckpt = base.resolve("ckpt").toString
+
+    val Array(minMs, maxMs) = events
+      .agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts"))))
+      .collect()(0).toSeq.map(v => v.asInstanceOf[Long]).toArray
+    val midMs = (minMs + maxMs) / 2
+    // the evolved column, a pure function of pre-existing fields so the
+    // oracle can reproduce it: which ingest channel a v2 row came from
+    val channelCol = concat(col("event_type"), lit("_"), pmod(col("user_id"), lit(3)))
+    val half1 = events.filter(unix_millis(col("ts")) < midMs)
+    val half2 = events.filter(unix_millis(col("ts")) >= midMs)
+      .withColumn("channel", channelCol)
+    val now = System.currentTimeMillis()
+    var published = 0
+    def publishDf(df: DataFrame, name: String): Unit = {
+      val stage = base.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      publish(stage, streamDir, f"batch_${published}%03d_$name", now + published * 1000L)
+      published += 1
+    }
+    // phase 1: two time-range chunks of the original-schema half
+    val q1 = (minMs + midMs) / 2
+    publishDf(half1.filter(unix_millis(col("ts")) < q1), "p1a")
+    publishDf(half1.filter(unix_millis(col("ts")) >= q1), "p1b")
+
+    val schema1 = half1.schema
+    val schema2 = half2.schema // = schema1 + channel
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(4, prevShuffle.toInt).toString)
+    try {
+      def drain(schema: org.apache.spark.sql.types.StructType): Unit = {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+          .withWatermark("ts", "25 hours")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.coalesce(1).write.mode("overwrite")
+              .parquet(outDir.resolve(s"b$batchId").toString)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(schema1)
+      System.err.println("[evolve] phase 1 drained on the 5-column schema; " +
+        "bronze gains `channel`, consumer restarts with the union schema")
+      // phase 2, file 1: the re-delivery probe — phase-1 rows of the last
+      // 20 h, now carrying the evolved column (a re-delivered row reads
+      // back in the NEW schema). Restored dedup state must drop them all.
+      val maxP1 = half1.agg(unix_millis(max(col("ts")))).collect()(0).getLong(0)
+      val redeliver = half1
+        .filter(unix_millis(col("ts")) >= maxP1 - 20L * 3600 * 1000)
+        .withColumn("channel", channelCol)
+      // the probe must have teeth: these rows beat the late filter by
+      // construction (ts >= restored watermark + 5 h), so ONLY restored
+      // dedup state can shed them — but only if there are any
+      val nRedeliver = redeliver.count()
+      require(nRedeliver > 0,
+        "empty re-delivery window — the restart probe is vacuous on this fixture")
+      System.err.println(s"[evolve] re-delivering $nRedeliver phase-1 rows " +
+        "across the widened-schema restart; restored dedup state must shed them")
+      publishDf(redeliver, "redeliver")
+      // then the evolved half, two ascending time-range chunks
+      val q3 = (midMs + maxMs) / 2
+      publishDf(half2.filter(unix_millis(col("ts")) < q3), "p2a")
+      publishDf(half2.filter(unix_millis(col("ts")) >= q3), "p2b")
+      drain(schema2)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(streamDir)
+      deleteRecursively(base.resolve("ckpt"))
+    }
+    // gold census under the union schema: phase-1 batch files lack
+    // `channel` and null-fill — surfaced as the 'legacy' bucket
+    val gold = spark.read.schema(schema2)
+      .option("recursiveFileLookup", "true").parquet(outDir.toString)
+      .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = gold.collect().toIndexedSeq
+    val schema = gold.schema
+    cleanupScratch(base)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
   /** RAM-backed scratch when /dev/shm is writable (replay cost is
     * fsync-dominated; a verification harness needs no durability) — the
     * one place the shm-or-tmp choice lives.
