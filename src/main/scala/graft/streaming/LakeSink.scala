@@ -337,7 +337,15 @@ object LakeSink {
     *      last checkpointed commit — a marker far older than the current
     *      batch id can never be consulted again; `ledgerKeep` just has to
     *      exceed the deepest possible replay window (1 under clean
-    *      semantics; default 1000 is paranoid).
+    *      semantics; default 1000 is paranoid);
+    *   5. bounds the TIME-TRAVEL window: pre-sweep generations under
+    *      `_graft_history/` lose retention-expired leaves with the live
+    *      leaf, and whole generations below the same `ledgerKeep` horizon
+    *      are dropped (storage for deep snapshots is exactly what vacuum
+    *      exists to reclaim — after this, [[readAsOf]] fails loudly for
+    *      the pruned range instead of approximating);
+    *   6. keeps only the top writer-epoch token (the fence consults only
+    *      the max).
     *
     * Returns (dropped partition names, pruned marker count).
     */
@@ -352,13 +360,14 @@ object LakeSink {
     // heal BEFORE applying retention: healing after the drop would promote
     // a stranded rewrite of a partition retention just retired
     recoverSweeps(fs, root)
+    def expired(leafName: String): Boolean = {
+      val d = leafName.stripPrefix("event_date=")
+      try java.time.LocalDate.parse(d).isBefore(before)
+      catch { case _: java.time.format.DateTimeParseException => false }
+    }
     val dropped = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
-      .filter { s =>
-        val d = s.getPath.getName.stripPrefix("event_date=")
-        try java.time.LocalDate.parse(d).isBefore(before)
-        catch { case _: java.time.format.DateTimeParseException => false }
-      }
+      .filter(s => expired(s.getPath.getName))
       .map { s =>
         fs.delete(s.getPath, true)
         System.err.println(s"[lake] vacuumed ${s.getPath.getName}")
@@ -377,6 +386,36 @@ object LakeSink {
         System.err.println(s"[lake] reclaiming committed staging ${s.getPath.getName}")
         fs.delete(s.getPath, true)
       }
+    }
+    // time-travel history: pre-sweep generations serve snapshots older
+    // than a compaction horizon ([[readAsOf]]) — retention-expired leaves
+    // inside them fall with the live leaf, and whole generations below
+    // the ledger horizon (max marker - ledgerKeep) are prunable because
+    // no retained marker can name a batch that deep; an emptied
+    // generation directory is removed outright. This is the vacuum
+    // window: after it, readAsOf fails loudly for the pruned range.
+    val histRoot = new Path(root, HistoryRoot)
+    if (fs.exists(histRoot)) {
+      val markerMax = {
+        val ids = if (!fs.exists(ledger)) Seq.empty else fs.listStatus(ledger).toSeq
+          .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+          .map(_.getPath.getName.toLong)
+        if (ids.isEmpty) Long.MinValue else ids.max
+      }
+      fs.listStatus(histRoot)
+        .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
+        .foreach { g =>
+          val horizon = g.getPath.getName.toLong
+          if (markerMax != Long.MinValue && horizon < markerMax - ledgerKeep) {
+            fs.delete(g.getPath, true)
+            System.err.println(s"[lake] vacuumed history generation $horizon")
+          } else {
+            fs.listStatus(g.getPath)
+              .filter(l => l.isDirectory && expired(l.getPath.getName))
+              .foreach(l => fs.delete(l.getPath, true))
+            if (fs.listStatus(g.getPath).isEmpty) fs.delete(g.getPath, true)
+          }
+        }
     }
     // writer-epoch ledger: only the MAX epoch is ever consulted by the
     // fence, so every lower token is dead weight — keep the top one
@@ -416,12 +455,20 @@ object LakeSink {
     *   - `gb<id>-*` append files are included iff id <= asOf;
     *   - `gc<B>-*` compaction rewrites (B = the max committed batch at
     *     sweep time, stamped by [[compactPartitions]]) merge exactly the
-    *     batches <= B of their leaf, so they are included iff B <= asOf —
-    *     and if a leaf holds a rewrite with B > asOf, that leaf's
-    *     pre-compaction layout no longer exists and the read FAILS LOUDLY
-    *     rather than approximating (the pinned contract: compaction
-    *     BOUNDS time travel at its horizon; retaining rewritten files for
-    *     deeper snapshots is what manifest-format VACUUM windows are for);
+    *     batches <= B of their leaf, so they are included iff B <= asOf;
+    *   - a leaf whose current rewrite horizon has PASSED asOf is resolved
+    *     from `_graft_history/<B'>/<leaf>` — compaction renames the
+    *     pre-sweep generation there instead of deleting it, so snapshots
+    *     older than the latest sweep stay readable until [[vacuum]] prunes
+    *     the generation (the manifest-format vacuum-window discipline from
+    *     FS primitives). The generation to read is the SMALLEST horizon
+    *     B' > asOf that stored this leaf: its content is the leaf's state
+    *     just before that sweep, whose own lineage is then <= asOf by the
+    *     minimality of B' (any inner gc came from an earlier sweep of this
+    *     leaf, which would itself be a smaller stored generation). Once
+    *     vacuum has pruned the needed generation the read FAILS LOUDLY
+    *     rather than approximating — the pinned contract: time travel
+    *     reaches exactly as far back as the retained history;
     *   - any other data file has no batch lineage (it was not written by
     *     this sink) and likewise fails the read.
     *
@@ -430,7 +477,9 @@ object LakeSink {
     * rolled-back-then-recommitted files in flux — the sink's documented
     * reader-visibility caveat, unchanged. The listing is O(leaves+files)
     * driver-side FS calls, the same cost every FS-backed table read pays
-    * for discovery; `basePath` keeps the Hive partition column.
+    * for discovery; `basePath` keeps the Hive partition column (history
+    * paths preserve the `event_date=` leaf name, so discovery sees the
+    * same layout).
     */
   def readAsOf(
       spark: org.apache.spark.sql.SparkSession,
@@ -440,35 +489,65 @@ object LakeSink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no lake at $lakeDir")
     recoverSweeps(fs, root) // a half-swapped leaf must read whole here too
+
+    def lineageId(n: String, prefix: String, leafName: String): Long = {
+      val digits = n.stripPrefix(prefix).takeWhile(_.isDigit)
+      require(digits.nonEmpty, s"unparseable lineage name $n in $leafName")
+      digits.toLong
+    }
+    // files of one directory filtered to lineage <= asOf; Left(horizon) if
+    // a rewrite beyond asOf makes this directory's content unservable
+    def serveDir(dir: Path, leafName: String): Either[Long, Seq[String]] = {
+      val fstats = fs.listStatus(dir).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName.toString)
+      val over = fstats.flatMap { f =>
+        val n = f.getPath.getName
+        if (n.startsWith("gc") && lineageId(n, "gc", leafName) > asOf)
+          Some(lineageId(n, "gc", leafName))
+        else None
+      }
+      if (over.nonEmpty) Left(over.min)
+      else Right(fstats.flatMap { f =>
+        val n = f.getPath.getName
+        if (n.startsWith("gb")) {
+          if (lineageId(n, "gb", leafName) <= asOf) Some(f.getPath.toString) else None
+        } else if (n.startsWith("gc")) Some(f.getPath.toString) // <= asOf here
+        else throw new IllegalStateException(
+          s"$n in $leafName carries no batch lineage — this lake was not " +
+            "(only) written by LakeSink; time travel undefined")
+      })
+    }
+    val histRoot = new Path(root, HistoryRoot)
+    def serveLeaf(leaf: Path): Seq[String] = serveDir(leaf, leaf.getName) match {
+      case Right(paths) => paths
+      case Left(_) =>
+        // resolve from history: smallest stored horizon > asOf for THIS leaf
+        val gens =
+          if (!fs.exists(histRoot)) Seq.empty
+          else fs.listStatus(histRoot).toSeq
+            .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
+            .map(_.getPath.getName.toLong)
+            .filter(b => b > asOf && fs.exists(new Path(new Path(histRoot, b.toString), leaf.getName)))
+        if (gens.isEmpty) throw new IllegalStateException(
+          s"time travel to batch $asOf is lost for ${leaf.getName}: the " +
+            "compaction that rewrote it has no retained pre-sweep " +
+            "generation (vacuumed, or compacted without a ledger) — " +
+            "snapshots reach exactly as far back as the retained history")
+        val gen = new Path(new Path(histRoot, gens.min.toString), leaf.getName)
+        serveDir(gen, s"${HistoryRoot}/${gens.min}/${leaf.getName}") match {
+          case Right(paths) => paths
+          case Left(b) => throw new IllegalStateException(
+            s"time travel to batch $asOf is lost for ${leaf.getName}: the " +
+              s"oldest retained generation (${gens.min}) already holds a " +
+              s"rewrite at horizon $b > $asOf — the deeper generation that " +
+              "could serve this snapshot has been vacuumed")
+        }
+    }
     val files = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map(_.getPath).sortBy(_.getName.toString)
-      .flatMap { leaf =>
-        fs.listStatus(leaf).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName.toString)
-          .flatMap { f =>
-            val n = f.getPath.getName
-            def idAfter(prefix: String): Long = {
-              val digits = n.stripPrefix(prefix).takeWhile(_.isDigit)
-              require(digits.nonEmpty, s"unparseable lineage name $n in ${leaf.getName}")
-              digits.toLong
-            }
-            if (n.startsWith("gb")) {
-              if (idAfter("gb") <= asOf) Some(f.getPath.toString) else None
-            } else if (n.startsWith("gc")) {
-              val b = idAfter("gc")
-              if (b <= asOf) Some(f.getPath.toString)
-              else throw new IllegalStateException(
-                s"time travel to batch $asOf is lost for ${leaf.getName}: a " +
-                  s"compaction at horizon $b rewrote its batches <= $b into " +
-                  "merged files — snapshots older than the latest compaction " +
-                  "horizon are out of contract")
-            } else throw new IllegalStateException(
-              s"$n in ${leaf.getName} carries no batch lineage — this lake " +
-                "was not (only) written by LakeSink; time travel undefined")
-          }
-      }
+      .flatMap(serveLeaf)
     require(files.nonEmpty, s"no files at or before batch $asOf under $lakeDir")
     spark.read.option("basePath", lakeDir).parquet(files: _*)
   }
@@ -543,28 +622,51 @@ object LakeSink {
         // it), so a plain rewrite within the same leaf round-trips exactly
         val after = Layout.compactParquet(
           spark, leaf.toString, tmp.toString, targetFileBytes)
-        asOfHorizon.foreach { b =>
-          val parts = fs.listStatus(tmp)
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .sortBy(_.getPath.getName.toString)
-          parts.zipWithIndex.foreach { case (f, i) =>
-            val dst = new Path(tmp, s"gc$b-p$i.snappy.parquet")
-            require(fs.rename(f.getPath, dst),
-              s"lineage stamp rename failed: ${f.getPath} -> $dst")
-          }
+        asOfHorizon match {
+          case Some(b) =>
+            val parts = fs.listStatus(tmp)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName.toString)
+            parts.zipWithIndex.foreach { case (f, i) =>
+              val dst = new Path(tmp, s"gc$b-p$i.snappy.parquet")
+              require(fs.rename(f.getPath, dst),
+                s"lineage stamp rename failed: ${f.getPath} -> $dst")
+            }
+            // HISTORY-PRESERVING swap: the original leaf is renamed (not
+            // deleted) into `_graft_history/<B>/<leaf>` — the rename-aside
+            // that makes the swap crash-safe IS the retention of the
+            // pre-sweep generation, so [[readAsOf]] can keep serving
+            // snapshots older than this sweep's horizon until [[vacuum]]
+            // prunes the generation (the Delta/Iceberg vacuum-window
+            // discipline from FS primitives). A kill between the two
+            // renames leaves the original safe in history and the rewrite
+            // in _compact_tmp; recoverSweeps promotes the rewrite (target
+            // absent), completing — not rolling back — the sweep.
+            val hist = new Path(new Path(new Path(root, HistoryRoot), b.toString),
+              leaf.getName)
+            fs.mkdirs(hist.getParent)
+            if (fs.exists(hist)) {
+              // same-horizon re-sweep: the stored generation already holds
+              // this leaf's pre-sweep state with FINER lineage (the current
+              // content derives from it) — keep it, drop the current copy
+              fs.delete(leaf, true)
+            } else require(fs.rename(leaf, hist),
+              s"compaction swap failed renaming $leaf into history")
+            require(fs.rename(tmp, leaf), s"compaction swap failed for $leaf")
+          case None =>
+            // no ledger, no lineage, no history: crash-safe swap via the
+            // ORIGINAL renamed aside before the rewrite renames in and
+            // deleted only LAST — at no instant is the rewrite the
+            // partition's only copy (a delete-then-rename swap has a
+            // window where the sole copy lives in _compact_tmp, which
+            // vacuum would then reap as orphaned)
+            val old = new Path(new Path(root, OldRoot), leaf.getName)
+            fs.mkdirs(old.getParent)
+            fs.delete(old, true) // stale leftover from a recovered crash
+            require(fs.rename(leaf, old), s"compaction swap failed renaming $leaf aside")
+            require(fs.rename(tmp, leaf), s"compaction swap failed for $leaf")
+            fs.delete(old, true)
         }
-        // crash-safe swap: the ORIGINAL is renamed aside before the
-        // rewrite renames in, and deleted only LAST — at no instant is the
-        // rewrite the partition's only copy, so a kill at any point leaves
-        // either the original or a recoverable pair for recoverSweeps
-        // (a delete-then-rename swap has a window where the sole copy
-        // lives in _compact_tmp, which vacuum would then reap as orphaned)
-        val old = new Path(new Path(root, OldRoot), leaf.getName)
-        fs.mkdirs(old.getParent)
-        fs.delete(old, true) // stale leftover from a recovered crash
-        require(fs.rename(leaf, old), s"compaction swap failed renaming $leaf aside")
-        require(fs.rename(tmp, leaf), s"compaction swap failed for $leaf")
-        fs.delete(old, true)
         System.err.println(
           s"[lake] compacted ${leaf.getName}: $before -> $after files")
         Some((leaf.getName, before, after))
@@ -585,6 +687,7 @@ object LakeSink {
   }
 
   private val OldRoot = "_compact_old"
+  private val HistoryRoot = "_graft_history"
 
   /** Heal interrupted compaction swaps (called before every sweep and by
     * [[vacuum]]): an `_compact_old` child whose target leaf is MISSING is

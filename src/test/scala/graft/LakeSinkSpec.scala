@@ -602,7 +602,7 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(lake).count() === 45L)
   }
 
-  test("time travel: read-as-of is an exact snapshot; compaction bounds it loudly") {
+  test("time travel: exact snapshots survive compaction via history; vacuum bounds the window") {
     import spark.implicits._
     def rows(ids: Range) = ids.map(i =>
       (i.toLong, ts(if (i % 2 == 0) "2024-11-01 10:00:00" else "2024-11-02 10:00:00"),
@@ -616,26 +616,40 @@ class LakeSinkSpec extends AnyFunSuite {
     val sink = LakeSink.datePartitioned(lake, compactEvery = 2L,
       targetFileBytes = 1L << 30, minFilesToCompact = 2)
     sink(rows(0 until 10), 0L)
-    sink(rows(10 until 20), 1L) // sweep: leaves hold gc1 rewrites
+    sink(rows(10 until 20), 1L) // sweep: leaves rewritten to gc1, originals → history gen 1
     sink(rows(20 until 30), 2L) // gb2 appends on top
 
     // snapshots: asOf 2 = everything; asOf 1 = the compacted prefix
-    // (served entirely from the gc1 rewrite); asOf 0 predates the
-    // compaction horizon — the layout is gone, the read must say so
+    // (served entirely from the gc1 rewrite); asOf 0 PREDATES the sweep
+    // horizon and must be served from the retained pre-sweep generation
     assert(ids(LakeSink.readAsOf(spark, lake, 2L)) === (0L until 30L).toSet)
     assert(ids(LakeSink.readAsOf(spark, lake, 1L)) === (0L until 20L).toSet)
-    val lost = intercept[IllegalStateException](LakeSink.readAsOf(spark, lake, 0L))
-    assert(lost.getMessage.contains("compaction"), lost.getMessage)
-    // the partition column survives the listing-filtered read
-    assert(LakeSink.readAsOf(spark, lake, 1L).columns.contains("event_date"))
-    assert(LakeSink.readAsOf(spark, lake, 1L)
+    assert(ids(LakeSink.readAsOf(spark, lake, 0L)) === (0L until 10L).toSet,
+      "pre-horizon snapshot not served from history")
+    // the partition column survives the listing-filtered read — including
+    // for history paths (the event_date= leaf name is preserved there)
+    assert(LakeSink.readAsOf(spark, lake, 0L).columns.contains("event_date"))
+    assert(LakeSink.readAsOf(spark, lake, 0L)
       .filter(col("event_date") =!= to_date(col("ts"))).isEmpty)
 
-    // a later sweep advances the horizon and re-bounds older snapshots
+    // a later sweep stores a second generation; every snapshot stays exact
+    // (asOf 2 now resolves from generation 3 = gc1 + gb2 + gb3, minus gb3)
     sink(rows(30 until 40), 3L) // sweep at 3: leaves rewritten to gc3
     assert(ids(LakeSink.readAsOf(spark, lake, 3L)) === (0L until 40L).toSet)
-    val rebounded = intercept[IllegalStateException](LakeSink.readAsOf(spark, lake, 2L))
-    assert(rebounded.getMessage.contains("compaction"), rebounded.getMessage)
+    assert(ids(LakeSink.readAsOf(spark, lake, 2L)) === (0L until 30L).toSet)
+    assert(ids(LakeSink.readAsOf(spark, lake, 0L)) === (0L until 10L).toSet)
+
+    // vacuum prunes generations below max marker - ledgerKeep: gen 1 falls
+    // (horizon 1 < 3 - 1), gen 3 stays — asOf 2 survives, asOf 0 is now
+    // genuinely lost and must say so rather than approximate
+    LakeSink.vacuum(spark, lake, java.time.LocalDate.parse("2000-01-01"),
+      ledgerKeep = 1L)
+    assert(ids(LakeSink.readAsOf(spark, lake, 2L)) === (0L until 30L).toSet,
+      "retained generation lost by vacuum")
+    val lost = intercept[IllegalStateException](LakeSink.readAsOf(spark, lake, 0L))
+    assert(lost.getMessage.contains("vacuumed"), lost.getMessage)
+    // and the LIVE read path never sees history or staging
+    assert(ids(spark.read.parquet(lake)) === (0L until 40L).toSet)
   }
 
   test("replayEventsToLake: engine recovery replays the uncommitted batch, lake stays exactly-once") {
