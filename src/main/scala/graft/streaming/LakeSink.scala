@@ -88,12 +88,15 @@ object LakeSink {
     * that no higher epoch exists. A zombie instance — an old driver
     * surviving a failover, or a misconfigured second job — fails LOUDLY
     * with the fencing error instead of interleaving staged commits with
-    * the live writer undetected. What remains is the instantaneous
-    * check-then-rename window between a validation and the next FS
-    * mutation (the gap an optimistic-concurrency commit exchange à la
-    * Delta/Iceberg exists to close); the fence turns an undetectable
-    * steady-state corruption into at worst a one-batch race that the
-    * per-batch deterministic file names keep idempotent.
+    * the live writer undetected. The fence's residual check-then-act
+    * window is closed at the COMMIT POINT by the atomic commit exchange
+    * ([[writeCommitMarker]]: marker creation is create-no-overwrite, so
+    * two racers cannot both mark one batch committed — the
+    * optimistic-concurrency discipline à la Delta/Iceberg, from FS
+    * primitives) and shrunk to a per-leaf instant inside compaction by
+    * the pre-swap re-validation (see [[compactPartitions]]); between
+    * those two, a race costs at most one batch of idempotent renames
+    * under deterministic per-batch file names, never a double commit.
     *
     * `faultInjector(batchId, point)` is the crash-simulation hook the
     * crash-matrix tests and the st39 replay drive — a production caller
@@ -163,17 +166,18 @@ object LakeSink {
         checkWriterFence(fs, root, epoch)
         val committed = commitStaged(fs, root, staging, batchId, faultInjector)
         dirty ++= committed
-        faultInjector(batchId, "pre-marker")
         checkWriterFence(fs, root, epoch)
-        // the marker's CONTENT is the committed leaf list — the durable
-        // per-commit partition values a successor's dirty-set rebuild reads
-        writeSmallFile(fs, marker, committed.sorted.mkString("\n"))
+        faultInjector(batchId, "pre-marker")
+        // the marker IS the commit point, written create-no-overwrite (the
+        // atomic commit exchange — see [[writeCommitMarker]]); its CONTENT
+        // is the committed leaf list a successor's dirty-set rebuild reads
+        writeCommitMarker(fs, marker, batchId, committed)
         fs.delete(staging, true)
       }
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
         checkWriterFence(fs, root, epoch)
         compactPartitions(spark, lakeDir, targetFileBytes, minFilesToCompact,
-          only = Some(dirty.toSet))
+          only = Some(dirty.toSet), fenceEpoch = Some(epoch))
         // horizon AFTER the sweep completes: a crash in between re-sweeps
         // (idempotent) rather than silently skipping the lost leaves
         writeSmallFile(fs,
@@ -218,6 +222,21 @@ object LakeSink {
     e
   }
 
+  /** Claim the lake's next writer epoch for a STANDALONE maintenance run
+    * ([[compactPartitions]] / [[vacuum]] outside the streaming sink): under
+    * the single-writer discipline, maintenance IS the writer while it runs,
+    * so it claims an epoch like any writer — fencing out a paused stream
+    * driver that might otherwise wake mid-maintenance (and being fenced in
+    * turn the moment the restarted stream claims its own). Pass the result
+    * as `fenceEpoch`.
+    */
+  def claimWriterEpoch(
+      spark: org.apache.spark.sql.SparkSession, lakeDir: String): Long = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    acquireWriterEpoch(fs, root)
+  }
+
   /** Fail loudly if a newer writer has claimed this lake. */
   private def checkWriterFence(
       fs: org.apache.hadoop.fs.FileSystem, root: Path, epoch: Long): Unit = {
@@ -232,7 +251,12 @@ object LakeSink {
   /** Rebuild the sweep scope a crashed writer lost: union of the leaf
     * lists recorded in every commit marker above the persisted sweep
     * horizon. Markers written before the leaf list existed (or pruned by
-    * vacuum) contribute nothing — the full-sweep backstop covers them.
+    * vacuum) contribute nothing — the full-sweep backstop covers them. A
+    * TORN marker (no [[MarkerEnd]] sentinel: the content write crashed
+    * after the commit exchange was won) names an unknown leaf set, so it
+    * over-approximates to every live leaf — over-sweep, never skip; the
+    * `minFilesToCompact` gate keeps the over-sweep a cheap listing pass on
+    * leaves that turn out clean.
     */
   private def rebuildDirtySet(
       fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] = {
@@ -244,11 +268,68 @@ object LakeSink {
       else try readSmallFile(fs, p).trim.toLong
       catch { case scala.util.control.NonFatal(_) => -1L } // torn write: over-sweep, never skip
     }
-    fs.listStatus(ledger).toSeq
+    val markers = fs.listStatus(ledger).toSeq
       .filter(s => s.isFile && s.getPath.getName.nonEmpty &&
         s.getPath.getName.forall(_.isDigit) && s.getPath.getName.toLong > horizon)
-      .flatMap(s => readSmallFile(fs, s.getPath).split('\n').toSeq)
-      .filter(_.nonEmpty).toSet
+    val perMarker = markers.map(s => readMarkerLeaves(fs, s.getPath))
+    if (perMarker.exists(_.isEmpty)) {
+      System.err.println(s"[lake] torn commit marker under $ledger — " +
+        "over-approximating the rebuilt dirty set to every live leaf")
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+        .map(_.getPath.getName).toSet
+    } else perMarker.flatMap(_.get).toSet
+  }
+
+  /** Trailing sentinel line of every commit marker: the marker's content is
+    * load-bearing (the leaf list feeds [[rebuildDirtySet]]) but small-file
+    * writes are not atomic — a crash mid-write must be DETECTABLE, so
+    * completeness is proven by the sentinel, not by existence.
+    */
+  private[streaming] val MarkerEnd = "#end"
+
+  /** THE COMMIT EXCHANGE: the batch becomes committed exactly when its
+    * ledger marker is CREATED, and creation is create-no-overwrite — the
+    * same atomic FS primitive the writer fence uses, here closing the
+    * fence's residual check-then-act window: two writers that both passed
+    * their last fence validation and raced one batch's commit cannot both
+    * win; the loser's create throws and this sink dies LOUDLY instead of
+    * double-marking. Data stays exactly-once regardless of who wins:
+    * deterministic replay gives both writers identical rows under identical
+    * `gb<batchId>-*` names, so the surviving files are the winner's and the
+    * loser renamed equivalent content over them before losing the exchange.
+    *
+    * A crash mid-content-write leaves an EXISTING marker with a truncated
+    * leaf list — the batch is genuinely committed (every rename preceded
+    * the marker), but the dirty-set bookkeeping would silently shrink;
+    * [[MarkerEnd]] makes that torn state detectable and
+    * [[rebuildDirtySet]] over-approximates it to every live leaf rather
+    * than under-sweeping.
+    */
+  private def writeCommitMarker(
+      fs: org.apache.hadoop.fs.FileSystem, marker: Path, batchId: Long,
+      leaves: Seq[String]): Unit = {
+    val out =
+      try fs.create(marker, false)
+      catch { case e: java.io.IOException => throw new IllegalStateException(
+        s"commit exchange lost for batch $batchId: marker $marker already " +
+          "exists — a concurrent writer committed this batch first (two " +
+          "writers raced the fence's check-then-act window); refusing to " +
+          "double-commit, this instance must stop", e) }
+    val content = (leaves.sorted :+ MarkerEnd).mkString("\n")
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** A committed marker's leaf list, or None when the content is torn (no
+    * [[MarkerEnd]] sentinel — a crash interrupted the content write after
+    * the atomic create won the exchange).
+    */
+  private def readMarkerLeaves(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Seq[String]] = {
+    val lines = readSmallFile(fs, p).split('\n').toSeq
+    if (lines.lastOption.contains(MarkerEnd)) Some(lines.dropRight(1).filter(_.nonEmpty))
+    else None
   }
 
   private def writeSmallFile(
@@ -348,18 +429,25 @@ object LakeSink {
     *      the max).
     *
     * Returns (dropped partition names, pruned marker count).
+    *
+    * `fenceEpoch` fences scheduled maintenance like the sweep: validated at
+    * entry and re-validated after the healing pass, immediately before the
+    * destructive sections — claim one via [[claimWriterEpoch]].
     */
   def vacuum(
       spark: org.apache.spark.sql.SparkSession,
       lakeDir: String,
       before: java.time.LocalDate,
-      ledgerKeep: Long = 1000L): (Seq[String], Int) = {
+      ledgerKeep: Long = 1000L,
+      fenceEpoch: Option[Long] = None): (Seq[String], Int) = {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (Seq.empty, 0)
+    fenceEpoch.foreach(e => checkWriterFence(fs, root, e))
     // heal BEFORE applying retention: healing after the drop would promote
     // a stranded rewrite of a partition retention just retired
     recoverSweeps(fs, root)
+    fenceEpoch.foreach(e => checkWriterFence(fs, root, e))
     def expired(leafName: String): Boolean = {
       val d = leafName.stripPrefix("event_date=")
       try java.time.LocalDate.parse(d).isBefore(before)
@@ -480,6 +568,20 @@ object LakeSink {
     * for discovery; `basePath` keeps the Hive partition column (history
     * paths preserve the `event_date=` leaf name, so discovery sees the
     * same layout).
+    *
+    * READ-ONLY: a snapshot read must never mutate the lake — in
+    * particular it must not "heal" a sweep that is merely IN FLIGHT on
+    * the live writer (promoting the writer's half-laid rewrite out of
+    * `_compact_tmp` would fail the writer's own swap rename — a reader
+    * failing the writer). Interrupted-swap remnants are therefore
+    * RESOLVED IN THE LISTING instead of renamed: a leaf absent from the
+    * root is served from its `_compact_tmp` rewrite when that rewrite's
+    * horizon serves `asOf` (the writer's rename-in will land exactly this
+    * content), falling back to the retained history generation for older
+    * snapshots; `_compact_old` children (the no-ledger swap's aside) only
+    * matter for lakes without lineage, where time travel is undefined
+    * anyway and the read fails on their nameless files as before. Healing
+    * remains the job of the WRITE paths (every sweep and vacuum).
     */
   def readAsOf(
       spark: org.apache.spark.sql.SparkSession,
@@ -488,7 +590,6 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no lake at $lakeDir")
-    recoverSweeps(fs, root) // a half-swapped leaf must read whole here too
 
     def lineageId(n: String, prefix: String, leafName: String): Long = {
       val digits = n.stripPrefix(prefix).takeWhile(_.isDigit)
@@ -519,37 +620,71 @@ object LakeSink {
       })
     }
     val histRoot = new Path(root, HistoryRoot)
-    def serveLeaf(leaf: Path): Seq[String] = serveDir(leaf, leaf.getName) match {
-      case Right(paths) => paths
-      case Left(_) =>
-        // resolve from history: smallest stored horizon > asOf for THIS leaf
-        val gens =
-          if (!fs.exists(histRoot)) Seq.empty
-          else fs.listStatus(histRoot).toSeq
-            .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
-            .map(_.getPath.getName.toLong)
-            .filter(b => b > asOf && fs.exists(new Path(new Path(histRoot, b.toString), leaf.getName)))
-        if (gens.isEmpty) throw new IllegalStateException(
-          s"time travel to batch $asOf is lost for ${leaf.getName}: the " +
-            "compaction that rewrote it has no retained pre-sweep " +
-            "generation (vacuumed, or compacted without a ledger) — " +
-            "snapshots reach exactly as far back as the retained history")
-        val gen = new Path(new Path(histRoot, gens.min.toString), leaf.getName)
-        serveDir(gen, s"${HistoryRoot}/${gens.min}/${leaf.getName}") match {
-          case Right(paths) => paths
-          case Left(b) => throw new IllegalStateException(
-            s"time travel to batch $asOf is lost for ${leaf.getName}: the " +
-              s"oldest retained generation (${gens.min}) already holds a " +
-              s"rewrite at horizon $b > $asOf — the deeper generation that " +
-              "could serve this snapshot has been vacuumed")
-        }
+    def fromHistory(leafName: String): Seq[(String, String)] = {
+      // resolve from history: smallest stored horizon > asOf for THIS leaf
+      val gens =
+        if (!fs.exists(histRoot)) Seq.empty
+        else fs.listStatus(histRoot).toSeq
+          .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
+          .map(_.getPath.getName.toLong)
+          .filter(b => b > asOf && fs.exists(new Path(new Path(histRoot, b.toString), leafName)))
+      if (gens.isEmpty) throw new IllegalStateException(
+        s"time travel to batch $asOf is lost for $leafName: the " +
+          "compaction that rewrote it has no retained pre-sweep " +
+          "generation (vacuumed, or compacted without a ledger) — " +
+          "snapshots reach exactly as far back as the retained history")
+      val gen = new Path(new Path(histRoot, gens.min.toString), leafName)
+      serveDir(gen, s"${HistoryRoot}/${gens.min}/$leafName") match {
+        case Right(paths) => paths.map(f => gen.getParent.toString -> f)
+        case Left(b) => throw new IllegalStateException(
+          s"time travel to batch $asOf is lost for $leafName: the " +
+            s"oldest retained generation (${gens.min}) already holds a " +
+            s"rewrite at horizon $b > $asOf — the deeper generation that " +
+            "could serve this snapshot has been vacuumed")
+      }
     }
-    val files = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map(_.getPath).sortBy(_.getName.toString)
+    // read-only remnant resolution (see scaladoc): a leaf name can be live
+    // under the root, mid-swap in _compact_tmp, or aside in _compact_old —
+    // the union is the leaf namespace; the live copy always wins (a tmp or
+    // old child whose target exists is a stale orphan for the next sweep's
+    // healing, not for this reader)
+    def childLeafNames(dir: Path): Seq[String] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath.getName)
+    // each served file is tagged with its MOUNT (the directory holding the
+    // `event_date=` leaf — the root, a history generation, or a mid-swap
+    // staging dir): partition discovery needs one consistent depth per
+    // read, so the scan below is a unionByName of one parquet relation per
+    // mount, each with basePath = its mount (this also serves the mixed
+    // case a scoped sweep creates, where only SOME leaves resolve from
+    // history — a single-basePath listing would refuse the conflicting
+    // directory depths)
+    def tagged(dir: Path, tag: String, leafName: String): Either[Long, Seq[(String, String)]] =
+      serveDir(dir, tag).map(_.map(f => dir.getParent.toString -> f))
+    def serveLeaf(leafName: String): Seq[(String, String)] = {
+      def hist = fromHistory(leafName)
+      val candidates = Seq(
+        (new Path(root, leafName), leafName),
+        (new Path(new Path(root, "_compact_tmp"), leafName), s"_compact_tmp/$leafName"),
+        (new Path(new Path(root, OldRoot), leafName), s"$OldRoot/$leafName"))
+      candidates.find(c => fs.exists(c._1)) match {
+        case Some((dir, tag)) => tagged(dir, tag, leafName).getOrElse(hist)
+        case None => hist
+      }
+    }
+    val files = (childLeafNames(root) ++
+        childLeafNames(new Path(root, "_compact_tmp")) ++
+        childLeafNames(new Path(root, OldRoot)))
+      .distinct.sorted
       .flatMap(serveLeaf)
     require(files.nonEmpty, s"no files at or before batch $asOf under $lakeDir")
-    spark.read.option("basePath", lakeDir).parquet(files: _*)
+    files.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (mount, fl) =>
+        spark.read.option("basePath", mount).parquet(fl.map(_._2): _*)
+      }
+      .reduce(_ unionByName _)
   }
 
   /** One compaction sweep: rewrite every `event_date=*` leaf holding at
@@ -571,6 +706,21 @@ object LakeSink {
     * in-flight leaf as its own recoverable aside/rewrite pair, and
     * [[recoverSweeps]] heals every one of them; a failed leaf fails the
     * sweep loudly after the pool drains.
+    *
+    * FENCING: a sweep is a long Spark job per leaf, not an instantaneous
+    * mutation — a zombie driver paused mid-sweep can wake after a
+    * successor claims the lake and would otherwise still swap a
+    * stale-horizon rewrite over the successor's fresh commits (silently
+    * vanishing them from the live view). `fenceEpoch` re-validates the
+    * writer fence per leaf, AFTER the rewrite job and immediately before
+    * the swap renames, so the vulnerable window shrinks back to a single
+    * check-then-rename instant. The streaming sink always passes its
+    * epoch; standalone maintenance should claim one via
+    * [[claimWriterEpoch]] (fencing out the stream writer is correct —
+    * single-writer means maintenance IS the writer while it runs).
+    * `sweepHook(leafName)` fires between a leaf's rewrite and its fence
+    * check — the race-simulation hook the fence tests drive; production
+    * callers leave the no-op.
     */
   def compactPartitions(
       spark: org.apache.spark.sql.SparkSession,
@@ -578,11 +728,14 @@ object LakeSink {
       targetFileBytes: Long,
       minFiles: Int,
       only: Option[Set[String]] = None,
-      maxConcurrency: Int = 8): Seq[(String, Int, Int)] = {
+      maxConcurrency: Int = 8,
+      fenceEpoch: Option[Long] = None,
+      sweepHook: String => Unit = _ => ()): Seq[(String, Int, Int)] = {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val tmpRoot = new Path(root, "_compact_tmp")
+    fenceEpoch.foreach(e => checkWriterFence(fs, root, e))
     // heal BEFORE enumerating: the leaf listing (and the scoped path's
     // fs.exists probes) must see restored leaves, not their absence
     recoverSweeps(fs, root)
@@ -622,6 +775,12 @@ object LakeSink {
         // it), so a plain rewrite within the same leaf round-trips exactly
         val after = Layout.compactParquet(
           spark, leaf.toString, tmp.toString, targetFileBytes)
+        sweepHook(leaf.getName)
+        // the rewrite was a long job: re-validate the fence at the last
+        // instant before the swap renames — a zombie that paused here must
+        // die with the rewrite still safely in _compact_tmp (the live
+        // leaf untouched; the next recoverSweeps reaps the orphan)
+        fenceEpoch.foreach(e => checkWriterFence(fs, root, e))
         asOfHorizon match {
           case Some(b) =>
             val parts = fs.listStatus(tmp)

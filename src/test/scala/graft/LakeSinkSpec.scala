@@ -652,6 +652,181 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(ids(spark.read.parquet(lake)) === (0L until 40L).toSet)
   }
 
+  test("snapshot read during an in-flight sweep is read-only: exact data, writer's pending swap still succeeds") {
+    import spark.implicits._
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong, ts(if (i % 2 == 0) "2024-11-01 10:00:00" else "2024-11-02 10:00:00"),
+        1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id").collect().map(_.getLong(0)).toSet
+    val lake = GraftTestSpark.tmpDir("lake_asof_race") + "/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // compactEvery=2 → one completed sweep at batch 1 (gc1 + history gen 1),
+    // then gb2 appends on top
+    val sink = LakeSink.datePartitioned(lake, compactEvery = 2L,
+      targetFileBytes = 1L << 30, minFilesToCompact = 2)
+    sink(rows(0 until 10), 0L)
+    sink(rows(10 until 20), 1L)
+    sink(rows(20 until 30), 2L)
+
+    // drive the NEXT sweep (horizon 2) of the even-id leaf BY HAND into the
+    // instant between its two renames: rewrite staged+stamped in
+    // _compact_tmp, original renamed into history, leaf ABSENT — exactly
+    // where a live writer sits mid-compactOne
+    val leafName = "event_date=2024-11-01"
+    val leaf = new org.apache.hadoop.fs.Path(lake, leafName)
+    val tmp = new org.apache.hadoop.fs.Path(lake, s"_compact_tmp/$leafName")
+    graft.core.Layout.compactParquet(spark, leaf.toString, tmp.toString, 1L << 30)
+    fs.listStatus(tmp).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName.toString).zipWithIndex.foreach { case (f, i) =>
+        require(fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(tmp, s"gc2-p$i.snappy.parquet")))
+      }
+    val hist = new org.apache.hadoop.fs.Path(lake, s"_graft_history/2/$leafName")
+    fs.mkdirs(hist.getParent)
+    require(fs.rename(leaf, hist))
+    assert(!fs.exists(leaf))
+    val tmpFilesBefore = fs.listStatus(tmp).map(_.getPath.getName).sorted.toSeq
+
+    // snapshots at every depth stay exact: asOf 2 serves the absent leaf
+    // from its in-flight rewrite, asOf 1/0 from the retained generations
+    assert(ids(LakeSink.readAsOf(spark, lake, 2L)) === (0L until 30L).toSet)
+    assert(ids(LakeSink.readAsOf(spark, lake, 1L)) === (0L until 20L).toSet)
+    assert(ids(LakeSink.readAsOf(spark, lake, 0L)) === (0L until 10L).toSet)
+    assert(LakeSink.readAsOf(spark, lake, 2L)
+      .filter(col("event_date") =!= to_date(col("ts"))).isEmpty,
+      "partition column lost for the tmp-served leaf")
+
+    // the reads mutated NOTHING: leaf still absent, rewrite still staged
+    // untouched, history generation still in place
+    assert(!fs.exists(leaf), "snapshot read re-materialized the mid-swap leaf")
+    assert(fs.listStatus(tmp).map(_.getPath.getName).sorted.toSeq === tmpFilesBefore,
+      "snapshot read touched the writer's staged rewrite")
+    assert(fs.exists(hist))
+    // ... so the writer's own pending rename completes exactly as it would
+    // have — the failure mode this pins is a reader "promoting" the rewrite
+    // and failing this require inside the live writer
+    require(fs.rename(tmp, leaf), "writer's swap rename failed after a concurrent snapshot read")
+    assert(ids(spark.read.parquet(lake)) === (0L until 30L).toSet)
+    assert(ids(LakeSink.readAsOf(spark, lake, 2L)) === (0L until 30L).toSet)
+  }
+
+  test("commit exchange: two writers racing one batch cannot both commit it") {
+    import spark.implicits._
+    def batchDf(ids: Range) = ids.map(i =>
+      (i.toLong, ts(if (i % 2 == 0) "2024-12-01 10:00:00" else "2024-12-02 10:00:00"),
+        1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val lake = GraftTestSpark.tmpDir("lake_exchange") + "/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // writer A passes its LAST fence validation for batch 1, then — inside
+    // the exact check-then-act window the fence cannot see — writer B
+    // claims the lake and commits the same batch first
+    var raced = false
+    val a = LakeSink.datePartitioned(lake, compactEvery = 0L,
+      faultInjector = (bid, p) => if (bid == 1L && p == "pre-marker" && !raced) {
+        raced = true
+        val b = LakeSink.datePartitioned(lake, compactEvery = 0L)
+        b(batchDf(10 until 20), 1L)
+      })
+    a(batchDf(0 until 10), 0L)
+    val err = intercept[IllegalStateException](a(batchDf(10 until 20), 1L))
+    assert(err.getMessage.contains("commit exchange lost"), err.getMessage)
+
+    // exactly ONE commit of batch 1 survives: 20 distinct rows (A and B
+    // staged identical content under identical names — deterministic
+    // replay — so whoever's files sit in the leaves, the data is single)
+    val got = spark.read.parquet(lake)
+    assert(got.count() === 20L)
+    assert(got.select("event_id").distinct().count() === 20L)
+    // and the single marker is COMPLETE (sentinel-terminated leaf list)
+    val marker = new org.apache.hadoop.fs.Path(lake, "_graft_commits/1")
+    val in = fs.open(marker)
+    val content = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(content.linesIterator.toSeq.last === "#end", s"marker content torn: $content")
+    assert(content.contains("event_date=2024-12-01") && content.contains("event_date=2024-12-02"))
+  }
+
+  test("a zombie paused mid-sweep is fenced before the swap: the successor's commits survive") {
+    import spark.implicits._
+    // single-leaf lake so the sweep's per-leaf fence check is deterministic
+    def batchDf(ids: Range) = ids.map(i =>
+      (i.toLong, ts("2025-01-01 10:00:00"), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val lake = GraftTestSpark.tmpDir("lake_sweep_fence") + "/lake"
+    val zombieSink = LakeSink.datePartitioned(lake, compactEvery = 0L)
+    zombieSink(batchDf(0 until 10), 0L) // zombie holds epoch 1
+
+    // the zombie starts a sweep (epoch 1) and PAUSES after the rewrite job
+    // — the long window the entry-only fence check used to leave open.
+    // While paused, a successor claims the lake and commits batch 1.
+    var successorRan = false
+    val err = intercept[IllegalStateException] {
+      LakeSink.compactPartitions(spark, lake, 1L << 30, minFiles = 1,
+        fenceEpoch = Some(1L),
+        sweepHook = _ => if (!successorRan) {
+          successorRan = true
+          val succ = LakeSink.datePartitioned(lake, compactEvery = 0L)
+          succ(batchDf(10 until 20), 1L)
+        })
+    }
+    assert(successorRan, "race hook never fired")
+    assert(err.getMessage.contains("fenced"), err.getMessage)
+
+    // the stale rewrite (staged BEFORE batch 1 existed) was NOT swapped in:
+    // the successor's rows are still live — the silent-vanish this pins
+    assert(spark.read.parquet(lake).count() === 20L,
+      "zombie's stale-horizon rewrite replaced the successor's commits")
+    // maintenance under a freshly CLAIMED epoch heals the orphan and sweeps
+    val e = LakeSink.claimWriterEpoch(spark, lake)
+    val done = LakeSink.compactPartitions(spark, lake, 1L << 30, minFiles = 2,
+      fenceEpoch = Some(e))
+    assert(done.map(_._1) === Seq("event_date=2025-01-01"))
+    assert(spark.read.parquet(lake).count() === 20L)
+    assert(spark.read.parquet(lake).select("event_id").distinct().count() === 20L)
+  }
+
+  test("a torn commit marker over-approximates the rebuilt dirty set instead of under-sweeping") {
+    import spark.implicits._
+    def rows(date: String, ids: Range) = ids.map(i =>
+      (i.toLong, ts(s"$date 10:00:00"), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value").coalesce(1)
+    val lake = GraftTestSpark.tmpDir("lake_torn_marker") + "/lake"
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafFiles(d: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(lake, s"event_date=$d"))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+
+    // instance 1 fragments leaf A across batches 0 and 1, then dies before
+    // any sweep; both markers are then TORN (content write crashed after
+    // the atomic create — simulated by truncating below the sentinel)
+    val s1 = LakeSink.datePartitioned(lake, compactEvery = 3L,
+      targetFileBytes = 1L << 30, minFilesToCompact = 2)
+    s1(rows("2025-02-01", 0 until 5), 0L)
+    s1(rows("2025-02-01", 5 until 10), 1L)
+    Seq("0", "1").foreach { id =>
+      val m = new org.apache.hadoop.fs.Path(lake, s"_graft_commits/$id")
+      val out = fs.create(m, true)
+      try out.write("event_date=2025-02-0".getBytes("UTF-8")) finally out.close()
+    }
+
+    // instance 2 touches only leaf B; its sweep (batch 2 % 3 == 2) cannot
+    // know which leaves the torn markers named — it must over-sweep (leaf A
+    // gets compacted), never under-sweep (leave A fragmented forever)
+    val s2 = LakeSink.datePartitioned(lake, compactEvery = 3L,
+      targetFileBytes = 1L << 30, minFilesToCompact = 2)
+    s2(rows("2025-02-02", 10 until 15), 2L)
+    assert(leafFiles("2025-02-01") === 1,
+      "leaf named only by torn markers was never swept — dirty set under-approximated")
+    assert(spark.read.parquet(lake).count() === 15L)
+  }
+
   test("replayEventsToLake: engine recovery replays the uncommitted batch, lake stays exactly-once") {
     // the st32 harness at suite scale: phase 1 drains 2 of 4 chunks, the
     // harness drops the engine's last commit record, and recovery MUST
