@@ -630,6 +630,98 @@ object ScaleProbe {
       out
     }
 
+    // ivfpq quantizer-drift rung: the rebuild-trigger question e11/e13
+    // leave open — e11 pins that frozen-quantizer ingest is CHEAP and e13
+    // that rebuild+swap is SAFE, but nothing says WHEN a rebuild pays.
+    // This rung measures it: quantizers are trained on the first 25% of
+    // the corpus (vec_id % 4 == 0), then two ingest waves arrive from a
+    // progressively SHIFTED distribution (unit vectors pulled toward a
+    // fixed direction and renormalized — the covariate-shift shape of
+    // real embedding streams, where fresh content drifts away from the
+    // training snapshot). At each ingested fraction (25/50/100%) the rung
+    // scores recall@5 for queries drawn from the NEWEST wave (fresh
+    // queries resemble fresh data) against exact ground truth over the
+    // current corpus, twice: serving frozen-v1 codes (e11's path) vs a
+    // fresh rebuild at the same corpus (e13's path). The gap curve is the
+    // operator's rebuild trigger: rebuild when measured
+    // recall(frozen) − recall(rebuilt) exceeds the SLO margin — a policy
+    // keyed to MEASURED decay, not ingest fraction (the same rung run on
+    // a stationary stream shows a flat gap, correctly telling the
+    // operator never to rebuild).
+    val ivfpqDriftR = (if (phase == "all" || phase == "ivfpqdrift") Seq(25, 50, 100)
+      else Seq.empty[Int]) match {
+      case Seq() => Seq.empty[(Int, (Double, Double, Long))]
+      case pcts =>
+        val sim = graft.operators.SimilarityOps
+        val raw = graft.core.Tables.load(spark, dir, "embeddings")
+          .select("vec_id", "embedding")
+        // wave w shifted by w * 1.0 along u = ones/8 (unit), renormalized
+        def shifted(wave: DataFrame, delta: Double): DataFrame = wave
+          .selectExpr("vec_id",
+            s"transform(embedding, x -> CAST(x + ${delta} * 0.125D AS FLOAT)) AS e1")
+          .selectExpr("vec_id", "e1", "CAST(sqrt(vec_dot(e1, e1)) AS DOUBLE) AS nrm")
+          .selectExpr("vec_id",
+            "transform(e1, x -> CAST(x / nrm AS FLOAT)) AS embedding")
+        val base = raw.filter(col("vec_id") % 4 === 0).cache()
+        val wave1 = shifted(raw.filter(col("vec_id") % 4 === 1), 1.0).cache()
+        val wave2 = shifted(raw.filter(col("vec_id") % 4 >= 2), 2.0).cache()
+        base.count(); wave1.count(); wave2.count()
+        val idx1 = sim.ivfpqBuild(base) // the FROZEN v1 quantizers
+        val frozenBase = idx1.codes.localCheckpoint(); frozenBase.count()
+
+        def recallAt(corpus: DataFrame, queries: DataFrame, idx: sim.IvfPqIndex): Double = {
+          val wx = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+          val exact: Map[Long, Set[Long]] = queries
+            .selectExpr("vec_id AS qid", "embedding AS qemb",
+              "vec_dot(embedding, embedding) AS qsq")
+            .crossJoin(corpus.selectExpr("vec_id", "embedding AS emb",
+              "vec_dot(embedding, embedding) AS sq"))
+            .filter(col("vec_id") =!= col("qid"))
+            .selectExpr("qid", "vec_id", "qsq + sq - 2 * vec_dot(qemb, emb) AS dist")
+            .withColumn("rnk", row_number().over(wx))
+            .filter(col("rnk") <= sim.PqTopK)
+            .collect().groupBy(_.getAs[Long]("qid"))
+            .map { case (g, rs) => g -> rs.map(_.getAs[Long]("vec_id")).toSet }
+          val got = sim.ivfpqScan(queries, idx).collect()
+            .groupBy(_.getAs[Long]("qid"))
+            .map { case (g, rs) => g -> rs.map(_.getAs[Long]("doc_id")).toSet }
+          exact.map { case (g, want) =>
+            got.getOrElse(g, Set.empty).count(want).toDouble / want.size
+          }.sum / exact.size
+        }
+        val out = pcts.map { pct =>
+          val (corpus, newest) = pct match {
+            case 25  => (base, base)
+            case 50  => (base.unionByName(wave1), wave1)
+            case _   => (base.unionByName(wave1).unionByName(wave2), wave2)
+          }
+          val n = corpus.count()
+          // 3 fresh queries: the newest wave's lowest ids
+          val qids = newest.select("vec_id").orderBy(col("vec_id")).limit(3)
+            .collect().map(_.getLong(0))
+          val queries = corpus.filter(col("vec_id").isin(qids: _*))
+          val frozenCodes = pct match {
+            case 25 => frozenBase
+            case 50 => frozenBase.unionByName(sim.ivfpqIngest(wave1, idx1))
+            case _  => frozenBase.unionByName(sim.ivfpqIngest(wave1, idx1))
+              .unionByName(sim.ivfpqIngest(wave2, idx1))
+          }
+          val rFrozen = recallAt(corpus, queries, idx1.copy(codes = frozenCodes))
+          val rRebuilt =
+            if (pct == 25) rFrozen // same index by construction
+            else recallAt(corpus, queries, sim.ivfpqBuild(corpus))
+          System.err.println(
+            f"[scale] ivfpqdrift $pct%3d%% ingested  corpus=$n%6d  " +
+              f"recall5(frozen)=$rFrozen%.3f  recall5(rebuilt)=$rRebuilt%.3f  " +
+              f"gap=${rRebuilt - rFrozen}%+.3f")
+          (pct, (rFrozen, rRebuilt, n))
+        }
+        base.unpersist(); wave1.unpersist(); wave2.unpersist()
+        graft.core.Checkpoints.release(frozenBase)
+        out
+    }
+
     // lake sweep rung: LakeSink's dirty-set claim — a scoped compaction
     // sweep costs O(|dirty leaves|), independent of how many partitions
     // the TABLE has. One 30-leaf lake (the events fixture per day, each
@@ -880,6 +972,8 @@ object ScaleProbe {
       s""""ivfpqingest_${k}x":{"ingest":$t}"""
     } ++ ivfpqMaskR.map { case (pct, t) =>
       s""""ivfpqmask_${pct}pct":{"scan":$t}"""
+    } ++ ivfpqDriftR.map { case (pct, (rf, rr, n)) =>
+      s""""ivfpqdrift_${pct}pct":{"recall5_frozen":$rf,"recall5_rebuilt":$rr,"corpus":$n}"""
     } ++ lakeSweepR.map { case (k, t) =>
       s""""lakesweep_${k}":{"sweep":$t}"""
     } ++ hotkeyR.map { case (s, t) =>

@@ -1259,9 +1259,9 @@ object SimilarityOps {
     * At 100 TB the allowed set itself can exceed broadcast size; the same
     * plan then runs with the semi join as a shuffle join on vec_id, or the
     * predicate column is denormalized into the codes relation at encode
-    * time (cell, label) and the mask becomes a pushed-down scan filter —
-    * both shapes preserved by expressing the mask as a relational join
-    * rather than a driver-side set.
+    * time and the mask becomes a pushed-down scan filter — the first shape
+    * preserved by expressing the mask as a relational join rather than a
+    * driver-side set, the second implemented as [[e16]]/[[ivfpqDenormBuild]].
     */
   def ivfpqFilteredScan(queries: DataFrame, idx: IvfPqIndex, allowed: DataFrame,
       nProbes: Int = IvfPqProbes, topK: Int = PqTopK): DataFrame =
@@ -1993,6 +1993,54 @@ object SimilarityOps {
       embs.filter(col("label") < 4))
   }
 
+  /** e16: PREDICATE-DENORMALIZED filtered ANN — e15's own stated 100 TB
+    * fallback, implemented: when the allowed-id set is too large to
+    * broadcast (or to materialize at all), the predicate COLUMN is
+    * denormalized into the codes relation at encode time ([[
+    * ivfpqDenormBuild]] — one small column riding each stored code row)
+    * and the mask becomes a pushed-down data filter on the stored codes
+    * SCAN: zero mask join, zero broadcast, zero extra shuffle at query
+    * time, cost O(predicate evaluation per probed row) with parquet
+    * row-group skipping doing the heavy lifting. The trade: the predicate
+    * must be expressible over encode-time columns (label drift needs a
+    * re-encode or an e12-style upsert), which is exactly why both shapes
+    * exist. Results are contractually IDENTICAL to e15's semi-join mask —
+    * same oracle SQL, and the companion plan test pins pushed label
+    * filter + no semi join.
+    */
+  def ivfpqDenormBuild(embs: DataFrame, metaCols: Seq[String]): IvfPqIndex = {
+    val idx = ivfpqBuild(embs)
+    idx.copy(codes = idx.codes.join(embs.select("vec_id", metaCols: _*), Seq("vec_id")))
+  }
+
+  val e16 = Q(
+    "e16_ivfpq_denorm_filtered",
+    s"""WITH $duckIvfPqCtes
+       |SELECT qid, rnk, vec_id AS doc_id, round(dist, 4) AS adist FROM (
+       |  SELECT a.qid, a.vec_id, a.dist,
+       |    row_number() OVER (PARTITION BY a.qid
+       |      ORDER BY round(a.dist, 4), a.vec_id) AS rnk
+       |  FROM adist a JOIN embeddings v ON v.vec_id = a.vec_id
+       |  WHERE v.label < 4) t
+       |WHERE rnk <= $PqTopK""".stripMargin) { (s, dir) =>
+    val embs = Tables.load(s, dir, "embeddings")
+    val idx = ivfpqDenormBuild(embs, Seq("label"))
+    // the stored shape: label lives IN the codes parquet (cell-partitioned
+    // like the index store), so the mask reaches the scan as PushedFilters
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_denorm_")
+    val codesDir = base.resolve("codes").toString
+    idx.codes.write.partitionBy("cell").parquet(codesDir)
+    val stored = s.read.parquet(codesDir)
+      .select(col("vec_id"), col("s"), col("code"),
+        col("cell").cast("long").as("cell"), col("label"))
+    val res = ivfpqScan(embs.filter(col("vec_id") < 3),
+      IvfPqIndex(idx.cents, idx.cb, stored.filter(col("label") < 4)))
+    // pin the k-row result and reclaim the scratch store (f11's discipline)
+    val rows = res.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), res.schema)
+  }
+
   val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11,
-    e12, e13, e14, e15)
+    e12, e13, e14, e15, e16)
 }

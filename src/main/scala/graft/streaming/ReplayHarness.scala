@@ -1048,6 +1048,110 @@ object ReplayHarness {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
   }
 
+  /** st44: STREAMING TAIL FROM A SNAPSHOT — the lake-consumer bootstrap
+    * shape Delta calls `startingVersion`: a new downstream job must not
+    * re-stream years of history, so it batch-loads the as-of-N snapshot
+    * ([[LakeSink.readAsOf]]) and then tails ONLY the commits after N,
+    * exactly-once across the transition. The certified contract:
+    *
+    *   - the lake is laid by the production sink with a compaction sweep
+    *     exactly AT the snapshot horizon (batches 0..3, sweep at 3, then
+    *     gb4/gb5 appends), so the bootstrap reads compacted `gc3` rewrites
+    *     while the same leaves already hold post-horizon files the tail —
+    *     and only the tail — must deliver;
+    *   - the tail is the plain file-stream source over the lake plus a
+    *     LINEAGE FILTER on the per-batch deterministic file names
+    *     (`g[bc]<id>-` with id > N): pre-horizon files are read-and-
+    *     dropped once at bootstrap (the checkpointed source never re-lists
+    *     a processed path), so the steady-state tail pays only for new
+    *     files. At 100 TB the once-only bootstrap pass is the cost of NOT
+    *     having a manifest source; a ledger-driven DSv2 source tailing
+    *     `_graft_commits` markers would skip even that and is the stated
+    *     upgrade path;
+    *   - mid-tail the engine's last commit record is dropped and two more
+    *     batches (a second sink generation, gb6/gb7) land before the
+    *     restart — the recovery drain must replay the un-committed
+    *     micro-batch idempotently AND pick up the new commits;
+    *   - the census tags every silver row with the hop that delivered it
+    *     (`snapshot` vs `tail`). A tail that re-delivers a snapshot row, a
+    *     bootstrap that leaks a post-horizon row, a replay double-append,
+    *     or a missed append each shift a (date, type, phase) cell.
+    */
+  def replayTailFromSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val base = scratchDir("graft_snaptail_")
+    val lakeDir = base.resolve("lake").toString
+    val snapDir = base.resolve("snap").toString
+    val tailOut = base.resolve("tail")
+    val ckpt = base.resolve("ckpt").toString
+    val horizon = 3L
+
+    // bronze: batches 0..5 through the production sink, one sweep at the
+    // snapshot horizon (compactEvery=4) — leaves then hold gc3 + gb4 + gb5
+    val sink = LakeSink.datePartitioned(lakeDir, compactEvery = 4L,
+      targetFileBytes = 512L << 10, minFilesToCompact = 2)
+    (0 until 6).foreach { i =>
+      sink(events.filter(pmod(col("event_id"), lit(8)) === i), i.toLong)
+    }
+
+    // BOOTSTRAP: batch-load the snapshot once; this is the whole history
+    // scan a tail-from-zero would otherwise re-stream
+    LakeSink.readAsOf(spark, lakeDir, horizon)
+      .select("event_id", "event_date", "event_type", "value")
+      .write.parquet(snapDir)
+
+    // TAIL: file-stream the live lake, serving only post-horizon lineage
+    val schema = org.apache.spark.sql.types.StructType(events.schema.fields :+
+      org.apache.spark.sql.types.StructField("event_date",
+        org.apache.spark.sql.types.DateType))
+    def drain(): Unit = {
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "7").parquet(lakeDir)
+      val q = in
+        .filter(regexp_extract(input_file_name(), "/g[bc](\\d+)-", 1)
+          .cast("long") > horizon)
+        .select("event_id", "event_date", "event_type", "value")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.coalesce(1).write.mode("overwrite")
+            .parquet(tailOut.resolve(s"b$batchId").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // transition-batch crash: the engine committed the sink-side effect
+    // but lost its commit record — recovery must replay it idempotently
+    val replayedId = dropLastCommitRecord(java.nio.file.Paths.get(ckpt))
+    require(replayedId > 0,
+      s"tail drained in a single micro-batch ($replayedId) — the replay probe needs a longer tail")
+    // two more commits land before the restart (a fresh sink generation;
+    // no sweep — live-rewrite re-delivery is st40's certified concern)
+    val sink2 = LakeSink.datePartitioned(lakeDir, compactEvery = 0L)
+    (6 until 8).foreach { i =>
+      sink2(events.filter(pmod(col("event_id"), lit(8)) === i), i.toLong)
+    }
+    System.err.println(s"[snaptail] dropped commit $replayedId; restarting the " +
+      "tail across the replay + two new commits")
+    drain()
+
+    val census = spark.read.parquet(snapDir).withColumn("phase", lit("snapshot"))
+      .unionByName(spark.read.schema(
+          org.apache.spark.sql.types.StructType(schema.filter(f => f.name != "ts" && f.name != "user_id")))
+        .option("recursiveFileLookup", "true").parquet(tailOut.toString)
+        .withColumn("phase", lit("tail")))
+      .groupBy(col("event_date"), col("event_type"), col("phase"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = census.collect().toIndexedSeq
+    val outSchema = census.schema
+    cleanupScratch(base)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), outSchema)
+  }
+
   /** RAM-backed scratch when /dev/shm is writable (replay cost is
     * fsync-dominated; a verification harness needs no durability) — the
     * one place the shm-or-tmp choice lives.

@@ -1539,6 +1539,25 @@ object StreamingQueries {
     ReplayHarness.replaySourceEvolution(s, dir)
   }
 
+  /** st44: STREAMING TAIL FROM A SNAPSHOT — the consumer-bootstrap shape
+    * f11 (batch time travel) leaves open and Delta serves with
+    * `startingVersion`: batch-load `readAsOf(N)`, then tail only the
+    * commits after N, exactly-once across the transition (including an
+    * engine-commit-record drop mid-tail and two appends landing across
+    * the restart). The census tags each row with the hop that delivered
+    * it — a re-delivered snapshot row, a leaked post-horizon row, or a
+    * replay double-append each shift a (date, type, phase) cell. See
+    * [[ReplayHarness.replayTailFromSnapshot]].
+    */
+  val st44 = Q("st44_stream_tail_from_snapshot",
+    """SELECT ts::DATE AS event_date, event_type,
+      |  CASE WHEN event_id % 8 <= 3 THEN 'snapshot' ELSE 'tail' END AS phase,
+      |  count(*) AS n, round(sum(value), 2) AS total_value,
+      |  sum(event_id)::BIGINT AS id_checksum
+      |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayTailFromSnapshot(s, dir)
+  }
+
   val st37 = Q("st37_stream_bronze_silver_gold",
     """WITH w AS (
       |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_type,
@@ -1555,5 +1574,5 @@ object StreamingQueries {
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
-      st38, st39, st40, st41, st42, st43)
+      st38, st39, st40, st41, st42, st43, st44)
 }

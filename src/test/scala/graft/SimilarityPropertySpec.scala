@@ -287,6 +287,123 @@ class SimilarityPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("e16 denormalized mask: identical results to e15's semi join, pushed scan filter, no mask join") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    val queries = embs.filter(col("vec_id") < 3)
+    val allowed = embs.filter(col("label") < 4)
+
+    // e16's stored shape: label denormalized into the codes parquet
+    val idx = SimilarityOps.ivfpqDenormBuild(embs, Seq("label"))
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_denorm_spec_")
+    try {
+      val codesDir = base.resolve("codes").toString
+      idx.codes.write.partitionBy("cell").parquet(codesDir)
+      val stored = spark.read.parquet(codesDir)
+        .select(col("vec_id"), col("s"), col("code"),
+          col("cell").cast("long").as("cell"), col("label"))
+      val denorm = SimilarityOps.ivfpqScan(queries,
+        SimilarityOps.IvfPqIndex(idx.cents, idx.cb, stored.filter(col("label") < 4)))
+
+      // contract 1: row-identical to the semi-join mask (same candidates,
+      // same ADC scores, same deterministic tie-break)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "rnk", "doc_id", "adist").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val semiDf = SimilarityOps.ivfpqFilteredScan(queries,
+        SimilarityOps.ivfpqBuild(embs), allowed)
+      assert(rows(denorm) === rows(semiDf),
+        "denormalized-predicate scan diverged from the semi-join mask")
+
+      // contract 2: the mask reached the STORAGE layer — the codes scan
+      // carries a pushed label filter, and no semi join (e15's mask shape)
+      // survives anywhere in the plan
+      val plan = denorm.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(label), LessThan(label,4)"),
+        s"label predicate not pushed to the codes scan:\n${plan.take(4000)}")
+      assert(!plan.contains("LeftSemi"),
+        "denormalized path must not carry a semi-join mask")
+      // and e15's plan DOES carry it — the negative control
+      assert(semiDf.queryExecution.executedPlan.toString.contains("LeftSemi"),
+        "e15 mask shape changed — the negative control lost its teeth")
+    } finally graft.streaming.ReplayHarness.cleanupScratch(base)
+  }
+
+  test("quantizer drift: frozen ingest equals build at the 25% point; rebuild pays once the stream shifts") {
+    // the ScaleProbe ivfpqdrift rung's suite-scale bounds (same fixture
+    // construction: quantizers trained on vec_id % 4 == 0, ingest waves
+    // pulled toward a fixed direction and renormalized)
+    import org.apache.spark.sql.functions._
+    val sim = SimilarityOps
+    val raw = graft.core.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    def shifted(wave: org.apache.spark.sql.DataFrame, delta: Double) = wave
+      .selectExpr("vec_id",
+        s"transform(embedding, x -> CAST(x + ${delta} * 0.125D AS FLOAT)) AS e1")
+      .selectExpr("vec_id", "e1", "CAST(sqrt(vec_dot(e1, e1)) AS DOUBLE) AS nrm")
+      .selectExpr("vec_id", "transform(e1, x -> CAST(x / nrm AS FLOAT)) AS embedding")
+    val base = raw.filter(col("vec_id") % 4 === 0)
+    val idx1 = sim.ivfpqBuild(base)
+
+    // (1) the 25% point is EXACT by rule identity: re-encoding the base
+    // through the ingest path against its own frozen quantizers yields
+    // byte-identical code rows — e11's "assignment and encode are the
+    // identical rule on both sides", pinned as set equality
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("s"), col("code"), col("cell").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(codeRows(sim.ivfpqIngest(base, idx1)) === codeRows(idx1.codes),
+      "ingest-path encode diverged from build-path encode on identical inputs")
+
+    def recallAt(corpus: org.apache.spark.sql.DataFrame,
+        queries: org.apache.spark.sql.DataFrame, idx: sim.IvfPqIndex): Double = {
+      val wx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      val exact = queries
+        .selectExpr("vec_id AS qid", "embedding AS qemb",
+          "vec_dot(embedding, embedding) AS qsq")
+        .crossJoin(corpus.selectExpr("vec_id", "embedding AS emb",
+          "vec_dot(embedding, embedding) AS sq"))
+        .filter(col("vec_id") =!= col("qid"))
+        .selectExpr("qid", "vec_id", "qsq + sq - 2 * vec_dot(qemb, emb) AS dist")
+        .withColumn("rnk", row_number().over(wx)).filter(col("rnk") <= sim.PqTopK)
+        .collect().groupBy(_.getAs[Long]("qid"))
+        .map { case (g, rs) => g -> rs.map(_.getAs[Long]("vec_id")).toSet }
+      val got = sim.ivfpqScan(queries, idx).collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (g, rs) => g -> rs.map(_.getAs[Long]("doc_id")).toSet }
+      exact.map { case (g, want) =>
+        got.getOrElse(g, Set.empty).count(want).toDouble / want.size
+      }.sum / exact.size
+    }
+    // (2) recall floor at the 25% point (measured 0.467 on this fixture —
+    // a quantizer or fixture regression drops it loudly)
+    val qBase = base.filter(col("vec_id") < 12)
+    val r25 = recallAt(base, qBase, idx1)
+    assert(r25 >= 0.4, f"base-point recall@5 $r25%.3f below the 0.4 floor")
+
+    // (3) the rung's raison d'être: once the stream has shifted (100%
+    // point — two drifted waves ingested against frozen v1), a rebuild
+    // must recover strictly more recall on fresh queries than the frozen
+    // quantizers retain (measured 0.200 vs 0.067)
+    val wave1 = shifted(raw.filter(col("vec_id") % 4 === 1), 1.0)
+    val wave2 = shifted(raw.filter(col("vec_id") % 4 >= 2), 2.0)
+    val corpus = base.unionByName(wave1).unionByName(wave2).cache()
+    val qids = wave2.select("vec_id").orderBy(col("vec_id")).limit(3)
+      .collect().map(_.getLong(0))
+    val fresh = corpus.filter(col("vec_id").isin(qids: _*))
+    val frozenCodes = idx1.codes
+      .unionByName(sim.ivfpqIngest(wave1, idx1))
+      .unionByName(sim.ivfpqIngest(wave2, idx1))
+    val rFrozen = recallAt(corpus, fresh, idx1.copy(codes = frozenCodes))
+    val rRebuilt = recallAt(corpus, fresh, sim.ivfpqBuild(corpus))
+    info(f"drift 100%% point: recall5 frozen $rFrozen%.3f, rebuilt $rRebuilt%.3f")
+    assert(rRebuilt > rFrozen,
+      f"rebuild did not pay under planted drift: frozen $rFrozen%.3f >= rebuilt $rRebuilt%.3f")
+    corpus.unpersist()
+  }
+
   test("e7 BM25: idf ordering, tf saturation, and length normalization") {
     import spark.implicits._
     // crafted corpus — every pad token is unique to its document, so pads
