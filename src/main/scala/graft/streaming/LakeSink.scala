@@ -135,14 +135,23 @@ object LakeSink {
         // restart-from-checkpoint replay of an already-committed batch:
         // the ledger makes the WRITE a no-op (this exact path is what keeps
         // the lake duplicate-free across the st10/st27-style kill+restart) —
-        // but the batch must still be CONSUMED. When the upstream is
-        // stateful (e.g. a watermarked window agg feeding this sink), the
-        // replayed micro-batch is what re-loads and re-commits every state
-        // store partition; skipping the action entirely commits zero
-        // partitions and Spark 4's commit validation aborts the query with
+        // but a STATEFUL batch must still be CONSUMED: when the upstream is
+        // e.g. a watermarked window agg, the replayed micro-batch is what
+        // re-loads and re-commits every state store partition; skipping the
+        // action entirely commits zero partitions and Spark 4's commit
+        // validation aborts the query with
         // STATE_STORE_COMMIT_VALIDATION_FAILED. A full-partition noop write
         // materializes the plan (state commits) without touching the lake.
-        batch.write.format("noop").mode("overwrite").save()
+        // A STATELESS batch has no stores to commit, so the replay skips
+        // the re-read entirely (detected off the planned micro-batch — the
+        // r13-accepted full-re-read tax on stateless upstreams, removed);
+        // a non-streaming caller (batch backfill through the same closure)
+        // has no state either and skips likewise.
+        if (hasStatefulOperator(batch))
+          batch.write.format("noop").mode("overwrite").save()
+        else System.err.println(
+          s"[lake] batch $batchId already committed and upstream is " +
+            "stateless — skipping the replay re-read")
         // A crash between marker and staging cleanup leaves the staged
         // copy behind — reclaim it here, where the marker proves it stale
         fs.delete(staging, true)
@@ -185,6 +194,38 @@ object LakeSink {
           batchId.toString)
         dirty.clear()
       }
+  }
+
+  /** Whether the micro-batch carries state-store work (window agg, dedup,
+    * join state, transformWithState, …) — the condition under which a
+    * committed-batch replay must still be materialized so every store
+    * partition loads and commits. The foreachBatch DataFrame is NOT the
+    * incremental plan (Spark hands an RDDScanExec over the incremental
+    * execution's output RDD), so the stateful operators are only visible
+    * in that RDD's DEPENDENCY LINEAGE: walk it for the state-store RDDs
+    * (`BaseStateStoreRDD` for aggs/dedup/arbitrary state,
+    * `StateStoreAwareZipPartitionsRDD` for stream-stream joins — matched
+    * by name so one trait move in Spark can't silently flip the detector
+    * to a false NEGATIVE... a miss here aborts the replay loudly with
+    * STATE_STORE_COMMIT_VALIDATION_FAILED rather than corrupting data). A
+    * batch whose leaves are not RDD handoffs was built by a direct batch
+    * caller (backfill) — no streaming state by construction.
+    */
+  private[graft] def hasStatefulOperator(batch: DataFrame): Boolean = {
+    val roots = batch.queryExecution.executedPlan.collectLeaves().collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r.rdd
+    }
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val stack = scala.collection.mutable.Stack[org.apache.spark.rdd.RDD[_]](roots: _*)
+    var found = false
+    while (stack.nonEmpty && !found) {
+      val r = stack.pop()
+      if (seen.add(r.id)) {
+        if (r.getClass.getName.contains("StateStore")) found = true
+        else r.dependencies.foreach(d => stack.push(d.rdd))
+      }
+    }
+    found
   }
 
   private val WriterRoot = "_graft_writer"
@@ -683,6 +724,106 @@ object LakeSink {
     files.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (mount, fl) =>
         spark.read.option("basePath", mount).parquet(fl.map(_._2): _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** LEDGER-DRIVEN INCREMENTAL TAIL — batch-read exactly the commits in
+    * `(fromExclusive, toInclusive]`, the consumption shape Delta serves
+    * with CDF/startingVersion batch reads and the stated 100 TB upgrade
+    * over st44's file-stream tail: a file-stream source LISTS the whole
+    * table every trigger and must read-and-drop every pre-horizon file at
+    * bootstrap, while this read touches ONLY the leaves named by the
+    * tailed commit markers — O(range's leaves) FS calls — and is IMMUNE
+    * to compaction re-delivery because it addresses files by LINEAGE NAME
+    * (`gb<id>-`), never by directory snapshot: a sweep that merges served
+    * batches into a `gc` rewrite does not change which files batch N
+    * owns — they move wholesale into the retained pre-sweep generation,
+    * where this read follows them (gb<id> lives in the smallest stored
+    * horizon >= id, or the live leaf when id is past every horizon) until
+    * [[vacuum]] prunes the generation, after which the read FAILS LOUDLY
+    * (the same vacuum-window contract as [[readAsOf]]). A torn marker
+    * (content crash after the commit exchange) hides its leaf list, so
+    * the lookup over-approximates to every live and historical leaf for
+    * that batch — over-list, never drop rows. The caller owns the
+    * high-water mark (the Kafka-offsets discipline): persist `to` only
+    * after the downstream effect commits, and make the effect idempotent
+    * per range so a crash between the two replays harmlessly.
+    */
+  def tailCommits(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    require(fromExclusive <= toInclusive,
+      s"empty tail range ($fromExclusive, $toInclusive]")
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new Path(root, "_graft_commits")
+    require(fs.exists(ledger), s"no commit ledger under $lakeDir — " +
+      "ledger tailing needs a LakeSink-written lake")
+    val histRoot = new Path(root, HistoryRoot)
+    val horizons: Seq[Long] =
+      if (!fs.exists(histRoot)) Seq.empty
+      else fs.listStatus(histRoot).toSeq
+        .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
+        .map(_.getPath.getName.toLong).sorted
+    def allLeafNames: Seq[String] = {
+      val live = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+        .map(_.getPath.getName)
+      val hist = horizons.flatMap { b =>
+        fs.listStatus(new Path(histRoot, b.toString)).toSeq
+          .filter(_.isDirectory).map(_.getPath.getName)
+      }
+      (live ++ hist).distinct
+    }
+    // (mount, file) pairs for one batch's files in one leaf: live leaf when
+    // the batch is past every sweep horizon, else the smallest stored
+    // generation >= the batch id (which holds the leaf's state just before
+    // the sweep that merged this batch away); `strict` requires the files
+    // to exist (a marker named this leaf), the over-approximated torn-
+    // marker path probes quietly
+    def locate(batchId: Long, leafName: String, strict: Boolean): Seq[(String, String)] = {
+      def gbFiles(dir: Path): Seq[(String, String)] =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith(s"gb$batchId-"))
+          .sortBy(_.getPath.getName.toString)
+          .map(f => dir.getParent.toString -> f.getPath.toString)
+      // the leaf's OWN sweep history (scoped sweeps rewrite only some
+      // leaves per horizon): gb<id> lives in the smallest of ITS stored
+      // horizons >= id — earlier leaf sweeps merged only batches < id, so
+      // that generation still carries the file
+      val servingGen = horizons
+        .filter(b => fs.exists(new Path(new Path(histRoot, b.toString), leafName)))
+        .find(_ >= batchId)
+      val served = servingGen match {
+        case None => gbFiles(new Path(root, leafName))
+        case Some(b) => gbFiles(new Path(new Path(histRoot, b.toString), leafName))
+      }
+      if (served.isEmpty && strict) throw new IllegalStateException(
+        s"ledger tail lost batch $batchId in $leafName: its files are in " +
+          s"neither the live leaf nor the ${servingGen.fold("(no)")(b => s"horizon-$b")} " +
+          "generation — the retaining generation has been vacuumed; " +
+          "incremental tails reach exactly as far back as the retained history")
+      served
+    }
+    val files = ((fromExclusive + 1) to toInclusive).flatMap { id =>
+      val marker = new Path(ledger, id.toString)
+      require(fs.exists(marker), s"ledger tail lost batch $id: its commit " +
+        "marker has been pruned — tail before vacuum's ledgerKeep horizon passes")
+      readMarkerLeaves(fs, marker) match {
+        case Some(leaves) => leaves.flatMap(l => locate(id, l, strict = true))
+        case None => // torn content: leaf list unknown — probe everywhere
+          allLeafNames.flatMap(l => locate(id, l, strict = false))
+      }
+    }
+    require(files.nonEmpty,
+      s"no files found for commits ($fromExclusive, $toInclusive] under $lakeDir")
+    files.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (mount, fl) =>
+        spark.read.option("basePath", mount).parquet(fl.map(_._2).distinct: _*)
       }
       .reduce(_ unionByName _)
   }

@@ -1152,6 +1152,115 @@ object ReplayHarness {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), outSchema)
   }
 
+  /** st45: LEDGER-DRIVEN INCREMENTAL TAIL — st44's stated 100 TB upgrade
+    * path, executed: instead of file-streaming the lake (whole-table
+    * listing per trigger, bootstrap read-and-drop, dedup hardening against
+    * compaction re-delivery), the consumer tails the COMMIT LEDGER with a
+    * self-owned high-water mark — the Kafka-offsets discipline over
+    * [[LakeSink.tailCommits]]. Certified, each piece load-bearing:
+    *
+    *   - bootstrap = `readAsOf(3)` + mark 3 (batches 0..3, sweep at 3);
+    *   - each consumption reads `(mark, latest]` and writes a
+    *     DETERMINISTICALLY-NAMED per-range output, advancing the mark only
+    *     after the write — the crash between effect and mark is replayed
+    *     by rewinding the mark and re-consuming: the overwrite is
+    *     idempotent (asserted by re-running the first range);
+    *   - COMPACTION IMMUNITY, the property the file-stream tail buys with
+    *     dedup state (st40) and this tail gets for free: between
+    *     consumptions a full sweep merges the already-served batches into
+    *     a `gc` rewrite; re-reading the SAME range must return the SAME
+    *     rows, now served from the retained pre-sweep generation — the
+    *     harness requires set equality before/after the sweep;
+    *   - two more commits from a successor sink generation are consumed
+    *     incrementally after the sweep.
+    *
+    * The census tags rows by delivering hop (snapshot vs tail) — a
+    * re-delivered, double-consumed, or dropped batch shifts a cell.
+    */
+  def replayLedgerTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val base = scratchDir("graft_ledgertail_")
+    val lakeDir = base.resolve("lake").toString
+    val silver = base.resolve("silver")
+    val hwPath = base.resolve("hw")
+    Files.createDirectories(silver)
+
+    val sink = LakeSink.datePartitioned(lakeDir, compactEvery = 4L,
+      targetFileBytes = 512L << 10, minFilesToCompact = 2)
+    (0 until 6).foreach { i =>
+      sink(events.filter(pmod(col("event_id"), lit(8)) === i), i.toLong)
+    }
+
+    // bootstrap: snapshot + high-water mark
+    LakeSink.readAsOf(spark, lakeDir, 3L)
+      .select("event_id", "event_date", "event_type", "value")
+      .write.parquet(silver.resolve("snapshot").toString)
+    def writeHw(v: Long): Unit = { Files.writeString(hwPath, v.toString); () }
+    def readHw(): Long = Files.readString(hwPath).trim.toLong
+    writeHw(3L)
+    def maxMarker(): Long = {
+      val l = Files.list(base.resolve("lake").resolve("_graft_commits"))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .foldLeft(-1L)(math.max)
+      finally l.close()
+    }
+    def rangeCols(df: DataFrame): DataFrame =
+      df.select("event_id", "event_date", "event_type", "value")
+    def consume(): (Long, Long) = {
+      val from = readHw(); val to = maxMarker()
+      if (to > from) {
+        rangeCols(LakeSink.tailCommits(spark, lakeDir, from, to))
+          .write.mode("overwrite")
+          .parquet(silver.resolve(s"range_${from}_$to").toString)
+        writeHw(to)
+      }
+      (from, to)
+    }
+    val (f1, t1) = consume()
+    require(f1 == 3L && t1 == 5L, s"unexpected first tail range ($f1, $t1]")
+    // crash between effect and mark: rewind and re-consume — idempotent
+    writeHw(3L)
+    require(consume() == ((3L, 5L)), "crash-replay consumed a different range")
+
+    // compaction immunity: the served range must be byte-stable across a
+    // sweep that merges its batches away
+    def rangeIds(from: Long, to: Long): Set[Long] =
+      rangeCols(LakeSink.tailCommits(spark, lakeDir, from, to))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    val preSweep = rangeIds(3L, 5L)
+    val epoch = LakeSink.claimWriterEpoch(spark, lakeDir)
+    val swept = LakeSink.compactPartitions(spark, lakeDir, 512L << 10,
+      minFiles = 2, fenceEpoch = Some(epoch))
+    require(swept.nonEmpty, "immunity probe vacuous: the sweep rewrote nothing")
+    val postSweep = rangeIds(3L, 5L)
+    require(preSweep == postSweep,
+      s"compaction changed a served range: ${(preSweep -- postSweep).size} lost, " +
+        s"${(postSweep -- preSweep).size} gained")
+
+    // a successor generation appends two more commits; consume them
+    val sink2 = LakeSink.datePartitioned(lakeDir, compactEvery = 0L)
+    (6 until 8).foreach { i =>
+      sink2(events.filter(pmod(col("event_id"), lit(8)) === i), i.toLong)
+    }
+    require(consume() == ((5L, 7L)), "post-sweep appends not tailed")
+
+    val census = spark.read.parquet(silver.resolve("snapshot").toString)
+      .withColumn("phase", lit("snapshot"))
+      .unionByName(spark.read
+        .parquet(silver.resolve("range_3_5").toString,
+          silver.resolve("range_5_7").toString)
+        .withColumn("phase", lit("tail")))
+      .groupBy(col("event_date"), col("event_type"), col("phase"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = census.collect().toIndexedSeq
+    val outSchema = census.schema
+    cleanupScratch(base)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), outSchema)
+  }
+
   /** RAM-backed scratch when /dev/shm is writable (replay cost is
     * fsync-dominated; a verification harness needs no durability) — the
     * one place the shm-or-tmp choice lives.

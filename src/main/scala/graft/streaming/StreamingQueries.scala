@@ -1558,6 +1558,26 @@ object StreamingQueries {
     ReplayHarness.replayTailFromSnapshot(s, dir)
   }
 
+  /** st45: LEDGER-DRIVEN INCREMENTAL TAIL — st44's stated upgrade path
+    * executed: the consumer tails the commit ledger with a self-owned
+    * high-water mark ([[graft.streaming.LakeSink.tailCommits]] — files
+    * addressed by lineage name, O(range's leaves) FS calls, no whole-table
+    * listing, no bootstrap read-and-drop) and is IMMUNE to compaction
+    * re-delivery without any dedup state: the harness re-reads a served
+    * range across a sweep that merged its batches away and requires set
+    * equality, then replays a crash between effect and mark. Same oracle
+    * shape as st44 — the two rows price the two tail architectures
+    * against one census. See [[ReplayHarness.replayLedgerTail]].
+    */
+  val st45 = Q("st45_ledger_incremental_tail",
+    """SELECT ts::DATE AS event_date, event_type,
+      |  CASE WHEN event_id % 8 <= 3 THEN 'snapshot' ELSE 'tail' END AS phase,
+      |  count(*) AS n, round(sum(value), 2) AS total_value,
+      |  sum(event_id)::BIGINT AS id_checksum
+      |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayLedgerTail(s, dir)
+  }
+
   val st37 = Q("st37_stream_bronze_silver_gold",
     """WITH w AS (
       |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_type,
@@ -1574,5 +1594,5 @@ object StreamingQueries {
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
-      st38, st39, st40, st41, st42, st43, st44)
+      st38, st39, st40, st41, st42, st43, st44, st45)
 }

@@ -827,6 +827,103 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(lake).count() === 15L)
   }
 
+  test("stateful-upstream detector: true through a window agg, false for a stateless tail") {
+    // the committed-batch replay branch materializes ONLY stateful batches
+    // (stateless replays skip the full re-read) — the decision is observed
+    // here inside real foreachBatch invocations of both shapes
+    import spark.implicits._
+    implicit val ctx: SQLContext = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    var seen = Map.empty[String, Boolean]
+    def runOnce(tag: String, shape: DataFrame => DataFrame, mode: String): Unit = {
+      val ms = MemoryStream[Event]
+      val q = shape(ms.toDF()).writeStream.outputMode(mode)
+        .option("checkpointLocation", GraftTestSpark.tmpDir(s"detector_$tag"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen = seen + (tag -> graft.streaming.LakeSink.hasStatefulOperator(b))
+          // consume: the stateful shape must commit its stores regardless
+          b.write.format("noop").mode("overwrite").save()
+        }.start()
+      ms.addData(Event(1L, ts("2024-03-01 10:00:00"), 1L, "view", 1.0))
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce("stateless", df => df.select("event_id", "ts", "value"), "append")
+    runOnce("stateful", df => df.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours")).agg(count(lit(1)).as("n")), "update")
+    assert(seen("stateless") === false,
+      "stateless batch misdetected as stateful — replay would pay the full re-read")
+    assert(seen("stateful") === true,
+      "stateful batch misdetected as stateless — replay would abort on state-commit validation")
+  }
+
+  test("fenced vacuum: a stale epoch cannot mutate the lake") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_vac_fence") + "/lake"
+    val sink = LakeSink.datePartitioned(lake, compactEvery = 0L)
+    sink(Seq((1L, ts("2020-01-01 10:00:00"), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"), 0L) // epoch 1
+    val stale = LakeSink.claimWriterEpoch(spark, lake) // epoch 2 (maintenance)
+    val fresh = LakeSink.claimWriterEpoch(spark, lake) // epoch 3 supersedes it
+    val err = intercept[IllegalStateException] {
+      LakeSink.vacuum(spark, lake, java.time.LocalDate.parse("2024-01-01"),
+        fenceEpoch = Some(stale))
+    }
+    assert(err.getMessage.contains("fenced"), err.getMessage)
+    assert(spark.read.parquet(lake).count() === 1L,
+      "fenced vacuum still dropped the expired partition")
+    // the live claimant's vacuum proceeds
+    val (dropped, _) = LakeSink.vacuum(spark, lake,
+      java.time.LocalDate.parse("2024-01-01"), fenceEpoch = Some(fresh))
+    assert(dropped === Seq("event_date=2020-01-01"))
+  }
+
+  test("tailCommits: exact per-range reads across sweeps; vacuum bounds markers and generations loudly") {
+    import spark.implicits._
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong, ts(if (i % 2 == 0) "2025-03-01 10:00:00" else "2025-03-02 10:00:00"),
+        1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val lake = GraftTestSpark.tmpDir("lake_tail") + "/lake"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id").collect().map(_.getLong(0)).toSet
+
+    // compactEvery=2 → sweeps at batches 1 and 3: gb0/gb1 live in gen 1,
+    // gb2/gb3 in gen 3, gb4 still live — every serving location exercised
+    val sink = LakeSink.datePartitioned(lake, compactEvery = 2L,
+      targetFileBytes = 1L << 30, minFilesToCompact = 2)
+    (0 until 5).foreach(b => sink(rows(b * 10 until b * 10 + 10), b.toLong))
+
+    assert(ids(LakeSink.tailCommits(spark, lake, -1L, 4L)) === (0L until 50L).toSet)
+    assert(ids(LakeSink.tailCommits(spark, lake, 1L, 3L)) === (20L until 40L).toSet,
+      "mid-range batches not served from their retaining generation")
+    assert(ids(LakeSink.tailCommits(spark, lake, 3L, 4L)) === (40L until 50L).toSet)
+    assert(ids(LakeSink.tailCommits(spark, lake, 0L, 1L)) === (10L until 20L).toSet)
+    // the partition column survives the per-mount reads
+    assert(LakeSink.tailCommits(spark, lake, 1L, 3L)
+      .filter(col("event_date") =!= to_date(col("ts"))).isEmpty)
+
+    // vacuum(ledgerKeep=1): markers 0-2 pruned, generation 1 pruned
+    // (horizon 1 < 4-1), generation 3 retained — pruned ranges fail
+    // LOUDLY, retained ranges keep serving
+    LakeSink.vacuum(spark, lake, java.time.LocalDate.parse("2000-01-01"),
+      ledgerKeep = 1L)
+    val lostMarker = intercept[IllegalArgumentException](
+      LakeSink.tailCommits(spark, lake, 1L, 2L))
+    assert(lostMarker.getMessage.contains("pruned"), lostMarker.getMessage)
+    assert(ids(LakeSink.tailCommits(spark, lake, 2L, 4L)) === (30L until 50L).toSet,
+      "retained range lost after vacuum")
+    // a batch whose marker survives but whose retaining generation is gone
+    // (hand-cleaned or deeper-vacuumed history) must also say so loudly
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lake, "_graft_history/3"), true)
+    val lostGen = intercept[IllegalStateException](
+      LakeSink.tailCommits(spark, lake, 2L, 3L))
+    assert(lostGen.getMessage.contains("vacuumed"), lostGen.getMessage)
+    // batches past every horizon still serve from the live leaves
+    assert(ids(LakeSink.tailCommits(spark, lake, 3L, 4L)) === (40L until 50L).toSet)
+  }
+
   test("replayEventsToLake: engine recovery replays the uncommitted batch, lake stays exactly-once") {
     // the st32 harness at suite scale: phase 1 drains 2 of 4 chunks, the
     // harness drops the engine's last commit record, and recovery MUST
