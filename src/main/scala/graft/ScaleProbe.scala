@@ -759,6 +759,42 @@ object ScaleProbe {
       out
     }
 
+    // merge rung: f12's scale claim — MERGE cost is O(touched partitions +
+    // churn), never O(table). The same 30-date lake takes merges touching
+    // 1 / 8 / 30 dates at the same per-date churn rate (~2% of keys
+    // updated, ~2% deleted): wall growing ~linearly in touched dates (each
+    // one bounded leaf rewrite) while the untouched-leaf count never
+    // enters the cost is the partition-scoped-merge evidence — a merge
+    // that accidentally scanned or rewrote the whole table would price
+    // all rungs the same.
+    val lakeMergeR = (if (phase == "all" || phase == "lakemerge") Seq(1, 8, 30)
+      else Seq.empty[Int]).map { k =>
+      val sink = graft.streaming.LakeSink
+      val base = java.nio.file.Files.createTempDirectory("graft-lakemerge")
+      val lake = base.resolve("lake").toString
+      val ev = graft.core.Tables.load(spark, dir, "events")
+      (0 until 4).foreach { i =>
+        sink.appendBatch(spark, lake,
+          ev.filter(pmod(col("event_id"), lit(4)) === i), commitId = Some(i.toLong))
+      }
+      val dates = ev.select(to_date(col("ts")).cast("string").as("d")).distinct()
+        .collect().map(_.getString(0)).sorted.take(k).toSeq
+      val scoped = ev.filter(to_date(col("ts")).cast("string").isin(dates: _*))
+      val upserts = scoped.filter(pmod(col("event_id"), lit(50)) === 0)
+        .withColumn("value", col("value") + 1000.0)
+      val deletes = scoped.filter(pmod(col("event_id"), lit(50)) === 1)
+        .select("event_id", "ts")
+      val t = time {
+        val st = sink.mergeInto(spark, lake, upserts, "event_id", deletes,
+          targetFileBytes = 1L << 30)
+        require(st.rewrittenLeaves.size == k,
+          s"merge rewrote ${st.rewrittenLeaves.size} of $k")
+      }
+      System.err.println(f"[scale] lakemerge k=$k%2d dates  merge=$t%6.2f s")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      (k, t)
+    }
+
     // hot-key rung: st38's scale claim — a stateful top-k whose key is
     // ~100% hot (EVERY row of the run remapped into ONE 6 h window) must
     // not funnel the whole stream through one state store. The ladder runs
@@ -976,6 +1012,8 @@ object ScaleProbe {
       s""""ivfpqdrift_${pct}pct":{"recall5_frozen":$rf,"recall5_rebuilt":$rr,"corpus":$n}"""
     } ++ lakeSweepR.map { case (k, t) =>
       s""""lakesweep_${k}":{"sweep":$t}"""
+    } ++ lakeMergeR.map { case (k, t) =>
+      s""""lakemerge_${k}":{"merge":$t}"""
     } ++ hotkeyR.map { case (s, t) =>
       s""""hotkey_s${s}":{"drain":$t}"""
     } ++ liveCompactR.map { case (tag, t) =>

@@ -483,5 +483,115 @@ object FormatQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11)
+  /** f12: LAKE MERGE (copy-on-write upsert/delete —
+    * [[graft.streaming.LakeSink.mergeInto]], the Delta `MERGE WHEN MATCHED
+    * UPDATE / DELETE / WHEN NOT MATCHED INSERT` verb). The table is laid
+    * down as four id-interleaved [[graft.streaming.LakeSink.appendBatch]]
+    * commits (lake-allocated ids — the merged-table id discipline), then
+    * ONE merge commits three change classes at once: every `id % 10 == 7`
+    * row updated in place (value +1000, type `updated`), every
+    * `id % 10 == 3` row deleted, and a shifted copy of every
+    * `id % 10 == 2` row inserted under a fresh key. Only leaves holding
+    * matched keys are rewritten (`gc<B>` lineage stamp, pre-merge state
+    * retained under `_graft_history/` — time travel across the merge is
+    * suite-certified); insert-only leaves take plain `gb<B>` appends. The
+    * oracle rebuilds the merged relation set-algebraically, so a lost
+    * delete, a doubled update, a dropped insert, or a leaf the rewrite
+    * corrupted each shift a (date, type) census cell. At 100 TB the merge
+    * reads exactly the source rows' own partitions (the partition-scoped
+    * `ON t.key = s.key AND t.date = s.date` shape) — never the table.
+    */
+  val f12 = Q(
+    "f12_lake_merge",
+    """WITH merged AS (
+      |  SELECT * FROM events WHERE event_id % 10 NOT IN (3, 7)
+      |  UNION ALL
+      |  SELECT event_id, ts, user_id, 'updated' AS event_type, value + 1000, props
+      |  FROM events WHERE event_id % 10 = 7
+      |  UNION ALL
+      |  SELECT event_id + 10000000, ts, user_id, 'inserted', value * 2, props
+      |  FROM events WHERE event_id % 10 = 2
+      |)
+      |SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM merged GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_merge_")
+    val lakeDir = base.resolve("lake").toString
+    (0 until 4).foreach { i =>
+      graft.streaming.LakeSink.appendBatch(s, lakeDir,
+        events.filter(pmod(col("event_id"), lit(4)) === i),
+        commitId = Some(i.toLong))
+    }
+    val upserts = events.filter(pmod(col("event_id"), lit(10)) === 7)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("event_type", lit("updated"))
+      .unionByName(events.filter(pmod(col("event_id"), lit(10)) === 2)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("value", col("value") * 2.0)
+        .withColumn("event_type", lit("inserted")))
+    val deletes = events.filter(pmod(col("event_id"), lit(10)) === 3)
+      .select("event_id", "ts")
+    graft.streaming.LakeSink.mergeInto(s, lakeDir, upserts, "event_id",
+      deletes, targetFileBytes = 512L << 10)
+    val census = s.read.parquet(lakeDir)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = census.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
+  }
+
+  /** f13: LAKE DATA SKIPPING (file-level zone maps —
+    * [[graft.streaming.LakeSink.readPruned]], the Delta stats lever). The
+    * table is laid down as four CONTIGUOUS event_id ranges (the natural
+    * ingest-clustered shape: an append-only stream's ids arrive roughly
+    * ordered), each commit recording per-file min/max from the parquet
+    * FOOTERS it just wrote (`statsCols` — O(files) footer reads, no data
+    * pass). The query reads the second id quartile: the zone maps prune
+    * the other three quartiles' files BEFORE the scan is planned — a
+    * `require` inside the query fails loudly if skipping stops skipping —
+    * and the residual typed predicate still reaches the surviving files'
+    * row groups (`PushedFilters`, suite-pinned). The oracle is the same
+    * quartile census over the raw fixture: a wrongly-pruned file (rows
+    * lost) or a stats off-by-one at the quartile boundary each shift a
+    * census cell. At 100 TB this is the difference between a sidecar read
+    * + interval check and millions of per-file footer opens.
+    */
+  val f13 = Q(
+    "f13_lake_data_skipping",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+      |  sum(event_id)::BIGINT AS id_checksum
+      |FROM events
+      |WHERE event_id >= (SELECT (max(event_id)+1)//4 FROM events)
+      |  AND event_id < (SELECT (max(event_id)+1)//2 FROM events)
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    // 2-row driver probe (min/max bound class): the quartile edges
+    val m = events.agg(max(col("event_id"))).head.getLong(0) + 1L
+    val (q1, q2) = (m / 4, m / 2)
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_skip_")
+    val lakeDir = base.resolve("lake").toString
+    (0 until 4).foreach { i =>
+      graft.streaming.LakeSink.appendBatch(s, lakeDir,
+        events.filter(col("event_id") >= lit(i * (m / 4)) &&
+          (if (i == 3) lit(true) else col("event_id") < lit((i + 1) * (m / 4)))),
+        commitId = Some(i.toLong), statsCols = Seq("event_id"))
+    }
+    val (pruned, report) = graft.streaming.LakeSink.readPruned(
+      s, lakeDir, "event_id", BigDecimal(q1), BigDecimal(q2 - 1))
+    require(report.scannedFiles < report.totalFiles,
+      s"data skipping stopped skipping: $report — the zone maps are dead")
+    val census = pruned.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = census.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13)
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, to_date}
+import org.apache.spark.sql.functions.{col, lit, to_date}
 
 import graft.core.Layout
 
@@ -111,6 +111,7 @@ object LakeSink {
       compactEvery: Long = 10L,
       targetFileBytes: Long = 128L << 20,
       minFilesToCompact: Int = 4,
+      statsCols: Seq[String] = Nil,
       faultInjector: (Long, String) => Unit = (_, _) => ()): (DataFrame, Long) => Unit = {
     val dirty = scala.collection.mutable.Set.empty[String]
     var epoch = -1L // unacquired until the instance's first batch
@@ -175,6 +176,15 @@ object LakeSink {
         checkWriterFence(fs, root, epoch)
         val committed = commitStaged(fs, root, staging, batchId, faultInjector)
         dirty ++= committed
+        // zone maps for the files just renamed in (footer reads only) —
+        // before the marker, so a crash here replays both idempotently
+        if (statsCols.nonEmpty) writeFileStats(fs,
+          spark.sparkContext.hadoopConfiguration, root, batchId.toString,
+          committed.flatMap { l =>
+            fs.listStatus(new Path(root, l)).toSeq
+              .filter(f => f.isFile && f.getPath.getName.startsWith(s"gb$batchId-"))
+              .map(f => l -> f.getPath)
+          }, statsCols)
         checkWriterFence(fs, root, epoch)
         faultInjector(batchId, "pre-marker")
         // the marker IS the commit point, written create-no-overwrite (the
@@ -186,7 +196,8 @@ object LakeSink {
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
         checkWriterFence(fs, root, epoch)
         compactPartitions(spark, lakeDir, targetFileBytes, minFilesToCompact,
-          only = Some(dirty.toSet), fenceEpoch = Some(epoch))
+          only = Some(dirty.toSet), fenceEpoch = Some(epoch),
+          statsCols = statsCols)
         // horizon AFTER the sweep completes: a crash in between re-sweeps
         // (idempotent) rather than silently skipping the lost leaves
         writeSmallFile(fs,
@@ -347,9 +358,17 @@ object LakeSink {
     * [[rebuildDirtySet]] over-approximates it to every live leaf rather
     * than under-sweeping.
     */
+  /** First line of a MERGE commit's marker: the commit's files are leaf
+    * REWRITES (`gc<id>`), not appends — consumers that serve appends by
+    * lineage name ([[tailCommits]]) must treat it as a boundary, not
+    * data. Written FIRST so even a torn content write usually keeps the
+    * classification readable.
+    */
+  private[streaming] val MarkerRewrite = "#rewrite"
+
   private def writeCommitMarker(
       fs: org.apache.hadoop.fs.FileSystem, marker: Path, batchId: Long,
-      leaves: Seq[String]): Unit = {
+      leaves: Seq[String], rewrite: Boolean = false): Unit = {
     val out =
       try fs.create(marker, false)
       catch { case e: java.io.IOException => throw new IllegalStateException(
@@ -357,7 +376,8 @@ object LakeSink {
           "exists — a concurrent writer committed this batch first (two " +
           "writers raced the fence's check-then-act window); refusing to " +
           "double-commit, this instance must stop", e) }
-    val content = (leaves.sorted :+ MarkerEnd).mkString("\n")
+    val tag = if (rewrite) Seq(MarkerRewrite) else Seq.empty
+    val content = (tag ++ leaves.sorted :+ MarkerEnd).mkString("\n")
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -369,9 +389,17 @@ object LakeSink {
   private def readMarkerLeaves(
       fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Seq[String]] = {
     val lines = readSmallFile(fs, p).split('\n').toSeq
-    if (lines.lastOption.contains(MarkerEnd)) Some(lines.dropRight(1).filter(_.nonEmpty))
+    if (lines.lastOption.contains(MarkerEnd))
+      Some(lines.dropRight(1).filter(l => l.nonEmpty && !l.startsWith("#")))
     else None
   }
+
+  /** Whether a commit marker classifies its commit as a rewrite (merge).
+    * Readable even off most torn markers — the tag is the first line.
+    */
+  private def isRewriteMarker(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    readSmallFile(fs, p).split('\n').headOption.contains(MarkerRewrite)
 
   private def writeSmallFile(
       fs: org.apache.hadoop.fs.FileSystem, p: Path, content: String): Unit = {
@@ -572,6 +600,31 @@ object LakeSink {
       val old = ids.filter(_.getPath.getName.toLong < horizon)
       old.foreach(s => fs.delete(s.getPath, false))
       old.size
+    }
+    // fold the zone-map sidecars: one file per write accumulates exactly
+    // like the ledger, but stats for OLD data stay VALUABLE (they are what
+    // prunes the long tail at read time), so the bound is consolidation,
+    // not deletion — merge every sidecar into one, dropping entries whose
+    // files no longer exist (retention-dropped, compaction-rewritten,
+    // merge-rewritten). A crash mid-fold leaves either the old sidecars
+    // (fold lost, retried next vacuum) or a torn merged file readers skip
+    // — pruning degrades to scanning, never to wrong results.
+    val statsDir = new Path(root, StatsRoot)
+    if (fs.exists(statsDir)) {
+      val sidecars = fs.listStatus(statsDir).toSeq.filter(_.isFile).map(_.getPath)
+      if (sidecars.size > 1) {
+        val live = statsLines(fs, root).filter { l =>
+          l.split('\t') match {
+            case Array(key, _, _, _) => fs.exists(new Path(root, key))
+            case _ => false
+          }
+        }.distinct
+        writeSmallFile(fs, new Path(statsDir, "folded"),
+          (live :+ MarkerEnd).mkString("\n"))
+        sidecars.filter(_.getName != "folded").foreach(p => fs.delete(p, false))
+        System.err.println(s"[lake] folded ${sidecars.size} stats sidecars " +
+          s"into one (${live.size} live entries)")
+      }
     }
     (dropped, prunedMarkers)
   }
@@ -813,6 +866,19 @@ object LakeSink {
       val marker = new Path(ledger, id.toString)
       require(fs.exists(marker), s"ledger tail lost batch $id: its commit " +
         "marker has been pruned — tail before vacuum's ledgerKeep horizon passes")
+      // a MERGE commit is a semantics boundary, not data to tail: its
+      // changes are leaf rewrites, and serving only its gb insert files
+      // would silently misrepresent the commit. The tail serves APPEND
+      // commits; row-level changes need a CDC channel. (The #rewrite tag
+      // is the marker's FIRST line, so even most torn merge markers still
+      // classify; a torn merge marker that lost its first line degrades
+      // to over-listing the commit's appends — the same over-approximation
+      // any torn marker gets.)
+      if (isRewriteMarker(fs, marker)) throw new IllegalStateException(
+        s"commit $id is a REWRITE commit (merge) — the incremental tail " +
+          "serves append commits only; row-level merge changes have no " +
+          s"change feed here. Consume a fresh snapshot via readAsOf($id) " +
+          "and resume tailing above it")
       readMarkerLeaves(fs, marker) match {
         case Some(leaves) => leaves.flatMap(l => locate(id, l, strict = true))
         case None => // torn content: leaf list unknown — probe everywhere
@@ -871,6 +937,7 @@ object LakeSink {
       only: Option[Set[String]] = None,
       maxConcurrency: Int = 8,
       fenceEpoch: Option[Long] = None,
+      statsCols: Seq[String] = Nil,
       sweepHook: String => Unit = _ => ()): Seq[(String, Int, Int)] = {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -924,35 +991,9 @@ object LakeSink {
         fenceEpoch.foreach(e => checkWriterFence(fs, root, e))
         asOfHorizon match {
           case Some(b) =>
-            val parts = fs.listStatus(tmp)
-              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-              .sortBy(_.getPath.getName.toString)
-            parts.zipWithIndex.foreach { case (f, i) =>
-              val dst = new Path(tmp, s"gc$b-p$i.snappy.parquet")
-              require(fs.rename(f.getPath, dst),
-                s"lineage stamp rename failed: ${f.getPath} -> $dst")
-            }
-            // HISTORY-PRESERVING swap: the original leaf is renamed (not
-            // deleted) into `_graft_history/<B>/<leaf>` — the rename-aside
-            // that makes the swap crash-safe IS the retention of the
-            // pre-sweep generation, so [[readAsOf]] can keep serving
-            // snapshots older than this sweep's horizon until [[vacuum]]
-            // prunes the generation (the Delta/Iceberg vacuum-window
-            // discipline from FS primitives). A kill between the two
-            // renames leaves the original safe in history and the rewrite
-            // in _compact_tmp; recoverSweeps promotes the rewrite (target
-            // absent), completing — not rolling back — the sweep.
-            val hist = new Path(new Path(new Path(root, HistoryRoot), b.toString),
-              leaf.getName)
-            fs.mkdirs(hist.getParent)
-            if (fs.exists(hist)) {
-              // same-horizon re-sweep: the stored generation already holds
-              // this leaf's pre-sweep state with FINER lineage (the current
-              // content derives from it) — keep it, drop the current copy
-              fs.delete(leaf, true)
-            } else require(fs.rename(leaf, hist),
-              s"compaction swap failed renaming $leaf into history")
-            require(fs.rename(tmp, leaf), s"compaction swap failed for $leaf")
+            lineageStampedSwap(fs, root, leaf, tmp, b,
+              statsCols = statsCols,
+              conf = spark.sparkContext.hadoopConfiguration)
           case None =>
             // no ledger, no lineage, no history: crash-safe swap via the
             // ORIGINAL renamed aside before the rewrite renames in and
@@ -988,6 +1029,503 @@ object LakeSink {
 
   private val OldRoot = "_compact_old"
   private val HistoryRoot = "_graft_history"
+  private val StatsRoot = "_graft_stats"
+
+  /** Parquet primitive types zone maps support — numeric, totally ordered,
+    * and exactly representable as decimal strings. Anything else (strings,
+    * timestamps-as-INT96, binary) simply gets no stats entry, and
+    * [[readPruned]] scans those files unconditionally.
+    */
+  private val StatsTypes = Set("INT32", "INT64", "FLOAT", "DOUBLE")
+
+  /** Per-column (min, max) over all row groups of one parquet file, read
+    * from the FOOTER only — the O(1)-per-file metadata read that makes
+    * commit-time stats collection cost footer-fetches, never a data pass
+    * (Delta computes the same stats inline during the write; a footer read
+    * of the file just written is the FS-primitives equivalent).
+    */
+  private def footerMinMax(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path,
+      cols: Set[String]): Map[String, (String, String)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (BigDecimal, BigDecimal)]
+      r.getFooter.getBlocks.forEach { blk =>
+        blk.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          if (cols.contains(name) &&
+              StatsTypes.contains(c.getPrimitiveType.getPrimitiveTypeName.name)) {
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty && st.hasNonNullValue) {
+              val mn = BigDecimal(st.genericGetMin.toString)
+              val mx = BigDecimal(st.genericGetMax.toString)
+              acc.get(name) match {
+                case Some((a, b)) => acc(name) = (a.min(mn), b.max(mx))
+                case None => acc(name) = (mn, mx)
+              }
+            }
+          }
+        }
+      }
+      acc.map { case (k, (a, b)) => k -> (a.toString, b.toString) }.toMap
+    } finally r.close()
+  }
+
+  /** Write one stats sidecar (`_graft_stats/<tag>`) holding
+    * `leaf/file \t col \t min \t max` lines for the given just-written
+    * files, sentinel-terminated like the commit markers (a torn sidecar is
+    * DETECTABLE and [[loadStats]] skips it wholesale — files lose their
+    * zone maps and get scanned, never wrongly pruned). Stats are ADVISORY
+    * by construction: every read decision treats a missing entry as
+    * "must scan".
+    */
+  private def writeFileStats(
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      root: Path,
+      tag: String,
+      files: Seq[(String, Path)],
+      statsCols: Seq[String]): Unit = {
+    if (statsCols.isEmpty || files.isEmpty) return
+    val lines = files.sortBy(f => (f._1, f._2.getName)).flatMap { case (leaf, f) =>
+      footerMinMax(conf, f, statsCols.toSet).toSeq.sortBy(_._1).map {
+        case (c, (mn, mx)) => s"$leaf/${f.getName}\t$c\t$mn\t$mx"
+      }
+    }
+    writeSmallFile(fs, new Path(new Path(root, StatsRoot), tag),
+      (lines :+ MarkerEnd).mkString("\n"))
+  }
+
+  /** All complete stats lines under `_graft_stats` (torn sidecars skipped). */
+  private def statsLines(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] = {
+    val dir = new Path(root, StatsRoot)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile).sortBy(_.getPath.getName)
+      .flatMap { s =>
+        val lines = readSmallFile(fs, s.getPath).split('\n').toSeq
+        if (lines.lastOption.contains(MarkerEnd)) lines.dropRight(1).filter(_.nonEmpty)
+        else {
+          System.err.println(s"[lake] torn stats sidecar ${s.getPath.getName} — " +
+            "ignoring it (its files will be scanned, not pruned)")
+          Seq.empty
+        }
+      }
+  }
+
+  /** Zone-map lookup for one column: `leaf/file` → (min, max). */
+  private def loadStats(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      statsCol: String): Map[String, (BigDecimal, BigDecimal)] =
+    statsLines(fs, root).flatMap { l =>
+      l.split('\t') match {
+        case Array(key, c, mn, mx) if c == statsCol =>
+          Some(key -> (BigDecimal(mn), BigDecimal(mx)))
+        case _ => None
+      }
+    }.toMap
+
+  /** How a pruned read went: files the listing found vs files the zone
+    * maps let through to the scan.
+    */
+  final case class PruneReport(totalFiles: Int, scannedFiles: Int)
+
+  /** DATA-SKIPPING read — the Delta zone-map lever: prune FILES by the
+    * per-file min/max recorded at commit/compaction/merge time
+    * (`statsCols` on the write verbs), BEFORE Spark plans the scan. Row-
+    * group skipping inside a file is free from parquet; what it cannot do
+    * is avoid listing, opening, and footer-reading every file — at 100 TB
+    * with minutes-cadence commits that is millions of per-file opens for a
+    * point-ish query. File-level stats kept OUTSIDE the files turn that
+    * into one sidecar read + an in-memory interval check.
+    *
+    * Correctness never depends on stats: a file with no entry (stats never
+    * collected, torn sidecar, non-numeric column) is scanned; the residual
+    * row predicate `statsCol ∈ [lo, hi]` is ALWAYS applied (zone maps are
+    * file-granular), typed to the column's native type so it still pushes
+    * down to the parquet row groups of the files that do get scanned.
+    * Bounds are inclusive. Serves the LIVE table view (snapshot reads via
+    * [[readAsOf]] scan fully).
+    */
+  def readPruned(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      statsCol: String,
+      lo: BigDecimal,
+      hi: BigDecimal): (DataFrame, PruneReport) = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no lake at $lakeDir")
+    val files = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .sortBy(_.getPath.getName)
+      .flatMap { l =>
+        fs.listStatus(l.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (l.getPath.getName, f.getPath))
+      }
+    require(files.nonEmpty, s"no data files under $lakeDir")
+    val stats = loadStats(fs, root, statsCol)
+    val survivors = files.filter { case (leaf, f) =>
+      stats.get(s"$leaf/${f.getName}") match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no zone map: must scan
+      }
+    }
+    val all = spark.read.option("basePath", root.toString)
+    def typed(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types._
+      val (l, h) = df.schema(statsCol).dataType match {
+        case LongType => (lit(lo.toLongExact), lit(hi.toLongExact))
+        case IntegerType => (lit(lo.toIntExact), lit(hi.toIntExact))
+        case DoubleType => (lit(lo.toDouble), lit(hi.toDouble))
+        case FloatType => (lit(lo.toFloat), lit(hi.toFloat))
+        case dt => throw new IllegalArgumentException(
+          s"readPruned bounds need a numeric column; $statsCol is $dt")
+      }
+      df.filter(col(statsCol) >= l && col(statsCol) <= h)
+    }
+    val df =
+      if (survivors.isEmpty)
+        // every file pruned: keep the schema, plan nothing (Catalyst folds
+        // the false filter to an empty relation — no scan is scheduled)
+        typed(all.parquet(files.map(_._2.toString): _*)).filter(lit(false))
+      else typed(all.parquet(survivors.map(_._2.toString): _*))
+    (df, PruneReport(files.size, survivors.size))
+  }
+
+  /** Stamp `tmp`'s parquet parts `gc<horizon>-p<k>`, retain the current
+    * leaf as the pre-rewrite generation under `_graft_history/<horizon>/`,
+    * and rename the rewrite in. Shared by compaction (content-preserving
+    * rewrite) and [[mergeInto]] (content-CHANGING rewrite) — the
+    * crash-safety and time-travel discipline is identical; only what sits
+    * in `tmp` differs:
+    *
+    *   - HISTORY-PRESERVING: the original leaf is renamed (not deleted)
+    *     into `_graft_history/<horizon>/<leaf>` — the rename-aside that
+    *     makes the swap crash-safe IS the retention of the pre-rewrite
+    *     generation, so [[readAsOf]] keeps serving snapshots older than
+    *     this horizon until [[vacuum]] prunes the generation (the
+    *     Delta/Iceberg vacuum-window discipline from FS primitives);
+    *   - a kill between the two renames leaves the original safe in
+    *     history and the rewrite in `_compact_tmp`; [[recoverSweeps]]
+    *     promotes the rewrite (target absent), completing — not rolling
+    *     back — the swap;
+    *   - a SAME-HORIZON retry (idempotent merge re-run, re-sweep after a
+    *     crash) finds the generation already stored: that copy holds the
+    *     leaf's pre-rewrite state with FINER lineage (the current content
+    *     derives from it) — keep it, drop the current copy.
+    */
+  private def lineageStampedSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      leaf: Path,
+      tmp: Path,
+      horizon: Long,
+      statsCols: Seq[String] = Nil,
+      conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): Unit = {
+    val parts = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName.toString)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = new Path(tmp, s"gc$horizon-p$i.snappy.parquet")
+      require(fs.rename(f.getPath, dst),
+        s"lineage stamp rename failed: ${f.getPath} -> $dst")
+    }
+    // fresh zone maps for the rewrite (the original files' entries go
+    // stale and point at names that no longer exist — harmless; vacuum
+    // folds them away). Written BEFORE the swap so the entries exist the
+    // instant the files are live; a crashed swap leaves advisory entries
+    // for files recoverSweeps will promote or reap.
+    if (statsCols.nonEmpty) writeFileStats(fs, conf, root,
+      s"c$horizon.${leaf.getName}",
+      fs.listStatus(tmp).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => leaf.getName -> f.getPath),
+      statsCols)
+    val hist = new Path(new Path(new Path(root, HistoryRoot), horizon.toString),
+      leaf.getName)
+    fs.mkdirs(hist.getParent)
+    if (fs.exists(hist)) {
+      fs.delete(leaf, true)
+    } else require(fs.rename(leaf, hist),
+      s"rewrite swap failed renaming $leaf into history")
+    require(fs.rename(tmp, leaf), s"rewrite swap failed for $leaf")
+  }
+
+  /** Max committed id in the lake's ledger, -1 when none (or no ledger). */
+  private def maxCommittedId(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Long = {
+    val ledger = new Path(root, "_graft_commits")
+    if (!fs.exists(ledger)) -1L
+    else fs.listStatus(ledger).toSeq
+      .filter(s => s.isFile && s.getPath.getName.nonEmpty &&
+        s.getPath.getName.forall(_.isDigit))
+      .map(_.getPath.getName.toLong).foldLeft(-1L)(math.max)
+  }
+
+  /** Batch append with a LAKE-ALLOCATED commit id (`max committed + 1`) —
+    * the write verb for a table maintained by [[mergeInto]], where the
+    * commit-id space is owned by the table, not by a streaming engine's
+    * checkpoint (the Delta-architecture split: streams own a bronze lake
+    * through [[datePartitioned]]'s engine-batch-id ledger; a merged silver
+    * table allocates its own versions — mixing the two id spaces on one
+    * table makes the next engine batch collide with a merge's marker,
+    * which the atomic commit exchange turns into a LOUD stop, never a
+    * silent double-commit).
+    *
+    * Exactly-once is the CALLER's to claim via `commitId` (the
+    * [[tailCommits]] high-water-mark discipline): pass the id this append
+    * is expected to land at — an existing marker makes the retry a no-op,
+    * a gap fails loudly. With `commitId = None` every call appends.
+    * Returns the committed id.
+    */
+  def appendBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      rows: DataFrame,
+      tsCol: String = "ts",
+      commitId: Option[Long] = None,
+      statsCols: Seq[String] = Nil,
+      fenceEpoch: Option[Long] = None): Long = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val epoch = fenceEpoch.getOrElse(acquireWriterEpoch(fs, root))
+    checkWriterFence(fs, root, epoch)
+    val next = maxCommittedId(fs, root) + 1
+    val b = commitId match {
+      case Some(id) =>
+        if (id < next) {
+          require(fs.exists(new Path(new Path(root, "_graft_commits"), id.toString)),
+            s"append at commit $id is below the ledger head ($next) but has " +
+              "no marker — the id was never committed here; refusing an " +
+              "out-of-order append")
+          System.err.println(s"[lake] append commit $id already in the " +
+            "ledger — idempotent retry, skipping")
+          return id
+        }
+        require(id == next, s"append expected to land at commit $id but the " +
+          s"ledger head allocates $next — a competing writer advanced the " +
+          "table (or the caller's high-water mark is stale); refusing to " +
+          "commit out of order")
+        id
+      case None => next
+    }
+    val staging = new Path(new Path(root, StagingRoot), s"b$b")
+    rows.withColumn("event_date", to_date(col(tsCol)))
+      .write.partitionBy("event_date").mode("overwrite")
+      .parquet(staging.toString)
+    checkWriterFence(fs, root, epoch)
+    val committed = commitStaged(fs, root, staging, b, (_, _) => ())
+    if (statsCols.nonEmpty) writeFileStats(fs,
+      spark.sparkContext.hadoopConfiguration, root, b.toString,
+      committed.flatMap { l =>
+        fs.listStatus(new Path(root, l)).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith(s"gb$b-"))
+          .map(f => l -> f.getPath)
+      }, statsCols)
+    checkWriterFence(fs, root, epoch)
+    writeCommitMarker(fs, new Path(new Path(root, "_graft_commits"), b.toString),
+      b, committed)
+    fs.delete(staging, true)
+    b
+  }
+
+  /** Per-merge outcome: the allocated commit id, the leaves rewritten
+    * copy-on-write (matched keys present), and the leaves that took a
+    * plain `gb<id>` insert append (no matches there).
+    */
+  final case class MergeStats(
+      commitId: Long,
+      rewrittenLeaves: Seq[String],
+      appendedLeaves: Seq[String])
+
+  /** MERGE INTO — the copy-on-write upsert/delete verb (Delta
+    * `MERGE WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED
+    * INSERT`), partition-scoped:
+    *
+    *   - `upserts` carries FULL lake-schema rows; a row whose `keyCol`
+    *     matches an existing row in ITS OWN date leaf replaces it, an
+    *     unmatched row inserts. `deletes` carries (key, ts) pairs — the
+    *     event time addresses the leaf to delete from. This is the
+    *     partition-pruned merge every Delta deployment writes (`ON t.key =
+    *     s.key AND t.date = s.date`): matching is scoped to the source
+    *     rows' own partitions, so the find-touched-files scan reads only
+    *     those leaves, never the table (at 100 TB the unscoped form is a
+    *     full-table join — the documented anti-pattern). A row that moves
+    *     dates is expressed as delete(old ts) + upsert(new ts).
+    *
+    *   - ONLY leaves holding matched keys are rewritten (one
+    *     [[lineageStampedSwap]] each — `gc<B>` stamp, pre-merge state
+    *     retained under `_graft_history/<B>/`, so [[readAsOf]] serves
+    *     pre-merge snapshots until [[vacuum]] prunes them); insert-only
+    *     leaves take a plain `gb<B>` append through [[commitStaged]] —
+    *     untouched leaves are never listed, read, or rewritten.
+    *
+    *   - the merge is ONE commit: id B = max committed + 1 (lake-allocated
+    *     — see [[appendBatch]] for why engine-batch-id tables must not be
+    *     merge targets while their stream can still resume), marker written
+    *     LAST via the atomic commit exchange. A crash at any instant
+    *     re-runs idempotently: the same B is re-allocated (marker absent),
+    *     a re-merged leaf converges (anti-join removes what the union
+    *     re-adds), [[lineageStampedSwap]]'s same-horizon branch keeps the
+    *     finer-lineage history copy, and [[commitStaged]] rolls back the
+    *     crashed attempt's `gb<B>` files before renaming fresh ones in.
+    *
+    *   - FENCED like every mutation: pass a claimed epoch or one is
+    *     acquired here (fencing out a paused stream writer — merge IS the
+    *     writer while it runs).
+    *
+    * `faultInjector(point)` is the crash-simulation hook
+    * (`"rewritten:<leaf>"` after each leaf swap, `"staged-inserts"` before
+    * the insert commit, `"pre-marker"` before the marker).
+    */
+  def mergeInto(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      upserts: DataFrame,
+      keyCol: String,
+      deletes: DataFrame,
+      tsCol: String = "ts",
+      targetFileBytes: Long = 128L << 20,
+      maxConcurrency: Int = 8,
+      fenceEpoch: Option[Long] = None,
+      statsCols: Seq[String] = Nil,
+      faultInjector: String => Unit = _ => ()): MergeStats = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no lake at $lakeDir")
+    val epoch = fenceEpoch.getOrElse(acquireWriterEpoch(fs, root))
+    checkWriterFence(fs, root, epoch)
+    recoverSweeps(fs, root)
+    val b = maxCommittedId(fs, root) + 1
+    require(b > 0, s"merge into $lakeDir needs a ledgered lake (no commits " +
+      "found) — lay the table down via appendBatch/datePartitioned first")
+
+    val lakeSchema = {
+      val leaves = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      require(leaves.nonEmpty, s"no event_date= leaves under $lakeDir")
+      spark.read.parquet(leaves.head.getPath.toString).schema
+    }
+    require(upserts.schema.fields.map(f => (f.name, f.dataType)).toSet ==
+      lakeSchema.fields.map(f => (f.name, f.dataType)).toSet,
+      s"upserts schema ${upserts.schema.simpleString} does not match the " +
+        s"lake's ${lakeSchema.simpleString} — merge rewrites leaves " +
+        "wholesale, a schema drift here would corrupt them")
+
+    // the (key, date) match scope — null event times cannot address a leaf
+    val upsertKeys = upserts.select(col(keyCol),
+      to_date(col(tsCol)).cast("string").as("__d"))
+    val deleteKeys = deletes.select(col(keyCol),
+      to_date(col(tsCol)).cast("string").as("__d"))
+    val allKeys = upsertKeys.unionByName(deleteKeys).cache()
+    try {
+      require(allKeys.filter(col("__d").isNull).isEmpty,
+        "merge rows with a null event time cannot address a partition — " +
+          "scope them explicitly (the partition-scoped merge contract)")
+      // k-bounded driver probe: one row per affected DATE (the same class
+      // as the sink's dirty set), never per key
+      val dates = allKeys.select("__d").distinct()
+        .collect().map(_.getString(0)).sorted
+      val (existing, fresh) = dates.partition(d =>
+        fs.exists(new Path(root, s"event_date=$d")))
+
+      // find-touched-leaves: read ONLY the scoped leaves, semi-join the
+      // broadcast key set — the O(scoped-partitions) scan every MERGE pays
+      val matched: Set[String] =
+        if (existing.isEmpty) Set.empty
+        else {
+          val scoped = spark.read.option("basePath", root.toString)
+            .parquet(existing.map(d => new Path(root, s"event_date=$d").toString): _*)
+          scoped.select(col(keyCol), col("event_date").cast("string").as("__d"))
+            .join(broadcast(allKeys), Seq(keyCol, "__d"), "left_semi")
+            .select("__d").distinct().collect().map(_.getString(0)).toSet
+        }
+
+      // copy-on-write rewrites, fanned like compaction's sweep
+      def mergeOne(d: String): String = {
+        val leafName = s"event_date=$d"
+        val leaf = new Path(root, leafName)
+        val tmp = new Path(new Path(root, "_compact_tmp"), leafName)
+        val current = spark.read.parquet(leaf.toString)
+        val keysHere = allKeys.filter(col("__d") === d).select(keyCol)
+        val upsertsHere = upserts.filter(to_date(col(tsCol)).cast("string") === d)
+          .select(current.columns.map(col): _*)
+        val merged = current
+          .join(broadcast(keysHere), Seq(keyCol), "left_anti")
+          .unionByName(upsertsHere)
+        val leafBytes = fs.listStatus(leaf)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+        val nFiles = math.max(1L, (leafBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        merged.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+        faultInjector(s"rewritten:$leafName")
+        // the rewrite was a Spark job — re-validate at the last instant
+        // before the swap, same as compaction
+        checkWriterFence(fs, root, epoch)
+        lineageStampedSwap(fs, root, leaf, tmp, b,
+          statsCols = statsCols,
+          conf = spark.sparkContext.hadoopConfiguration)
+        leafName
+      }
+      val toRewrite = matched.toSeq.sorted
+      val rewritten: Seq[String] =
+        if (toRewrite.size <= 1 || maxConcurrency <= 1) toRewrite.map(mergeOne)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(maxConcurrency, toRewrite.size))
+          try {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+            Await.result(Future.sequence(toRewrite.map(d => Future(mergeOne(d)))),
+              scala.concurrent.duration.Duration.Inf)
+          } finally pool.shutdown()
+        }
+
+      // pure inserts (no match in their leaf, or the leaf is new): plain
+      // gb<B> append — rewritten leaves already carry their upserts
+      val insertDates = (existing.filterNot(matched) ++ fresh).toSet
+      val appended: Seq[String] =
+        if (insertDates.isEmpty) Seq.empty
+        else {
+          val ins = upserts
+            .filter(to_date(col(tsCol)).cast("string").isInCollection(insertDates))
+          if (ins.isEmpty) Seq.empty
+          else {
+            val staging = new Path(new Path(root, StagingRoot), s"b$b")
+            ins.withColumn("event_date", to_date(col(tsCol)))
+              .write.partitionBy("event_date").mode("overwrite")
+              .parquet(staging.toString)
+            faultInjector("staged-inserts")
+            checkWriterFence(fs, root, epoch)
+            val committed = commitStaged(fs, root, staging, b, (_, _) => ())
+            if (statsCols.nonEmpty) writeFileStats(fs,
+              spark.sparkContext.hadoopConfiguration, root, b.toString,
+              committed.flatMap { l =>
+                fs.listStatus(new Path(root, l)).toSeq
+                  .filter(f => f.isFile && f.getPath.getName.startsWith(s"gb$b-"))
+                  .map(f => l -> f.getPath)
+              }, statsCols)
+            fs.delete(staging, true)
+            committed
+          }
+        }
+
+      faultInjector("pre-marker")
+      checkWriterFence(fs, root, epoch)
+      writeCommitMarker(fs,
+        new Path(new Path(root, "_graft_commits"), b.toString), b,
+        rewritten ++ appended, rewrite = true)
+      System.err.println(s"[lake] merge committed as $b: " +
+        s"${rewritten.size} leaves rewritten, ${appended.size} appended")
+      MergeStats(b, rewritten, appended)
+    } finally allKeys.unpersist()
+  }
 
   /** Heal interrupted compaction swaps (called before every sweep and by
     * [[vacuum]]): an `_compact_old` child whose target leaf is MISSING is

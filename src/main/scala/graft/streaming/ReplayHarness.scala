@@ -620,6 +620,116 @@ object ReplayHarness {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
   }
 
+  /** st46's harness: ONE micro-batch stream fanned into TWO ledgered lake
+    * sinks inside one foreachBatch — the raw/derived double-write every
+    * medallion pipeline runs (same batch lands in an audit table and a
+    * filtered serving table). Exactly-once here is strictly harder than
+    * st32's single sink because the two commits CANNOT be atomic together:
+    * a crash BETWEEN them (injected once, after sink A's marker lands and
+    * before sink B is invoked, on `crashBetweenSinksAt`) leaves the batch
+    * committed in A and absent from B. Spark's recovery replays the whole
+    * batch; each sink consults its OWN ledger — A skips, B commits — so
+    * the pair converges without a cross-sink transaction. The harness
+    * then also drops the engine's last commit record at the phase
+    * boundary (st32's crash window), which both sinks must skip. The
+    * oracle census covers BOTH lakes tagged by sink: a double-append in
+    * either, or a batch lost from the not-yet-committed sink, shifts its
+    * half of the rows.
+    */
+  def replayEventsFanOut(
+      spark: SparkSession,
+      sfDir: String,
+      chunks: Int = 6,
+      phase1Chunks: Int = 3,
+      crashBetweenSinksAt: Long = 1L,
+      finish: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(phase1Chunks > 0 && phase1Chunks < chunks,
+      "need a non-empty phase on both sides of the restart")
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val base = scratchDir("graft_fanout_")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val lakeA = base.resolve("lake_raw").toString
+    val lakeB = base.resolve("lake_derived").toString
+    val ckpt = base.resolve("ckpt")
+
+    val withChunk = events.withColumn("__chunk",
+      pmod(col("event_id"), lit(chunks)).cast("int"))
+    val now = System.currentTimeMillis()
+    def publishChunk(i: Int): Unit = {
+      val stage = base.resolve(s"stage_$i")
+      withChunk.filter(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.parquet(stage.toString)
+      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 2 - i) * 60000L)
+    }
+
+    val sinkA = LakeSink.datePartitioned(lakeA, tsCol = "ts",
+      compactEvery = 3L, targetFileBytes = 512L << 10, minFilesToCompact = 2)
+    val sinkB = LakeSink.datePartitioned(lakeB, tsCol = "ts",
+      compactEvery = 3L, targetFileBytes = 512L << 10, minFilesToCompact = 2)
+    val crashFired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val invoked = java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(4, prevShuffle.toInt).toString)
+    try {
+      def runPhase(expectInjectedCrash: Boolean = false): Unit = {
+        val in = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val q = in.select("event_id", "ts", "user_id", "event_type", "value")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            invoked.add(batchId)
+            sinkA(batch, batchId)
+            if (batchId == crashBetweenSinksAt && crashFired.compareAndSet(false, true))
+              throw new RuntimeException(
+                s"injected fan-out crash between sinks at batch $batchId")
+            sinkB(batch.filter(col("event_type") === "click"), batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        def injected(t: Throwable): Boolean = t != null &&
+          (String.valueOf(t.getMessage).contains("injected fan-out crash") ||
+            injected(t.getCause))
+        try q.awaitTermination()
+        catch {
+          case e: Throwable if expectInjectedCrash && injected(e) =>
+            System.err.println("[fanout] injected between-sinks crash fired; " +
+              "recovery must commit the batch into sink B only")
+        }
+      }
+      (0 until phase1Chunks).foreach(publishChunk)
+      runPhase(expectInjectedCrash = true)
+      require(crashFired.get,
+        s"injected between-sinks crash for batch $crashBetweenSinksAt never " +
+          "fired — the fan-out's hard window is untested")
+      invoked.clear()
+      runPhase() // recovery: A's ledger skips the batch, B commits it
+      require(invoked.contains(java.lang.Long.valueOf(crashBetweenSinksAt)),
+        s"restart did not re-invoke the fan-out for crashed batch $crashBetweenSinksAt")
+      // st32's engine-crash window on top: both sinks committed, engine
+      // commit record dropped — BOTH ledgers must turn the replay into a skip
+      val replayedId = dropLastCommitRecord(ckpt)
+      System.err.println(s"[fanout] dropped commit record $replayedId; " +
+        "both sinks must skip its replay")
+      invoked.clear()
+      (phase1Chunks until chunks).foreach(publishChunk)
+      runPhase()
+      require(invoked.contains(java.lang.Long.valueOf(replayedId)),
+        s"restart did not re-invoke the fan-out for uncommitted batch $replayedId")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(streamDir)
+      deleteRecursively(ckpt)
+    }
+    val result = finish(spark.read.parquet(lakeA), spark.read.parquet(lakeB))
+    val rows = result.collect().toIndexedSeq
+    val schema = result.schema
+    cleanupScratch(base)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
   /** The engine-crash simulation shared by the lake replays: delete the
     * streaming checkpoint's LAST batch-commit record (offsets/<N> stays,
     * commits/<N> goes — exactly the on-disk state a hard kill between the

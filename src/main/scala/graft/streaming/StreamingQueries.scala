@@ -1578,6 +1578,42 @@ object StreamingQueries {
     ReplayHarness.replayLedgerTail(s, dir)
   }
 
+  /** st46: MULTI-SINK FAN-OUT, exactly-once per sink — one micro-batch
+    * stream double-written inside a single foreachBatch into a raw lake
+    * and a derived (clicks-only) lake, the medallion audit/serving split.
+    * The two commits cannot be atomic together, so the harness
+    * ([[ReplayHarness.replayEventsFanOut]]) injects the exact
+    * non-atomicity crash: after sink A's ledger marker lands and before
+    * sink B runs. Recovery replays the whole batch; each sink's OWN
+    * ledger arbitrates — A skips (no double-append), B commits (no lost
+    * batch) — and the engine-commit drop at the phase boundary must then
+    * be a skip in BOTH. The oracle tags each lake's census by sink: any
+    * asymmetry the crash could smuggle in (A doubled, B missing the
+    * crashed batch) shifts exactly one sink's rows.
+    */
+  val st46 = Q("st46_stream_fanout_sinks",
+    """WITH raw AS (
+      |  SELECT ts::DATE AS event_date, count(*) AS n,
+      |    round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |  FROM events GROUP BY 1),
+      |der AS (
+      |  SELECT ts::DATE AS event_date, count(*) AS n,
+      |    round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |  FROM events WHERE event_type = 'click' GROUP BY 1)
+      |SELECT 'raw' AS sink, event_date, n, total_value, id_checksum FROM raw
+      |UNION ALL
+      |SELECT 'derived' AS sink, event_date, n, total_value, id_checksum FROM der""".stripMargin) { (s, dir) =>
+    def census(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          sum(col("event_id")).as("id_checksum"))
+        .select(lit(tag).as("sink"), col("event_date"), col("n"),
+          col("total_value"), col("id_checksum"))
+    ReplayHarness.replayEventsFanOut(s, dir,
+      finish = (raw, derived) => census(raw, "raw").unionByName(census(derived, "derived")))
+  }
+
   val st37 = Q("st37_stream_bronze_silver_gold",
     """WITH w AS (
       |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_type,
@@ -1594,5 +1630,5 @@ object StreamingQueries {
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
-      st38, st39, st40, st41, st42, st43, st44, st45)
+      st38, st39, st40, st41, st42, st43, st44, st45, st46)
 }
