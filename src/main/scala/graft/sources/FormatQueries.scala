@@ -593,5 +593,66 @@ object FormatQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13)
+  /** f14: LAKE CHANGE DATA FEED — the row-level consumption shape
+    * [[graft.streaming.LakeSink.tailCommits]] refuses at a merge commit,
+    * served properly ([[graft.streaming.LakeSink.tailChanges]], the Delta
+    * CDF shape): append commits stream out as `insert` change rows by
+    * lineage name; the merge commit's `delete` / `update_pre` /
+    * `update_post` / `insert` rows come from the change record captured AT
+    * MERGE TIME (`recordChanges = true` — pre-images are unrecoverable
+    * after the rewrite, so recording is part of the commit, made
+    * durable-or-absent by a tmp rename and kept across idempotent
+    * retries). Same change classes as f12; the oracle rebuilds the full
+    * feed set-algebraically and censuses by op — a missing pre-image, an
+    * update double-counted as insert+delete, or an append row leaking the
+    * merge's op each shift an op cell. At 100 TB the feed costs O(range's
+    * leaves + churn), never a table diff.
+    */
+  val f14 = Q(
+    "f14_lake_change_feed",
+    """WITH chg AS (
+      |  SELECT 'insert' AS op, event_id, value FROM events
+      |  UNION ALL
+      |  SELECT 'update_pre', event_id, value FROM events WHERE event_id % 10 = 7
+      |  UNION ALL
+      |  SELECT 'update_post', event_id, value + 1000 FROM events WHERE event_id % 10 = 7
+      |  UNION ALL
+      |  SELECT 'delete', event_id, value FROM events WHERE event_id % 10 = 3
+      |  UNION ALL
+      |  SELECT 'insert', event_id + 10000000, value * 2 FROM events WHERE event_id % 10 = 2
+      |)
+      |SELECT op, count(*) AS n, round(sum(value), 2) AS total_value,
+      |  sum(event_id)::BIGINT AS id_checksum
+      |FROM chg GROUP BY 1""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_cdf_")
+    val lakeDir = base.resolve("lake").toString
+    (0 until 4).foreach { i =>
+      graft.streaming.LakeSink.appendBatch(s, lakeDir,
+        events.filter(pmod(col("event_id"), lit(4)) === i),
+        commitId = Some(i.toLong))
+    }
+    val upserts = events.filter(pmod(col("event_id"), lit(10)) === 7)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("event_type", lit("updated"))
+      .unionByName(events.filter(pmod(col("event_id"), lit(10)) === 2)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("value", col("value") * 2.0)
+        .withColumn("event_type", lit("inserted")))
+    val deletes = events.filter(pmod(col("event_id"), lit(10)) === 3)
+      .select("event_id", "ts")
+    val stats = graft.streaming.LakeSink.mergeInto(s, lakeDir, upserts,
+      "event_id", deletes, targetFileBytes = 512L << 10, recordChanges = true)
+    val census = graft.streaming.LakeSink
+      .tailChanges(s, lakeDir, -1L, stats.commitId)
+      .groupBy(col("_op").as("op"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = census.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13, f14)
 }

@@ -599,6 +599,14 @@ object LakeSink {
         else ids.map(_.getPath.getName.toLong).max - ledgerKeep
       val old = ids.filter(_.getPath.getName.toLong < horizon)
       old.foreach(s => fs.delete(s.getPath, false))
+      // change records ride the same retention bound as their markers: a
+      // change record whose marker is gone is unservable ([[tailChanges]]
+      // requires the marker) — dead weight either way
+      val cdcDir = new Path(root, CdcRoot)
+      if (fs.exists(cdcDir)) fs.listStatus(cdcDir)
+        .filter(s => s.getPath.getName.forall(_.isDigit) &&
+          s.getPath.getName.toLong < horizon)
+        .foreach(s => fs.delete(s.getPath, true))
       old.size
     }
     // fold the zone-map sidecars: one file per write accumulates exactly
@@ -894,6 +902,57 @@ object LakeSink {
       .reduce(_ unionByName _)
   }
 
+  /** CHANGE-DATA-FEED tail — the row-level consumption shape Delta serves
+    * with CDF, and the upgrade [[tailCommits]] points at when it refuses a
+    * merge commit: batch-read the CHANGES of every commit in
+    * `(fromExclusive, toInclusive]` as `(_op, _commit, ...row)` rows.
+    *
+    *   - an APPEND commit's changes are its rows, op `insert` — served by
+    *     lineage name through [[tailCommits]] (same O(range) cost, same
+    *     compaction immunity, same loud vacuum bounds);
+    *   - a MERGE commit's changes were captured AT MERGE TIME into
+    *     `_graft_cdc/<B>/` (`mergeInto(recordChanges = true)`): `delete` /
+    *     `update_pre` / `update_post` / `insert` rows with true pre-images
+    *     (recomputing them after the rewrite is impossible — the pre-state
+    *     is gone from the live leaves). A merge committed WITHOUT a change
+    *     record fails LOUDLY here: serving only its insert half would
+    *     misrepresent the commit.
+    *
+    * The caller owns the high-water mark exactly as for [[tailCommits]].
+    */
+  def tailChanges(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    require(fromExclusive <= toInclusive,
+      s"empty change range ($fromExclusive, $toInclusive]")
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new Path(root, "_graft_commits")
+    require(fs.exists(ledger), s"no commit ledger under $lakeDir")
+    val perCommit = ((fromExclusive + 1) to toInclusive).map { id =>
+      val marker = new Path(ledger, id.toString)
+      require(fs.exists(marker), s"change tail lost batch $id: its commit " +
+        "marker has been pruned — tail before vacuum's ledgerKeep horizon passes")
+      if (isRewriteMarker(fs, marker)) {
+        val cdcDir = new Path(new Path(root, CdcRoot), id.toString)
+        if (!fs.exists(cdcDir)) throw new IllegalStateException(
+          s"commit $id is a merge with NO change record — it ran with " +
+            "recordChanges = false (or vacuum pruned the record); its " +
+            "row-level changes are unrecoverable from the rewritten " +
+            s"leaves. Consume a fresh snapshot via readAsOf($id) instead")
+        spark.read.parquet(cdcDir.toString)
+          .withColumn("_commit", lit(id))
+      } else {
+        tailCommits(spark, lakeDir, id - 1, id)
+          .withColumn("_op", lit("insert"))
+          .withColumn("_commit", lit(id))
+      }
+    }
+    perCommit.reduce(_ unionByName _)
+  }
+
   /** One compaction sweep: rewrite every `event_date=*` leaf holding at
     * least `minFiles` parquet files down to the [[Layout.compactParquet]]
     * measured-size file count. `only = Some(names)` restricts the sweep to
@@ -1030,6 +1089,7 @@ object LakeSink {
   private val OldRoot = "_compact_old"
   private val HistoryRoot = "_graft_history"
   private val StatsRoot = "_graft_stats"
+  private val CdcRoot = "_graft_cdc"
 
   /** Parquet primitive types zone maps support — numeric, totally ordered,
     * and exactly representable as decimal strings. Anything else (strings,
@@ -1394,6 +1454,7 @@ object LakeSink {
       maxConcurrency: Int = 8,
       fenceEpoch: Option[Long] = None,
       statsCols: Seq[String] = Nil,
+      recordChanges: Boolean = false,
       faultInjector: String => Unit = _ => ()): MergeStats = {
     import org.apache.spark.sql.functions.{broadcast, lit}
     val root = new Path(lakeDir)
@@ -1437,15 +1498,67 @@ object LakeSink {
 
       // find-touched-leaves: read ONLY the scoped leaves, semi-join the
       // broadcast key set — the O(scoped-partitions) scan every MERGE pays
-      val matched: Set[String] =
-        if (existing.isEmpty) Set.empty
+      val scoped: Option[DataFrame] =
+        if (existing.isEmpty) None
+        else Some(spark.read.option("basePath", root.toString)
+          .parquet(existing.map(d => new Path(root, s"event_date=$d").toString): _*))
+      val matched: Set[String] = scoped.fold(Set.empty[String]) { sc =>
+        sc.select(col(keyCol), col("event_date").cast("string").as("__d"))
+          .join(broadcast(allKeys), Seq(keyCol, "__d"), "left_semi")
+          .select("__d").distinct().collect().map(_.getString(0)).toSet
+      }
+
+      // CHANGE-DATA-FEED record (`_graft_cdc/<B>/`, the Delta CDF shape):
+      // the merge's row-level changes, captured BEFORE any leaf is
+      // rewritten (pre-images must come from the pre-merge state) and made
+      // durable-or-absent by a tmp-dir rename — a RETRY that finds the
+      // complete record SKIPS recomputation, because after a partial
+      // rewrite the live leaves no longer hold the true pre-images. This
+      // is what lets [[tailChanges]] serve a merge commit instead of
+      // refusing it the way [[tailCommits]] must.
+      if (recordChanges) {
+        val cdcDir = new Path(new Path(root, CdcRoot), b.toString)
+        if (fs.exists(cdcDir)) System.err.println(
+          s"[lake] merge retry: change record for commit $b already " +
+            "complete — keeping the first attempt's pre-images")
         else {
-          val scoped = spark.read.option("basePath", root.toString)
-            .parquet(existing.map(d => new Path(root, s"event_date=$d").toString): _*)
-          scoped.select(col(keyCol), col("event_date").cast("string").as("__d"))
-            .join(broadcast(allKeys), Seq(keyCol, "__d"), "left_semi")
-            .select("__d").distinct().collect().map(_.getString(0)).toSet
+          val dated = upserts.withColumn("event_date", to_date(col(tsCol)))
+          val upsertKeySet = upserts.select(col(keyCol),
+            to_date(col(tsCol)).cast("string").as("__d")).distinct()
+          val changes = scoped match {
+            case None => // brand-new dates only: every upsert is an insert
+              dated.withColumn("_op", lit("insert"))
+            case Some(sc) =>
+              // pre-images: the matched rows, op by whether the key is
+              // also upserted (update) or only deleted
+              val preOps = sc.withColumn("__d", col("event_date").cast("string"))
+                .join(broadcast(allKeys.distinct()), Seq(keyCol, "__d"), "left_semi")
+                .join(broadcast(upsertKeySet.withColumn("__u", lit(1))),
+                  Seq(keyCol, "__d"), "left_outer")
+                .withColumn("_op", org.apache.spark.sql.functions
+                  .when(col("__u").isNotNull, lit("update_pre"))
+                  .otherwise(lit("delete")))
+                .drop("__u", "__d")
+              // post-images: every upsert, op by whether it matched a
+              // pre-merge row
+              val scKeys = sc.select(col(keyCol),
+                col("event_date").cast("string").as("__d")).distinct()
+                .withColumn("__m", lit(1))
+              val postOps = dated.withColumn("__d", col("event_date").cast("string"))
+                .join(broadcast(scKeys), Seq(keyCol, "__d"), "left_outer")
+                .withColumn("_op", org.apache.spark.sql.functions
+                  .when(col("__m").isNotNull, lit("update_post"))
+                  .otherwise(lit("insert")))
+                .drop("__m", "__d")
+              preOps.unionByName(postOps)
+          }
+          val tmp = new Path(new Path(root, CdcRoot), s".tmp$b")
+          changes.write.mode("overwrite").parquet(tmp.toString)
+          fs.mkdirs(cdcDir.getParent)
+          require(fs.rename(tmp, cdcDir),
+            s"change-record rename failed: $tmp -> $cdcDir")
         }
+      }
 
       // copy-on-write rewrites, fanned like compaction's sweep
       def mergeOne(d: String): String = {

@@ -212,6 +212,67 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(LakeSink.tailCommits(spark, lake, stats.commitId, id).count() == 1L)
   }
 
+  test("change feed: appends as inserts, merge as recorded row-level changes") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_cdf") + "/t"
+    layDown(lake)
+    val upserts = Seq(
+      Event(1, ts("2024-03-01 10:00:01"), 101, "updated", 100.0),
+      Event(20, ts("2024-03-03 12:00:00"), 120, "inserted", 20.0)).toDF()
+    val deletes = Seq((5L, ts("2024-03-02 10:00:05"))).toDF("event_id", "ts")
+    val stats = LakeSink.mergeInto(spark, lake, upserts, "event_id", deletes,
+      recordChanges = true)
+
+    val feed = LakeSink.tailChanges(spark, lake, -1L, stats.commitId)
+      .select(col("_commit"), col("_op"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // appends: 12 inserts across commits 0 and 1
+    assert(feed.count(c => c._1 <= 1 && c._2 == "insert") == 12)
+    // merge commit: the exact four change classes
+    val m = feed.filter(_._1 == stats.commitId).map(c => (c._2, c._3, c._4)).toSet
+    assert(m == Set(
+      ("update_pre", 1L, 1.0), ("update_post", 1L, 100.0),
+      ("delete", 5L, 5.0), ("insert", 20L, 20.0)), s"merge changes: $m")
+  }
+
+  test("change feed: crash after the record, retry keeps TRUE pre-images") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_cdf_crash") + "/t"
+    layDown(lake)
+    val upserts = Seq(Event(1, ts("2024-03-01 10:00:01"), 101, "updated", 100.0)).toDF()
+    val deletes = spark.emptyDataset[(Long, Timestamp)].toDF("event_id", "ts")
+    // crash AFTER the change record and the first leaf swap: a naive retry
+    // would recompute pre-images from the already-merged leaf (value 100)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[Exception] {
+      LakeSink.mergeInto(spark, lake, upserts, "event_id", deletes,
+        maxConcurrency = 1, recordChanges = true,
+        faultInjector = p =>
+          if (p.startsWith("rewritten:") && fired.compareAndSet(false, true))
+            throw new RuntimeException("injected post-record crash"))
+    }
+    val stats = LakeSink.mergeInto(spark, lake, upserts, "event_id", deletes,
+      recordChanges = true)
+    val pre = LakeSink.tailChanges(spark, lake, stats.commitId - 1, stats.commitId)
+      .filter(col("_op") === "update_pre").select("value").collect()
+    assert(pre.map(_.getDouble(0)).toSeq == Seq(1.0),
+      "retry must keep the first attempt's pre-image, not the merged value")
+  }
+
+  test("change feed: a merge without a change record fails loudly") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_cdf_none") + "/t"
+    layDown(lake)
+    val upserts = Seq(Event(1, ts("2024-03-01 10:00:01"), 101, "updated", 100.0)).toDF()
+    val deletes = spark.emptyDataset[(Long, Timestamp)].toDF("event_id", "ts")
+    val stats = LakeSink.mergeInto(spark, lake, upserts, "event_id", deletes)
+    val e = intercept[IllegalStateException] {
+      LakeSink.tailChanges(spark, lake, -1L, stats.commitId).count()
+    }
+    assert(e.getMessage.contains("NO change record"))
+    assert(e.getMessage.contains(s"readAsOf(${stats.commitId})"))
+  }
+
   test("appendBatch: caller-claimed commit ids are exactly-once; gaps fail loudly") {
     import spark.implicits._
     val lake = GraftTestSpark.tmpDir("lake_append_hwm") + "/t"
