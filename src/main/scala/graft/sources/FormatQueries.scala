@@ -654,5 +654,51 @@ object FormatQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13, f14)
+  /** f15: LAKE SCHEMA EVOLUTION on the write path — f5 certifies batch
+    * `mergeSchema` over a plain directory; this row certifies the LAKE's
+    * registry discipline ([[graft.streaming.LakeSink.readLake]] +
+    * `_graft_commits/_schema.<B>`, the Delta schema-in-log shape): commits
+    * 0-1 land with the base schema, commits 2-3 WIDEN it with a `quality`
+    * column — the widening registers a versioned union schema and every
+    * reader DECLARES it (one small-file read; `mergeSchema` at 100 TB is a
+    * footer read of every file), so pre-widening files null-fill and
+    * single leaves holding files from both sides read correctly. Time
+    * travel picks the schema AS OF its snapshot and narrowing/retyping
+    * appends die loudly (suite-certified). The oracle derives the same
+    * quality bucketing from the commit rule (`id % 4 >= 2` rows carry
+    * `id % 5`, the rest null → -1): a reader that silently inferred ONE
+    * footer's schema would zero out the quality buckets (or the legacy
+    * bucket) and break the hash.
+    */
+  val f15 = Q(
+    "f15_lake_schema_evolution",
+    """SELECT CASE WHEN event_id % 4 >= 2 THEN event_id % 5 ELSE -1 END AS quality,
+      |  count(*) AS n, round(sum(value), 2) AS total_value,
+      |  sum(event_id)::BIGINT AS id_checksum
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_evo_")
+    val lakeDir = base.resolve("lake").toString
+    (0 until 2).foreach { i =>
+      graft.streaming.LakeSink.appendBatch(s, lakeDir,
+        events.filter(pmod(col("event_id"), lit(4)) === i),
+        commitId = Some(i.toLong))
+    }
+    (2 until 4).foreach { i =>
+      graft.streaming.LakeSink.appendBatch(s, lakeDir,
+        events.filter(pmod(col("event_id"), lit(4)) === i)
+          .withColumn("quality", pmod(col("event_id"), lit(5)).cast("int")),
+        commitId = Some(i.toLong))
+    }
+    val census = graft.streaming.LakeSink.readLake(s, lakeDir)
+      .groupBy(coalesce(col("quality").cast("long"), lit(-1L)).as("quality"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = census.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13, f14, f15)
 }

@@ -158,6 +158,10 @@ object LakeSink {
         fs.delete(staging, true)
         System.err.println(s"[lake] batch $batchId already committed, skipping write")
       } else {
+        // schema validation + registration before any data movement (see
+        // [[registerSchemaIfWidened]]): a narrowing batch dies loudly with
+        // the lake untouched — a poison batch, but a visible one
+        registerSchemaIfWidened(fs, root, batchId, batch.schema)
         // STAGE: materialize the batch invisibly (underscore root), already
         // in its Hive leaf shape. mode=overwrite makes a replay of a
         // half-staged crash self-healing.
@@ -782,9 +786,13 @@ object LakeSink {
       .distinct.sorted
       .flatMap(serveLeaf)
     require(files.nonEmpty, s"no files at or before batch $asOf under $lakeDir")
+    // SCHEMA AS OF the snapshot: a pre-evolution snapshot correctly lacks
+    // the later column; files older than a widening null-fill under it
+    val declared = declaredReadSchema(fs, root, asOf)
     files.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (mount, fl) =>
-        spark.read.option("basePath", mount).parquet(fl.map(_._2): _*)
+        val r = spark.read.option("basePath", mount)
+        declared.fold(r)(r.schema).parquet(fl.map(_._2): _*)
       }
       .reduce(_ unionByName _)
   }
@@ -895,9 +903,13 @@ object LakeSink {
     }
     require(files.nonEmpty,
       s"no files found for commits ($fromExclusive, $toInclusive] under $lakeDir")
+    // schema as of the range head — commits inside the range that predate
+    // a widening null-fill under it
+    val declared = declaredReadSchema(fs, root, toInclusive)
     files.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (mount, fl) =>
-        spark.read.option("basePath", mount).parquet(fl.map(_._2).distinct: _*)
+        val r = spark.read.option("basePath", mount)
+        declared.fold(r)(r.schema).parquet(fl.map(_._2).distinct: _*)
       }
       .reduce(_ unionByName _)
   }
@@ -1234,7 +1246,10 @@ object LakeSink {
         case None => true // no zone map: must scan
       }
     }
-    val all = spark.read.option("basePath", root.toString)
+    val all = {
+      val r = spark.read.option("basePath", root.toString)
+      declaredReadSchema(fs, root).fold(r)(r.schema)
+    }
     def typed(df: DataFrame): DataFrame = {
       import org.apache.spark.sql.types._
       val (l, h) = df.schema(statsCol).dataType match {
@@ -1315,6 +1330,99 @@ object LakeSink {
     require(fs.rename(tmp, leaf), s"rewrite swap failed for $leaf")
   }
 
+  /** SCHEMA REGISTRY — the Delta schema-in-log discipline from FS
+    * primitives: the lake's data schema (WITHOUT the partition column)
+    * lives in versioned `_graft_commits/_schema.<B>` files, one written
+    * whenever commit B WIDENS it. Readers declare the registered schema
+    * instead of sweeping footers (at 100 TB, mergeSchema is a
+    * footer-read of every file; a declared schema is one small-file
+    * read), parquet null-fills files that predate a column, and
+    * [[readAsOf]] picks the schema AS OF its snapshot — a pre-evolution
+    * snapshot correctly lacks the later column. Widening only: every
+    * registered field must keep its name and type (drops/retypes fail
+    * loudly — the rewrite-the-table migrations no log format does
+    * implicitly). Versioned creates are atomic; no reader ever sees a
+    * half-written current schema (the previous version keeps serving).
+    */
+  private def registeredSchema(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      asOf: Long = Long.MaxValue): Option[org.apache.spark.sql.types.StructType] = {
+    val ledger = new Path(root, "_graft_commits")
+    if (!fs.exists(ledger)) return None
+    val versions = fs.listStatus(ledger).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_schema."))
+      .flatMap { s =>
+        val id = s.getPath.getName.stripPrefix("_schema.")
+        if (id.nonEmpty && id.forall(_.isDigit) && id.toLong <= asOf)
+          Some(id.toLong -> s.getPath)
+        else None
+      }
+    if (versions.isEmpty) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(readSmallFile(fs, versions.maxBy(_._1)._2))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Register commit `b`'s data schema if it widens the current one;
+    * loud on anything that isn't pure widening. Call BEFORE the commit
+    * marker so the schema is visible the instant the data is committed
+    * (a crash in between replays both idempotently).
+    */
+  private def registerSchemaIfWidened(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, b: Long,
+      dataSchema: org.apache.spark.sql.types.StructType): Unit = {
+    registeredSchema(fs, root) match {
+      case None =>
+        writeSmallFile(fs,
+          new Path(new Path(root, "_graft_commits"), s"_schema.$b"),
+          dataSchema.json)
+      case Some(cur) =>
+        val byName = dataSchema.fields.map(f => f.name -> f.dataType).toMap
+        cur.fields.foreach { f =>
+          require(byName.get(f.name).contains(f.dataType),
+            s"commit $b would ${if (byName.contains(f.name)) "retype" else "drop"} " +
+              s"registered column ${f.name}: ${f.dataType.simpleString} — the " +
+              "schema registry is widening-only; narrowing or retyping needs " +
+              "an explicit table rewrite")
+        }
+        val newFields = dataSchema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+        if (newFields.nonEmpty) {
+          val union = org.apache.spark.sql.types.StructType(cur.fields ++ newFields)
+          writeSmallFile(fs,
+            new Path(new Path(root, "_graft_commits"), s"_schema.$b"), union.json)
+          System.err.println(s"[lake] commit $b widened the schema: +" +
+            newFields.map(_.name).mkString(", "))
+        }
+    }
+  }
+
+  /** The declared read schema for snapshot `asOf`: registered data schema
+    * plus the partition column. None when the lake predates the registry
+    * (readers fall back to inference).
+    */
+  private def declaredReadSchema(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      asOf: Long = Long.MaxValue): Option[org.apache.spark.sql.types.StructType] =
+    registeredSchema(fs, root, asOf)
+      .map(_.add("event_date", org.apache.spark.sql.types.DateType))
+
+  /** The LIVE table read: declared registered schema (union across every
+    * evolution — files predating a column null-fill) over partition
+    * discovery. The one read entry point that is always
+    * evolution-correct; a bare `spark.read.parquet(lakeDir)` infers from
+    * one footer and can silently miss late columns.
+    */
+  def readLake(
+      spark: org.apache.spark.sql.SparkSession, lakeDir: String): DataFrame = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no lake at $lakeDir")
+    declaredReadSchema(fs, root) match {
+      case Some(s) => spark.read.schema(s).parquet(lakeDir)
+      case None => spark.read.parquet(lakeDir)
+    }
+  }
+
   /** Max committed id in the lake's ledger, -1 when none (or no ledger). */
   private def maxCommittedId(
       fs: org.apache.hadoop.fs.FileSystem, root: Path): Long = {
@@ -1374,6 +1482,12 @@ object LakeSink {
         id
       case None => next
     }
+    // schema validation + registration BEFORE any data movement: an append
+    // that would narrow/retype dies with the lake untouched, and a widening
+    // is registered ahead of its data (a crash in between leaves a wider
+    // schema with no rows yet — nulls, harmless; the retry re-registers
+    // idempotently)
+    registerSchemaIfWidened(fs, root, b, rows.schema)
     val staging = new Path(new Path(root, StagingRoot), s"b$b")
     rows.withColumn("event_date", to_date(col(tsCol)))
       .write.partitionBy("event_date").mode("overwrite")
@@ -1467,7 +1581,10 @@ object LakeSink {
     require(b > 0, s"merge into $lakeDir needs a ledgered lake (no commits " +
       "found) — lay the table down via appendBatch/datePartitioned first")
 
-    val lakeSchema = {
+    // the registered union schema when the registry exists (files that
+    // predate a widening null-fill under the declared read); head-leaf
+    // inference only for a pre-registry lake
+    val lakeSchema = registeredSchema(fs, root).getOrElse {
       val leaves = fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
       require(leaves.nonEmpty, s"no event_date= leaves under $lakeDir")
@@ -1500,7 +1617,9 @@ object LakeSink {
       // broadcast key set — the O(scoped-partitions) scan every MERGE pays
       val scoped: Option[DataFrame] =
         if (existing.isEmpty) None
-        else Some(spark.read.option("basePath", root.toString)
+        else Some(spark.read
+          .schema(lakeSchema.add("event_date", org.apache.spark.sql.types.DateType))
+          .option("basePath", root.toString)
           .parquet(existing.map(d => new Path(root, s"event_date=$d").toString): _*))
       val matched: Set[String] = scoped.fold(Set.empty[String]) { sc =>
         sc.select(col(keyCol), col("event_date").cast("string").as("__d"))
@@ -1565,7 +1684,9 @@ object LakeSink {
         val leafName = s"event_date=$d"
         val leaf = new Path(root, leafName)
         val tmp = new Path(new Path(root, "_compact_tmp"), leafName)
-        val current = spark.read.parquet(leaf.toString)
+        // declare the union schema: a leaf holding files from both sides
+        // of a widening must read every file, null-filling the old ones
+        val current = spark.read.schema(lakeSchema).parquet(leaf.toString)
         val keysHere = allKeys.filter(col("__d") === d).select(keyCol)
         val upsertsHere = upserts.filter(to_date(col(tsCol)).cast("string") === d)
           .select(current.columns.map(col): _*)

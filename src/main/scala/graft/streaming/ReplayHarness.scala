@@ -730,6 +730,95 @@ object ReplayHarness {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
   }
 
+  /** st47's harness: a REPLICA table maintained purely from the source
+    * lake's change feed — the cross-table CDC pipeline Delta runs with
+    * CDF + MERGE, here composed entirely from LakeSink verbs:
+    *
+    *   source = appends (commits 0-2) + one recorded MERGE (commit 3:
+    *   updates/deletes/inserts) + a late append (commit 4). The consumer
+    *   owns a high-water mark and applies each commit range with
+    *   [[LakeSink.tailChanges]] → upserts (`insert` + `update_post`) and
+    *   deletes (`delete`) fed to [[LakeSink.mergeInto]] on the replica
+    *   (bootstrap range via [[LakeSink.appendBatch]] with a claimed id).
+    *   `update_pre` rows are read and DROPPED — the apply needs
+    *   post-state only; their presence in the feed is what a diff-based
+    *   consumer (audit, incremental aggregate) would key on.
+    *
+    *   The crash the shape must survive: between an applied range and the
+    *   high-water advance. The harness re-applies the merge range
+    *   verbatim — the replica's merge converges (anti-join + union of
+    *   already-applied content) and the bootstrap's claimed id makes the
+    *   append retry a no-op, so the final census is invariant.
+    *
+    * Returns `finish` over the REPLICA's read-back — every row priced by
+    * the oracle's set-algebraic reconstruction of the source's final
+    * state: a dropped delete, a pre-image applied as post, a double-
+    * applied range, or a leaked `_op` column each shift a census cell.
+    */
+  def replayCdcApply(
+      spark: SparkSession,
+      sfDir: String,
+      finish: DataFrame => DataFrame = identity): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val base = scratchDir("graft_cdcapply_")
+    val src = base.resolve("source").toString
+    val dst = base.resolve("replica").toString
+    val sink = LakeSink
+
+    // source lay-down: three appends, one recorded merge, one late append
+    (0 until 3).foreach { i =>
+      sink.appendBatch(spark, src,
+        events.filter(pmod(col("event_id"), lit(4)) === i),
+        commitId = Some(i.toLong))
+    }
+    val present = pmod(col("event_id"), lit(4)) < 3
+    val upserts = events.filter(present && pmod(col("event_id"), lit(10)) === 7)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("event_type", lit("updated"))
+      .unionByName(events.filter(pmod(col("event_id"), lit(10)) === 2)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("value", col("value") * 2.0)
+        .withColumn("event_type", lit("inserted")))
+    val deletes = events.filter(present && pmod(col("event_id"), lit(10)) === 3)
+      .select("event_id", "ts")
+    val merged = sink.mergeInto(spark, src, upserts, "event_id", deletes,
+      targetFileBytes = 512L << 10, recordChanges = true)
+    require(merged.commitId == 3L, s"fixture drift: merge landed at ${merged.commitId}")
+    sink.appendBatch(spark, src,
+      events.filter(pmod(col("event_id"), lit(4)) === 3), commitId = Some(4L))
+
+    val dataCols = events.columns.toSeq
+    def applyRange(from: Long, to: Long): Unit = {
+      val changes = sink.tailChanges(spark, src, from, to)
+      val ups = changes.filter(col("_op").isin("insert", "update_post"))
+        .select(dataCols.map(col): _*)
+      val dels = changes.filter(col("_op") === "delete")
+        .select("event_id", "ts")
+      val fs = new org.apache.hadoop.fs.Path(dst)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dst))) {
+        require(dels.isEmpty, "bootstrap range cannot carry deletes")
+        // claimed id 0: a crash-retry of the bootstrap is a ledger no-op
+        sink.appendBatch(spark, dst, ups, commitId = Some(0L))
+      } else {
+        sink.mergeInto(spark, dst, ups, "event_id", dels,
+          targetFileBytes = 512L << 10)
+      }
+    }
+    applyRange(-1L, 2L) // bootstrap: the three appends
+    applyRange(2L, 3L)  // the merge's row-level changes
+    // crash window: effect committed, high-water not advanced — the
+    // consumer re-applies the SAME range; the replica must converge
+    applyRange(2L, 3L)
+    applyRange(3L, 4L)  // the late append
+
+    val result = finish(sink.readLake(spark, dst))
+    val rows = result.collect().toIndexedSeq
+    val schema = result.schema
+    cleanupScratch(base)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
   /** The engine-crash simulation shared by the lake replays: delete the
     * streaming checkpoint's LAST batch-commit record (offsets/<N> stays,
     * commits/<N> goes — exactly the on-disk state a hard kill between the

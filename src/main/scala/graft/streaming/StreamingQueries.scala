@@ -1614,6 +1614,42 @@ object StreamingQueries {
       finish = (raw, derived) => census(raw, "raw").unionByName(census(derived, "derived")))
   }
 
+  /** st47: CDC-APPLY REPLICATION — a replica table maintained PURELY from
+    * the source lake's change feed ([[ReplayHarness.replayCdcApply]]): the
+    * cross-table pipeline f12 (merge) and f14 (change feed) compose into,
+    * and the consumption pattern Delta ships as CDF + MERGE. Appends
+    * bootstrap the replica (claimed commit id — retry is a ledger no-op);
+    * the source merge's recorded changes apply as merge upserts
+    * (`insert` + `update_post`) and deletes, with `update_pre` read and
+    * dropped; a crash between an applied range and the high-water advance
+    * is simulated by re-applying the merge range VERBATIM — the replica
+    * converges. The oracle reconstructs the source's final state
+    * set-algebraically: a pre-image applied as post-state, a dropped
+    * delete, or a double-applied range each shift a (date, type) cell.
+    */
+  val st47 = Q("st47_cdc_apply_replication",
+    """WITH merged AS (
+      |  SELECT event_id, ts, event_type, value FROM events
+      |  WHERE event_id % 4 < 3 AND event_id % 10 NOT IN (3, 7)
+      |  UNION ALL
+      |  SELECT event_id, ts, 'updated', value + 1000 FROM events
+      |  WHERE event_id % 4 < 3 AND event_id % 10 = 7
+      |  UNION ALL
+      |  SELECT event_id + 10000000, ts, 'inserted', value * 2 FROM events
+      |  WHERE event_id % 10 = 2
+      |  UNION ALL
+      |  SELECT event_id, ts, event_type, value FROM events WHERE event_id % 4 = 3
+      |)
+      |SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM merged GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayCdcApply(s, dir,
+      finish = _.groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          sum(col("event_id")).as("id_checksum")))
+  }
+
   val st37 = Q("st37_stream_bronze_silver_gold",
     """WITH w AS (
       |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_type,
@@ -1630,5 +1666,5 @@ object StreamingQueries {
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
-      st38, st39, st40, st41, st42, st43, st44, st45, st46)
+      st38, st39, st40, st41, st42, st43, st44, st45, st46, st47)
 }
