@@ -795,6 +795,44 @@ object ScaleProbe {
       (k, t)
     }
 
+    // data-skipping rung: f13's scale claim — a fixed range query's SCAN
+    // stays constant while the table grows. The lake is laid down as 4k
+    // contiguous-id commits (k copies of the corpus at shifted ids, the
+    // ingest-clustered shape), all into the SAME 30 date leaves; the probe
+    // reads one fixed quarter of copy 0. Zone maps must hold the scanned
+    // file count flat across 1x/4x/16x while the listed file count grows
+    // 16x — the difference between data skipping and merely pushing the
+    // filter into a full scan.
+    val lakeSkipR = (if (phase == "all" || phase == "lakeskip") Seq(1, 4, 16)
+      else Seq.empty[Int]).map { k =>
+      val sink = graft.streaming.LakeSink
+      val base = java.nio.file.Files.createTempDirectory("graft-lakeskip")
+      val lake = base.resolve("lake").toString
+      val ev = graft.core.Tables.load(spark, dir, "events")
+      val m = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+      (0 until k).foreach { j =>
+        val copy = ev.withColumn("event_id", col("event_id") + lit(j * m))
+        (0 until 4).foreach { q =>
+          sink.appendBatch(spark, lake,
+            copy.filter(col("event_id") >= lit(j * m + q * (m / 4)) &&
+              (if (q == 3) col("event_id") < lit((j + 1) * m)
+               else col("event_id") < lit(j * m + (q + 1) * (m / 4)))),
+            commitId = Some((j * 4 + q).toLong), statsCols = Seq("event_id"))
+        }
+      }
+      val t = time {
+        val (df, report) = sink.readPruned(spark, lake, "event_id",
+          BigDecimal(m / 4), BigDecimal(m / 2 - 1))
+        val n = df.count()
+        System.err.println(f"[scale] lakeskip k=$k%2dx  rows=$n%7d  " +
+          f"scanned=${report.scannedFiles}%3d of ${report.totalFiles}%4d files")
+        require(report.scannedFiles < report.totalFiles,
+          s"skipping stopped skipping at ${k}x: $report")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      (k, t)
+    }
+
     // hot-key rung: st38's scale claim — a stateful top-k whose key is
     // ~100% hot (EVERY row of the run remapped into ONE 6 h window) must
     // not funnel the whole stream through one state store. The ladder runs
@@ -1014,6 +1052,8 @@ object ScaleProbe {
       s""""lakesweep_${k}":{"sweep":$t}"""
     } ++ lakeMergeR.map { case (k, t) =>
       s""""lakemerge_${k}":{"merge":$t}"""
+    } ++ lakeSkipR.map { case (k, t) =>
+      s""""lakeskip_${k}x":{"read":$t}"""
     } ++ hotkeyR.map { case (s, t) =>
       s""""hotkey_s${s}":{"drain":$t}"""
     } ++ liveCompactR.map { case (tag, t) =>

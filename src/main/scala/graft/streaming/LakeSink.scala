@@ -1009,6 +1009,7 @@ object LakeSink {
       maxConcurrency: Int = 8,
       fenceEpoch: Option[Long] = None,
       statsCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil,
       sweepHook: String => Unit = _ => ()): Seq[(String, Int, Int)] = {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1051,9 +1052,15 @@ object LakeSink {
       else {
         val tmp = new Path(tmpRoot, leaf.getName)
         // the leaf's files carry no event_date column (partitionBy strips
-        // it), so a plain rewrite within the same leaf round-trips exactly
+        // it), so a plain rewrite within the same leaf round-trips exactly.
+        // `clusterBy` range-partitions + sorts the rewrite (Layout's
+        // clustering — per-file disjoint ranges), which COMPOSES with
+        // `statsCols` zone maps: a clustered column's per-file min/max
+        // intervals are disjoint, so a point/range readPruned scans ~one
+        // file per leaf instead of all of them — the OPTIMIZE ZORDER +
+        // data-skipping pairing from FS primitives
         val after = Layout.compactParquet(
-          spark, leaf.toString, tmp.toString, targetFileBytes)
+          spark, leaf.toString, tmp.toString, targetFileBytes, clusterBy)
         sweepHook(leaf.getName)
         // the rewrite was a long job: re-validate the fence at the last
         // instant before the swap renames — a zombie that paused here must
@@ -1606,6 +1613,16 @@ object LakeSink {
       require(allKeys.filter(col("__d").isNull).isEmpty,
         "merge rows with a null event time cannot address a partition — " +
           "scope them explicitly (the partition-scoped merge contract)")
+      // duplicate SOURCE keys make the merge ill-defined (two rows claim
+      // one target key; the anti-join+union would keep both) — the same
+      // contract Delta's MERGE enforces with its multiple-source-rows
+      // error. k-row probe: at most one offending row is fetched.
+      val dupKey = upsertKeys.groupBy(col(keyCol), col("__d"))
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dupKey.isEmpty,
+        s"upserts carry duplicate rows for $keyCol=${if (dupKey.isEmpty) "" else dupKey(0).get(0)} " +
+          "in one partition — a merge target key must have exactly one " +
+          "source row (dedupe the source first, e.g. latest-per-key)")
       // k-bounded driver probe: one row per affected DATE (the same class
       // as the sink's dirty set), never per key
       val dates = allKeys.select("__d").distinct()

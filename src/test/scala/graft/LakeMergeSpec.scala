@@ -273,6 +273,20 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains(s"readAsOf(${stats.commitId})"))
   }
 
+  test("merge: duplicate source keys in one partition fail loudly") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_merge_dup") + "/t"
+    layDown(lake)
+    val dup = Seq(
+      Event(1, ts("2024-03-01 10:00:01"), 101, "updated", 100.0),
+      Event(1, ts("2024-03-01 11:00:00"), 101, "updated", 200.0)).toDF()
+    val deletes = spark.emptyDataset[(Long, Timestamp)].toDF("event_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      LakeSink.mergeInto(spark, lake, dup, "event_id", deletes)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("appendBatch: caller-claimed commit ids are exactly-once; gaps fail loudly") {
     import spark.implicits._
     val lake = GraftTestSpark.tmpDir("lake_append_hwm") + "/t"

@@ -118,6 +118,24 @@ class LakeStatsSpec extends AnyFunSuite {
       s"rewrites must be prunable from their own stats: $r0")
   }
 
+  test("clustered compaction composes with zone maps: ~one file per leaf scans") {
+    val lake = GraftTestSpark.tmpDir("lake_stats_cluster") + "/t"
+    layDown(lake)
+    // each date leaf holds 4 files with OVERLAPPING user_id ranges (every
+    // append spans the whole id space on that column); cluster the rewrite
+    // BY event_id into 2 files per leaf with disjoint ranges
+    val done = LakeSink.compactPartitions(spark, lake,
+      targetFileBytes = 2L << 10, minFiles = 2,
+      statsCols = Seq("event_id"), clusterBy = Seq("event_id"))
+    assert(done.nonEmpty)
+    val (df, report) = LakeSink.readPruned(spark, lake, "event_id", 0, 3)
+    assert(idSet(df) == Set(0L, 1L, 2L, 3L))
+    // ids 0-3 live in ONE disjoint-range file per leaf after clustering
+    assert(report.scannedFiles < report.totalFiles,
+      s"clustered rewrite must leave prunable disjoint ranges: $report")
+    assert(report.scannedFiles <= 2, s"expected ~one file per touched leaf: $report")
+  }
+
   test("merge rewrites and inserts carry zone maps; vacuum folds sidecars") {
     import spark.implicits._
     val lake = GraftTestSpark.tmpDir("lake_stats_merge") + "/t"
