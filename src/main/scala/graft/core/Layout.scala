@@ -45,9 +45,15 @@ object Layout {
       inDir: String,
       outDir: String,
       targetFileBytes: Long = 128L << 20,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val df = spark.read.parquet(inDir)
+    // `transform` runs on the fresh file scan (so `_metadata` columns are
+    // still resolvable) and must be row-FILTERING only — the lake uses it
+    // to materialize deletion vectors during a rewrite. File-count sizing
+    // stays measured-from-input: a filter can only shrink the output.
+    val df = transform(spark.read.parquet(inDir))
     val total = dataBytes(spark, inDir)
     val nFiles = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
     val shaped =

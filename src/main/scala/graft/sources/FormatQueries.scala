@@ -700,5 +700,62 @@ object FormatQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13, f14, f15)
+  /** f16: LAKE DELETION VECTORS (merge-on-read delete —
+    * [[graft.streaming.LakeSink.deleteVectors]], the Delta DV shape from FS
+    * primitives). f12 certifies the copy-on-write delete; this row
+    * certifies the O(churn) alternative: the same `id % 10 == 3` delete
+    * class lands as a `_graft_dv/<B>/` positional sidecar (`(leaf, file,
+    * row_index)` off the scan's `_metadata` struct) committed through the
+    * atomic marker exchange — and the query REQUIRES the data layout to be
+    * byte-identical afterwards (no leaf rewritten, no file moved): at
+    * 100 TB that is a few-KB write where the merge re-shuffles every
+    * touched leaf. Read-side, [[graft.streaming.LakeSink.readLake]]
+    * anti-joins the committed store; a lost DV entry (row resurrects) or an
+    * over-applied one (row vanishes) shifts a (date, type) census cell.
+    * Compaction later MATERIALIZES the sidecar into its rewrite and vacuum
+    * reclaims it once provably dead (suite-certified, LakeDvSpec).
+    */
+  val f16 = Q(
+    "f16_lake_deletion_vectors",
+    """SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM events WHERE event_id % 10 <> 3 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_dv_")
+    val lakeDir = base.resolve("lake").toString
+    (0 until 4).foreach { i =>
+      graft.streaming.LakeSink.appendBatch(s, lakeDir,
+        events.filter(pmod(col("event_id"), lit(4)) === i),
+        commitId = Some(i.toLong))
+    }
+    def layout(): Map[String, Set[String]] = {
+      val root = new org.apache.hadoop.fs.Path(lakeDir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_date="))
+        .map(l => l.getPath.getName -> fs.listStatus(l.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName).toSet)
+        .toMap
+    }
+    val before = layout()
+    val deletes = events.filter(pmod(col("event_id"), lit(10)) === 3)
+      .select("event_id", "ts")
+    val stats = graft.streaming.LakeSink.deleteVectors(
+      s, lakeDir, deletes, "event_id")
+    require(stats.deletedRows > 0, "fixture must delete rows")
+    require(layout() == before,
+      "merge-on-read stopped merge-on-reading: the delete moved data files")
+    val census = graft.streaming.LakeSink.readLake(s, lakeDir)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = census.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13,
+    f14, f15, f16)
 }

@@ -370,9 +370,17 @@ object LakeSink {
     */
   private[streaming] val MarkerRewrite = "#rewrite"
 
+  /** First line of a DELETION-VECTOR commit's marker: the commit carries no
+    * data files at all — its effect is the `_graft_dv/<B>/` sidecar that
+    * read paths anti-apply. [[tailCommits]] must refuse it (nothing to tail;
+    * the deletes would be silently dropped); [[tailChanges]] serves its
+    * recorded pre-images.
+    */
+  private[streaming] val MarkerDv = "#dv"
+
   private def writeCommitMarker(
       fs: org.apache.hadoop.fs.FileSystem, marker: Path, batchId: Long,
-      leaves: Seq[String], rewrite: Boolean = false): Unit = {
+      leaves: Seq[String], markerTag: Option[String] = None): Unit = {
     val out =
       try fs.create(marker, false)
       catch { case e: java.io.IOException => throw new IllegalStateException(
@@ -380,7 +388,7 @@ object LakeSink {
           "exists — a concurrent writer committed this batch first (two " +
           "writers raced the fence's check-then-act window); refusing to " +
           "double-commit, this instance must stop", e) }
-    val tag = if (rewrite) Seq(MarkerRewrite) else Seq.empty
+    val tag = markerTag.toSeq
     val content = (tag ++ leaves.sorted :+ MarkerEnd).mkString("\n")
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -404,6 +412,13 @@ object LakeSink {
   private def isRewriteMarker(
       fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
     readSmallFile(fs, p).split('\n').headOption.contains(MarkerRewrite)
+
+  /** Whether a commit marker classifies its commit as a deletion-vector
+    * commit. Same first-line discipline as [[isRewriteMarker]].
+    */
+  private def isDvMarker(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    readSmallFile(fs, p).split('\n').headOption.contains(MarkerDv)
 
   private def writeSmallFile(
       fs: org.apache.hadoop.fs.FileSystem, p: Path, content: String): Unit = {
@@ -613,6 +628,52 @@ object LakeSink {
         .foreach(s => fs.delete(s.getPath, true))
       old.size
     }
+    // deletion-vector generations: LIVE-LOAD-BEARING until every file they
+    // reference is gone (a DV on a never-compacted leaf keeps its rows
+    // hidden forever — pruning it would UN-delete them), so the bound is
+    // target liveness, not marker age: a generation is dead only when none
+    // of its `_targets` exists under the root or any RETAINED history
+    // generation (checked AFTER the history pruning above, so the retained
+    // set is final). A generation with no readable manifest is kept —
+    // conservative, like every advisory sidecar here. Stale `.tmp` stages
+    // whose generation (or marker) landed are reaped like staging dirs.
+    val dvRoot = new Path(root, DvRoot)
+    if (fs.exists(dvRoot)) {
+      val retainedGens: Seq[String] =
+        if (!fs.exists(histRoot)) Seq.empty
+        else fs.listStatus(histRoot).toSeq
+          .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
+          .map(_.getPath.getName)
+      fs.listStatus(dvRoot).foreach { g =>
+        val name = g.getPath.getName
+        if (name.startsWith(".tmp")) {
+          val id = name.stripPrefix(".tmp")
+          if (id.nonEmpty && id.forall(_.isDigit) &&
+              (fs.exists(new Path(dvRoot, id)) || fs.exists(new Path(ledger, id))))
+            fs.delete(g.getPath, true)
+        } else if (name.nonEmpty && name.forall(_.isDigit)) {
+          val manifest = new Path(g.getPath, DvTargetsFile)
+          val targets: Option[Seq[String]] =
+            if (!fs.exists(manifest)) None
+            else {
+              val lines = readSmallFile(fs, manifest).split('\n').toSeq
+              if (lines.lastOption.contains(MarkerEnd))
+                Some(lines.dropRight(1).filter(_.nonEmpty))
+              else None
+            }
+          targets.foreach { ts =>
+            val liveSomewhere = ts.exists { t =>
+              fs.exists(new Path(root, t)) ||
+                retainedGens.exists(h => fs.exists(new Path(new Path(histRoot, h), t)))
+            }
+            if (!liveSomewhere) {
+              fs.delete(g.getPath, true)
+              System.err.println(s"[lake] vacuumed dead deletion-vector generation $name")
+            }
+          }
+        }
+      }
+    }
     // fold the zone-map sidecars: one file per write accumulates exactly
     // like the ledger, but stats for OLD data stay VALUABLE (they are what
     // prunes the long tail at read time), so the bound is consolidation,
@@ -789,10 +850,17 @@ object LakeSink {
     // SCHEMA AS OF the snapshot: a pre-evolution snapshot correctly lacks
     // the later column; files older than a widening null-fill under it
     val declared = declaredReadSchema(fs, root, asOf)
+    // deletion vectors AS OF the snapshot: generations committed at or
+    // before asOf apply; later deletes stay invisible. Applied PER MOUNT —
+    // `_metadata` resolves only on the direct file scan, and positions are
+    // keyed by (leaf, file name) so a file served from a retained history
+    // generation matches its entries exactly as it did live
+    val dv = dvStore(spark, fs, root, asOf)
     files.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (mount, fl) =>
         val r = spark.read.option("basePath", mount)
-        declared.fold(r)(r.schema).parquet(fl.map(_._2): _*)
+        val scan = declared.fold(r)(r.schema).parquet(fl.map(_._2): _*)
+        dv.fold(scan)(applyDv(scan, _))
       }
       .reduce(_ unionByName _)
   }
@@ -895,6 +963,14 @@ object LakeSink {
           "serves append commits only; row-level merge changes have no " +
           s"change feed here. Consume a fresh snapshot via readAsOf($id) " +
           "and resume tailing above it")
+      // a deletion-vector commit carries NO files: silently serving its
+      // (empty) appends would drop the deletes from the consumer's view —
+      // the same boundary contract as a merge
+      if (isDvMarker(fs, marker)) throw new IllegalStateException(
+        s"commit $id is a DELETION-VECTOR commit — it adds no rows and its " +
+          "deletes cannot be expressed as an append tail. Consume it " +
+          s"through tailChanges (recordChanges = true at delete time) or a " +
+          s"fresh readAsOf($id) snapshot")
       readMarkerLeaves(fs, marker) match {
         case Some(leaves) => leaves.flatMap(l => locate(id, l, strict = true))
         case None => // torn content: leaf list unknown — probe everywhere
@@ -947,13 +1023,14 @@ object LakeSink {
       val marker = new Path(ledger, id.toString)
       require(fs.exists(marker), s"change tail lost batch $id: its commit " +
         "marker has been pruned — tail before vacuum's ledgerKeep horizon passes")
-      if (isRewriteMarker(fs, marker)) {
+      if (isRewriteMarker(fs, marker) || isDvMarker(fs, marker)) {
         val cdcDir = new Path(new Path(root, CdcRoot), id.toString)
         if (!fs.exists(cdcDir)) throw new IllegalStateException(
-          s"commit $id is a merge with NO change record — it ran with " +
-            "recordChanges = false (or vacuum pruned the record); its " +
+          s"commit $id is a merge/delete with NO change record — it ran " +
+            "with recordChanges = false (or vacuum pruned the record); its " +
             "row-level changes are unrecoverable from the rewritten " +
-            s"leaves. Consume a fresh snapshot via readAsOf($id) instead")
+            s"leaves (or the DV sidecar's bare positions). Consume a fresh " +
+            s"snapshot via readAsOf($id) instead")
         spark.read.parquet(cdcDir.toString)
           .withColumn("_commit", lit(id))
       } else {
@@ -1037,6 +1114,11 @@ object LakeSink {
         if (ids.isEmpty) None else Some(ids.max)
       }
     }
+    // committed deletion vectors MATERIALIZE here: the rewrite filters the
+    // DV'd rows out and lays down fresh `gc<B>` names the old entries can
+    // no longer match — the sidecar becomes dead weight for the live view
+    // (still serving retained-history snapshots until vacuum reclaims it)
+    val dvLive = dvStore(spark, fs, root)
     // dirty-set path: address the named leaves directly — O(|dirty|) FS
     // calls, no root enumeration; full sweep lists the table once
     val leaves: Seq[Path] = only match {
@@ -1060,7 +1142,8 @@ object LakeSink {
         // file per leaf instead of all of them — the OPTIMIZE ZORDER +
         // data-skipping pairing from FS primitives
         val after = Layout.compactParquet(
-          spark, leaf.toString, tmp.toString, targetFileBytes, clusterBy)
+          spark, leaf.toString, tmp.toString, targetFileBytes, clusterBy,
+          transform = df => dvLive.fold(df)(applyDv(df, _)))
         sweepHook(leaf.getName)
         // the rewrite was a long job: re-validate the fence at the last
         // instant before the swap renames — a zombie that paused here must
@@ -1109,6 +1192,240 @@ object LakeSink {
   private val HistoryRoot = "_graft_history"
   private val StatsRoot = "_graft_stats"
   private val CdcRoot = "_graft_cdc"
+  private val DvRoot = "_graft_dv"
+
+  /** FS-readable target manifest inside each DV generation: one `leaf/file`
+    * line per referenced data file, [[MarkerEnd]]-terminated. [[vacuum]]
+    * consults it (a DV generation is dead only when every target file is
+    * gone from the live table AND every retained history generation) and a
+    * marker-less retry re-derives the commit's touched-leaf list from it.
+    * Underscore-prefixed so the parquet read of the generation ignores it.
+    */
+  private val DvTargetsFile = "_targets"
+
+  /** Per-delete outcome: the allocated commit id, the leaves whose files
+    * gained deletion-vector entries, and the number of rows deleted.
+    */
+  final case class DvStats(
+      commitId: Long,
+      touchedLeaves: Seq[String],
+      deletedRows: Long)
+
+  /** The committed deletion-vector store as one `(leaf, file, pos)`
+    * relation, or None when no generation applies. A generation applies iff
+    * its id is `<= min(asOf, max committed id)`: ids are lake-allocated
+    * (max committed + 1), so a generation at or below the ledger head is
+    * provably committed even after [[vacuum]] prunes its marker, and a
+    * generation ABOVE the head is a crash-before-marker orphan that must
+    * stay invisible (the atomicity of the delete verb: nothing applies
+    * until the marker exchange lands).
+    */
+  private def dvStore(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path,
+      asOf: Long = Long.MaxValue): Option[DataFrame] = {
+    val dvRoot = new Path(root, DvRoot)
+    if (!fs.exists(dvRoot)) return None
+    val head = maxCommittedId(fs, root)
+    val gens = fs.listStatus(dvRoot).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.nonEmpty &&
+        d.getPath.getName.forall(_.isDigit))
+      .map(_.getPath)
+      .filter(p => p.getName.toLong <= math.min(asOf, head))
+      .sortBy(_.getName.toLong)
+    if (gens.isEmpty) None
+    else Some(spark.read.parquet(gens.map(_.toString): _*))
+  }
+
+  /** Anti-apply a deletion-vector relation to a FRESH FILE SCAN: each row
+    * is identified by `(leaf, file name, row index)` straight off the scan's
+    * `_metadata` struct — codegen'd column ops, no UDF — and removed when
+    * the DV store names it. Positions are stable per physical file, so the
+    * mapping survives file MOVES (a retained history generation keeps the
+    * file name; [[readAsOf]] reads it there with the same DV applied) and
+    * self-expires on REWRITES (compaction/merge lay down fresh `gc<B>`
+    * names the old entries cannot match — materialization needs no
+    * bookkeeping). Join strategy is left to Catalyst/AQE: the DV relation
+    * is O(deleted rows) and broadcasts while small; a churn-heavy table
+    * degrades to a shuffle join — at which point the deletes should have
+    * been a copy-on-write [[mergeInto]] anyway (the documented crossover).
+    * `df` must be the direct file-source relation (metadata columns stop
+    * resolving after a union), which every caller here guarantees.
+    */
+  private def applyDv(df: DataFrame, dv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{element_at, split}
+    val keyed = df
+      .withColumn("__dv_leaf",
+        element_at(split(col("_metadata.file_path"), "/"), -2))
+      .withColumn("__dv_file", col("_metadata.file_name"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    keyed.join(
+        dv.select(col("leaf").as("__dv_leaf"), col("file").as("__dv_file"),
+          col("pos").as("__dv_pos")),
+        Seq("__dv_leaf", "__dv_file", "__dv_pos"), "left_anti")
+      .drop("__dv_leaf", "__dv_file", "__dv_pos")
+  }
+
+  /** MERGE-ON-READ DELETE — the Delta deletion-vector verb: mark rows
+    * deleted in an O(churn) sidecar instead of rewriting their leaves
+    * copy-on-write. At 100 TB this is the difference between a few-KB
+    * `_graft_dv/<B>/` write and re-shuffling every touched leaf to retire a
+    * handful of rows (GDPR-row class deletes); the standing cost moves to
+    * the READ side — every lake read path anti-joins the committed DV store
+    * — until the next compaction sweep MATERIALIZES the deletes into its
+    * rewrite (the touched leaves enter the commit marker's leaf list, so
+    * the scoped sweep gets there on its own) and [[vacuum]] reclaims the
+    * dead generations. A delete whose churn is a large fraction of the
+    * table should be a [[mergeInto]] instead: the DV store and this verb's
+    * driver-side target manifest are both O(deleted rows / touched files).
+    *
+    * `deletes` carries `(keyCol, tsCol)` pairs — the event time addresses
+    * the leaf, the partition-scoped discipline shared with [[mergeInto]]
+    * (the find-matches scan reads only the deletes' own partitions, with
+    * already-deleted rows anti-applied first so a re-delete is a no-op).
+    *
+    * COMMIT: one lake-allocated id B through the atomic marker exchange,
+    * tagged [[MarkerDv]]. The parquet sidecar (plus its [[DvTargetsFile]]
+    * manifest) is staged under `.tmp<B>` and RENAMED in — durable-or-absent
+    * — but stays INVISIBLE to readers until the marker lands, because the
+    * store gate is `id <= max committed` ([[dvStore]]). A crash at any
+    * instant re-runs idempotently: the retry re-allocates the same B, finds
+    * the complete generation, and proceeds straight to the marker (the
+    * pre-images recorded under `recordChanges` are likewise kept from the
+    * first attempt, mirroring [[mergeInto]]'s retry discipline).
+    *
+    * `recordChanges` captures the deleted rows as `_op = delete` pre-images
+    * into `_graft_cdc/<B>/` so [[tailChanges]] can serve the commit;
+    * without it the change tail fails loudly at B, same as an unrecorded
+    * merge. `faultInjector` points: `"dv-written"` (sidecar renamed in,
+    * marker absent), `"pre-marker"`.
+    */
+  def deleteVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      deletes: DataFrame,
+      keyCol: String,
+      tsCol: String = "ts",
+      fenceEpoch: Option[Long] = None,
+      recordChanges: Boolean = false,
+      faultInjector: String => Unit = _ => ()): DvStats = {
+    import org.apache.spark.sql.functions.{broadcast, concat, lit}
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no lake at $lakeDir")
+    val epoch = fenceEpoch.getOrElse(acquireWriterEpoch(fs, root))
+    checkWriterFence(fs, root, epoch)
+    recoverSweeps(fs, root)
+    val b = maxCommittedId(fs, root) + 1
+    require(b > 0, s"deletion vectors on $lakeDir need a ledgered lake (no " +
+      "commits found) — lay the table down via appendBatch first")
+    val dvGen = new Path(new Path(root, DvRoot), b.toString)
+    val marker = new Path(new Path(root, "_graft_commits"), b.toString)
+
+    if (fs.exists(dvGen)) {
+      // crash-before-marker retry: the generation is complete (rename made
+      // it durable-or-absent) and the lake has not advanced (B re-allocated
+      // as max committed + 1) — reuse it, re-derive the leaf list from the
+      // target manifest, and finish the commit
+      System.err.println(s"[lake] delete retry: deletion-vector generation " +
+        s"$b already complete — committing the first attempt's sidecar")
+      val targets = readSmallFile(fs, new Path(dvGen, DvTargetsFile)).split('\n').toSeq
+      require(targets.lastOption.contains(MarkerEnd),
+        s"deletion-vector generation $b has a torn target manifest — the " +
+          "rename-in should have made it complete-or-absent; refusing to " +
+          "commit an unaccountable generation")
+      val leaves = targets.dropRight(1).filter(_.nonEmpty)
+        .map(_.split('/').head).distinct.sorted
+      val n = spark.read.parquet(dvGen.toString).count()
+      faultInjector("pre-marker")
+      checkWriterFence(fs, root, epoch)
+      writeCommitMarker(fs, marker, b, leaves, markerTag = Some(MarkerDv))
+      return DvStats(b, leaves, n)
+    }
+
+    val delKeys = deletes.select(col(keyCol),
+      to_date(col(tsCol)).cast("string").as("__d"))
+    require(delKeys.filter(col("__d").isNull).isEmpty,
+      "delete rows with a null event time cannot address a partition — " +
+        "scope them explicitly (the partition-scoped delete contract)")
+    // k-bounded driver probe: one row per affected DATE, never per key
+    val dates = delKeys.select("__d").distinct()
+      .collect().map(_.getString(0)).sorted
+      .filter(d => fs.exists(new Path(root, s"event_date=$d")))
+    if (dates.isEmpty) {
+      // nothing to delete — still a committed (empty) verb? No: an empty
+      // commit would burn an id for nothing; report and return
+      System.err.println(s"[lake] delete matched no existing partitions — no-op")
+      return DvStats(-1L, Seq.empty, 0L)
+    }
+    // find-matches scan: ONLY the deletes' own partitions. Row identities
+    // come off `_metadata`, which resolves only on the direct file scan —
+    // capture them FIRST, then anti-apply the already-committed DV store on
+    // those same columns so a row deleted twice yields no second entry (and
+    // no false pre-image in the change record)
+    val scoped = {
+      val r = spark.read
+      val base = declaredReadSchema(fs, root).fold(r)(r.schema)
+        .option("basePath", root.toString)
+        .parquet(dates.map(d => new Path(root, s"event_date=$d").toString): _*)
+      val withIds = base
+        .withColumn("__d", col("event_date").cast("string"))
+        .withColumn("__leaf", concat(lit("event_date="), col("__d")))
+        .withColumn("__file", col("_metadata.file_name"))
+        .withColumn("__pos", col("_metadata.row_index"))
+      dvStore(spark, fs, root) match {
+        case None => withIds
+        case Some(dv) => withIds.join(
+          dv.select(col("leaf").as("__leaf"), col("file").as("__file"),
+            col("pos").as("__pos")),
+          Seq("__leaf", "__file", "__pos"), "left_anti")
+      }
+    }
+    val matched = scoped.join(broadcast(delKeys), Seq(keyCol, "__d"), "left_semi")
+      .cache()
+    try {
+      val deleted = matched.count()
+      if (deleted == 0L) {
+        System.err.println(s"[lake] delete matched no live rows — no-op")
+        return DvStats(-1L, Seq.empty, 0L)
+      }
+      // O(touched files) driver probe: the target manifest + marker leaf
+      // list — the same bookkeeping class as the commit marker itself
+      val targets = matched.select(col("__leaf"), col("__file")).distinct()
+        .collect().map(r => s"${r.getString(0)}/${r.getString(1)}").sorted
+      val leaves = targets.map(_.split('/').head).distinct.sorted.toSeq
+      if (recordChanges) {
+        val cdcDir = new Path(new Path(root, CdcRoot), b.toString)
+        if (!fs.exists(cdcDir)) {
+          val tmp = new Path(new Path(root, CdcRoot), s".tmp$b")
+          matched.drop("__d", "__leaf", "__file", "__pos")
+            .withColumn("_op", lit("delete"))
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.mkdirs(cdcDir.getParent)
+          require(fs.rename(tmp, cdcDir),
+            s"change-record rename failed: $tmp -> $cdcDir")
+        }
+      }
+      // the sidecar: (leaf, file, pos) parquet + the FS-readable target
+      // manifest, staged then renamed — durable-or-absent as one unit
+      val tmp = new Path(new Path(root, DvRoot), s".tmp$b")
+      matched.select(col("__leaf").as("leaf"), col("__file").as("file"),
+          col("__pos").as("pos"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      writeSmallFile(fs, new Path(tmp, DvTargetsFile),
+        (targets :+ MarkerEnd).mkString("\n"))
+      fs.mkdirs(dvGen.getParent)
+      require(fs.rename(tmp, dvGen), s"deletion-vector rename failed: $tmp -> $dvGen")
+      faultInjector("dv-written")
+      checkWriterFence(fs, root, epoch)
+      faultInjector("pre-marker")
+      writeCommitMarker(fs, marker, b, leaves, markerTag = Some(MarkerDv))
+      System.err.println(s"[lake] deletion-vector commit $b: $deleted rows " +
+        s"across ${targets.length} files in ${leaves.size} leaves")
+      DvStats(b, leaves, deleted)
+    } finally matched.unpersist()
+  }
 
   /** Parquet primitive types zone maps support — numeric, totally ordered,
     * and exactly representable as decimal strings. Anything else (strings,
@@ -1274,7 +1591,12 @@ object LakeSink {
         // every file pruned: keep the schema, plan nothing (Catalyst folds
         // the false filter to an empty relation — no scan is scheduled)
         typed(all.parquet(files.map(_._2.toString): _*)).filter(lit(false))
-      else typed(all.parquet(survivors.map(_._2.toString): _*))
+      else {
+        val scan = typed(all.parquet(survivors.map(_._2.toString): _*))
+        // merge-on-read deletes apply to the pruned live view too (zone
+        // maps stay conservative over DV'd rows — pruning never widens)
+        dvStore(spark, fs, root).fold(scan)(applyDv(scan, _))
+      }
     (df, PruneReport(files.size, survivors.size))
   }
 
@@ -1424,10 +1746,13 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no lake at $lakeDir")
-    declaredReadSchema(fs, root) match {
+    val raw = declaredReadSchema(fs, root) match {
       case Some(s) => spark.read.schema(s).parquet(lakeDir)
       case None => spark.read.parquet(lakeDir)
     }
+    // committed deletion vectors anti-apply here (merge-on-read); a lake
+    // with no `_graft_dv` pays nothing — the plan is exactly the raw scan
+    dvStore(spark, fs, root).fold(raw)(applyDv(raw, _))
   }
 
   /** Max committed id in the lake's ledger, -1 when none (or no ledger). */
@@ -1631,13 +1956,20 @@ object LakeSink {
         fs.exists(new Path(root, s"event_date=$d")))
 
       // find-touched-leaves: read ONLY the scoped leaves, semi-join the
-      // broadcast key set — the O(scoped-partitions) scan every MERGE pays
+      // broadcast key set — the O(scoped-partitions) scan every MERGE pays.
+      // Committed deletion vectors anti-apply first: a DV'd row must not
+      // match (it would resurrect as an update pre-image or survive the
+      // rewrite below)
+      val dvM = dvStore(spark, fs, root)
       val scoped: Option[DataFrame] =
         if (existing.isEmpty) None
-        else Some(spark.read
-          .schema(lakeSchema.add("event_date", org.apache.spark.sql.types.DateType))
-          .option("basePath", root.toString)
-          .parquet(existing.map(d => new Path(root, s"event_date=$d").toString): _*))
+        else Some {
+          val scan = spark.read
+            .schema(lakeSchema.add("event_date", org.apache.spark.sql.types.DateType))
+            .option("basePath", root.toString)
+            .parquet(existing.map(d => new Path(root, s"event_date=$d").toString): _*)
+          dvM.fold(scan)(applyDv(scan, _))
+        }
       val matched: Set[String] = scoped.fold(Set.empty[String]) { sc =>
         sc.select(col(keyCol), col("event_date").cast("string").as("__d"))
           .join(broadcast(allKeys), Seq(keyCol, "__d"), "left_semi")
@@ -1702,8 +2034,13 @@ object LakeSink {
         val leaf = new Path(root, leafName)
         val tmp = new Path(new Path(root, "_compact_tmp"), leafName)
         // declare the union schema: a leaf holding files from both sides
-        // of a widening must read every file, null-filling the old ones
-        val current = spark.read.schema(lakeSchema).parquet(leaf.toString)
+        // of a widening must read every file, null-filling the old ones.
+        // DV'd rows are filtered out of the rewrite (materialized), never
+        // resurrected
+        val current = {
+          val scan = spark.read.schema(lakeSchema).parquet(leaf.toString)
+          dvM.fold(scan)(applyDv(scan, _))
+        }
         val keysHere = allKeys.filter(col("__d") === d).select(keyCol)
         val upsertsHere = upserts.filter(to_date(col(tsCol)).cast("string") === d)
           .select(current.columns.map(col): _*)
@@ -1771,7 +2108,7 @@ object LakeSink {
       checkWriterFence(fs, root, epoch)
       writeCommitMarker(fs,
         new Path(new Path(root, "_graft_commits"), b.toString), b,
-        rewritten ++ appended, rewrite = true)
+        rewritten ++ appended, markerTag = Some(MarkerRewrite))
       System.err.println(s"[lake] merge committed as $b: " +
         s"${rewritten.size} leaves rewritten, ${appended.size} appended")
       MergeStats(b, rewritten, appended)

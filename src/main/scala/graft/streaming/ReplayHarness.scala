@@ -755,17 +755,16 @@ object ReplayHarness {
     * state: a dropped delete, a pre-image applied as post, a double-
     * applied range, or a leaked `_op` column each shift a census cell.
     */
-  def replayCdcApply(
-      spark: SparkSession,
-      sfDir: String,
-      finish: DataFrame => DataFrame = identity): DataFrame = {
-    val events = graft.core.Tables.load(spark, sfDir, "events")
-    val base = scratchDir("graft_cdcapply_")
-    val src = base.resolve("source").toString
-    val dst = base.resolve("replica").toString
+  /** Shared CDC-source lay-down for the change-feed consumers (st47,
+    * st48): three appends (commits 0-2: the `id % 4 < 3` quarters) and one
+    * RECORDED merge (commit 3: `id % 10 == 7` updated in place,
+    * `id % 10 == 3` deleted, a `+10M`-shifted copy of every `id % 10 == 2`
+    * row inserted). Later commits differ per consumer and are appended by
+    * the caller.
+    */
+  private def layDownCdcSource(
+      spark: SparkSession, events: DataFrame, src: String): Unit = {
     val sink = LakeSink
-
-    // source lay-down: three appends, one recorded merge, one late append
     (0 until 3).foreach { i =>
       sink.appendBatch(spark, src,
         events.filter(pmod(col("event_id"), lit(4)) === i),
@@ -784,6 +783,20 @@ object ReplayHarness {
     val merged = sink.mergeInto(spark, src, upserts, "event_id", deletes,
       targetFileBytes = 512L << 10, recordChanges = true)
     require(merged.commitId == 3L, s"fixture drift: merge landed at ${merged.commitId}")
+  }
+
+  def replayCdcApply(
+      spark: SparkSession,
+      sfDir: String,
+      finish: DataFrame => DataFrame = identity): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val base = scratchDir("graft_cdcapply_")
+    val src = base.resolve("source").toString
+    val dst = base.resolve("replica").toString
+    val sink = LakeSink
+
+    // source lay-down: three appends, one recorded merge, one late append
+    layDownCdcSource(spark, events, src)
     sink.appendBatch(spark, src,
       events.filter(pmod(col("event_id"), lit(4)) === 3), commitId = Some(4L))
 
@@ -813,6 +826,111 @@ object ReplayHarness {
     applyRange(3L, 4L)  // the late append
 
     val result = finish(sink.readLake(spark, dst))
+    val rows = result.collect().toIndexedSeq
+    val schema = result.schema
+    cleanupScratch(base)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  /** st48's harness: INCREMENTAL VIEW MAINTENANCE — a downstream AGGREGATE
+    * (census by (event_date, event_type)) maintained purely from the
+    * source's change feed by SIGNED DELTAS, the classic IVM shape and the
+    * other half of the CDC-consumption story st47's row replica starts:
+    * `insert`/`update_post` rows contribute +1/+value, `delete`/
+    * `update_pre` rows −1/−value, so the consumer's cost per range is
+    * O(churn) and the source table is NEVER re-scanned (a recompute-based
+    * "materialized view" at 100 TB re-reads the world per refresh; this
+    * reads exactly the feed).
+    *
+    * The source composes every change-producing verb: three appends, a
+    * recorded MERGE (commit 3), a recorded DELETION-VECTOR delete
+    * (commit 4 — f16's merge-on-read verb feeding the same CDC channel),
+    * and a late append (commit 5).
+    *
+    * The classic IVM hazard is DOUBLE-APPLICATION: deltas are not
+    * idempotent, so "apply range, advance high-water" must be atomic. The
+    * consumer gets that atomicity from the aggregate table's own ledger:
+    * each applied range writes the updated aggregate SNAPSHOT (k rows —
+    * one per group; tiny by construction) as a CLAIMED-id
+    * [[LakeSink.appendBatch]] commit whose id k is the range index and
+    * whose rows carry `applied_to` — the effect IS the watermark, one
+    * atomic marker exchange. The harness drives the crash: re-applying the
+    * merge range with the stale k is a ledger no-op, never a double count.
+    * The current aggregate is always `tailCommits(k-1, k)` — O(1 commit's
+    * files), never a table scan of the history of snapshots.
+    *
+    * Returns `finish` over the final snapshot: a delta applied twice, a
+    * missed pre-image (update counted as insert), a DV delete dropped, or
+    * a group resurrected after full deletion each shift a census cell.
+    */
+  def replayIvmAggregate(
+      spark: SparkSession,
+      sfDir: String,
+      finish: DataFrame => DataFrame = identity): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val base = scratchDir("graft_ivm_")
+    val src = base.resolve("source").toString
+    val dst = base.resolve("aggregate").toString
+    val sink = LakeSink
+
+    // source: shared CDC lay-down (appends 0-2, recorded merge 3), then a
+    // recorded merge-on-read delete (4) and a late append (5)
+    layDownCdcSource(spark, events, src)
+    val present = pmod(col("event_id"), lit(4)) < 3
+    val dv = sink.deleteVectors(spark, src,
+      events.filter(present && pmod(col("event_id"), lit(10)) === 9)
+        .select("event_id", "ts"),
+      "event_id", recordChanges = true)
+    require(dv.commitId == 4L, s"fixture drift: DV delete landed at ${dv.commitId}")
+    sink.appendBatch(spark, src,
+      events.filter(pmod(col("event_id"), lit(4)) === 3), commitId = Some(5L))
+
+    def applyRange(k: Long, from: Long, to: Long): Unit = {
+      val changes = sink.tailChanges(spark, src, from, to)
+      val sign = when(col("_op").isin("insert", "update_post"), lit(1L))
+        .otherwise(lit(-1L))
+      val delta = changes
+        .select(to_date(col("ts")).as("d"), col("event_type"), sign.as("s"),
+          col("value"), col("event_id"))
+        .groupBy("d", "event_type")
+        .agg(sum(col("s")).as("dn"),
+          sum(col("s") * col("value")).as("dv"),
+          sum(col("s") * col("event_id")).as("dc"))
+      val next = (if (k == 0L) delta.select(col("d"), col("event_type"),
+          col("dn").as("n"), col("dv").as("total_value"), col("dc").as("id_checksum"))
+        else {
+          val prev = sink.tailCommits(spark, dst, k - 2, k - 1)
+            .select(col("event_date").as("d"), col("event_type"),
+              col("n"), col("total_value"), col("id_checksum"))
+          prev.join(delta, Seq("d", "event_type"), "full_outer")
+            .select(col("d"), col("event_type"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+              (coalesce(col("total_value"), lit(0.0)) + coalesce(col("dv"), lit(0.0))).as("total_value"),
+              (coalesce(col("id_checksum"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("id_checksum"))
+        })
+        .filter(col("n") > 0) // a fully-deleted group leaves the view
+        .withColumn("applied_to", lit(to))
+        .withColumn("ts", col("d").cast("timestamp"))
+        .drop("d")
+      // the atomic effect+watermark: claimed id k — a crash-retry of an
+      // already-applied range is a ledger no-op, so deltas never double
+      sink.appendBatch(spark, dst, next, commitId = Some(k))
+    }
+    applyRange(0L, -1L, 2L) // bootstrap: the three appends
+    applyRange(1L, 2L, 3L)  // merge deltas (±: update moves groups)
+    // crash window: snapshot k=1 committed, consumer's in-memory watermark
+    // lost — recovery re-derives (k, to) from the last snapshot's
+    // `applied_to` and re-applies the SAME range: must be a no-op
+    applyRange(1L, 2L, 3L)
+    applyRange(2L, 3L, 4L)  // the DV delete's recorded pre-images, −deltas
+    applyRange(3L, 4L, 5L)  // the late append
+    val last = sink.tailCommits(spark, dst, 2L, 3L)
+    require(last.select("applied_to").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(5L), "watermark column drifted")
+
+    val result = finish(last.select(
+      col("event_date"), col("event_type"), col("n"),
+      col("total_value"), col("id_checksum")))
     val rows = result.collect().toIndexedSeq
     val schema = result.schema
     cleanupScratch(base)

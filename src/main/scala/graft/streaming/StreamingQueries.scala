@@ -1650,6 +1650,42 @@ object StreamingQueries {
           sum(col("event_id")).as("id_checksum")))
   }
 
+  /** st48: INCREMENTAL VIEW MAINTENANCE from the change feed — the other
+    * half of the CDC-consumption story next to st47's row replica: a
+    * downstream census AGGREGATE maintained by SIGNED DELTAS from
+    * [[graft.streaming.LakeSink.tailChanges]] (+1 for `insert`/
+    * `update_post`, −1 for `delete`/`update_pre`), never re-scanning the
+    * source (the O(churn)-per-refresh property that makes a materialized
+    * view affordable at 100 TB). The feed composes every change-producing
+    * verb: appends, a recorded merge, and a recorded DELETION-VECTOR
+    * delete (f16's merge-on-read verb through the same channel). Deltas
+    * are not idempotent, so the consumer makes effect+watermark one atomic
+    * commit: each range's updated snapshot lands as a claimed-id append on
+    * the aggregate's own ledger (`applied_to` rides the rows); the
+    * harness's crash re-applies a range verbatim — a ledger no-op, never a
+    * double count. See [[ReplayHarness.replayIvmAggregate]].
+    */
+  val st48 = Q("st48_ivm_change_feed_aggregate",
+    """WITH merged AS (
+      |  SELECT event_id, ts, event_type, value FROM events
+      |  WHERE event_id % 4 < 3 AND event_id % 10 NOT IN (3, 7, 9)
+      |  UNION ALL
+      |  SELECT event_id, ts, 'updated', value + 1000 FROM events
+      |  WHERE event_id % 4 < 3 AND event_id % 10 = 7
+      |  UNION ALL
+      |  SELECT event_id + 10000000, ts, 'inserted', value * 2 FROM events
+      |  WHERE event_id % 10 = 2
+      |  UNION ALL
+      |  SELECT event_id, ts, event_type, value FROM events WHERE event_id % 4 = 3
+      |)
+      |SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM merged GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayIvmAggregate(s, dir,
+      finish = _.select(col("event_date"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"), col("id_checksum")))
+  }
+
   val st37 = Q("st37_stream_bronze_silver_gold",
     """WITH w AS (
       |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_type,
@@ -1666,5 +1702,5 @@ object StreamingQueries {
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
-      st38, st39, st40, st41, st42, st43, st44, st45, st46, st47)
+      st38, st39, st40, st41, st42, st43, st44, st45, st46, st47, st48)
 }
