@@ -833,6 +833,81 @@ object ScaleProbe {
       (k, t)
     }
 
+    // deletion-vector rung: f16's scale claim — retiring a fixed set of
+    // rows via the merge-on-read sidecar costs O(touched-partition scan +
+    // churn) and NEVER pays the copy-on-write rewrite, so against the same
+    // growing table the DV delete's wall should stay near-flat while the
+    // equivalent MERGE delete grows ~k-fold (it re-shuffles and rewrites
+    // every byte of the touched leaves, which hold k corpus copies). The
+    // ladder also prices the OTHER side of the tradeoff the verb's scaladoc
+    // states: the standing merge-on-read READ tax (census with the DV
+    // anti-join) and its retirement by a scoped materializing sweep.
+    // Same-churn deletes scoped to 4 of 30 dates at every rung.
+    val lakeDvR = (if (phase == "all" || phase == "lakedv") Seq(1, 4, 16)
+      else Seq.empty[Int]).map { k =>
+      val sink = graft.streaming.LakeSink
+      val base = java.nio.file.Files.createTempDirectory("graft-lakedv")
+      val dvLake = base.resolve("dv").toString
+      val cowLake = base.resolve("cow").toString
+      val ev = graft.core.Tables.load(spark, dir, "events")
+      val m = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+      (0 until k).foreach { j =>
+        val copy = ev.withColumn("event_id", col("event_id") + lit(j * m))
+        Seq(dvLake, cowLake).foreach { l =>
+          sink.appendBatch(spark, l, copy, commitId = Some(j.toLong))
+        }
+      }
+      val dates = ev.select(to_date(col("ts")).cast("string").as("d")).distinct()
+        .collect().map(_.getString(0)).sorted.take(4).toSeq
+      val touched = dates.map(d => s"event_date=$d").toSet
+      // fixed churn: ~0.4% of copy 0's keys inside the 4 dates, every rung
+      val deletes = ev.filter(to_date(col("ts")).cast("string").isin(dates: _*) &&
+        pmod(col("event_id"), lit(241)) === 7).select("event_id", "ts")
+      // the scale-deterministic evidence is BYTES WRITTEN (fixture-scale
+      // walls are fixed-overhead-bound at ~1 s either way): the CoW merge
+      // must rewrite every byte of the touched leaves — k corpus copies —
+      // while the DV sidecar is O(churn) regardless of k
+      def treeBytes(p: org.apache.hadoop.fs.Path,
+          fs: org.apache.hadoop.fs.FileSystem,
+          pred: String => Boolean): Long =
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).map { s =>
+          if (s.isDirectory) treeBytes(s.getPath, fs, pred)
+          else if (pred(s.getPath.getName)) s.getLen else 0L
+        }.sum
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val tDv = time {
+        val st = sink.deleteVectors(spark, dvLake, deletes, "event_id")
+        require(st.deletedRows > 0 && st.touchedLeaves.size == 4,
+          s"dv rung fixture drift: $st")
+      }
+      val dvRoot = new org.apache.hadoop.fs.Path(dvLake, "_graft_dv")
+      val dvBytes = treeBytes(dvRoot, dvRoot.getFileSystem(hconf), _ => true)
+      val tCow = time {
+        val st = sink.mergeInto(spark, cowLake, ev.filter(lit(false)),
+          "event_id", deletes, targetFileBytes = 1L << 30)
+        require(st.rewrittenLeaves.size == 4,
+          s"cow rung fixture drift: ${st.rewrittenLeaves}")
+      }
+      val cowRoot = new org.apache.hadoop.fs.Path(cowLake)
+      val cowBytes = treeBytes(cowRoot, cowRoot.getFileSystem(hconf),
+        n => n.startsWith(s"gc$k-")) // the merge landed at commit id k
+      val tMor = time { sink.readLake(spark, dvLake).count() }
+      val tMat = time {
+        sink.compactPartitions(spark, dvLake, 1L << 30, minFiles = 1,
+          only = Some(touched))
+      }
+      val tPost = time { sink.readLake(spark, dvLake).count() }
+      System.err.println(f"[scale] lakedv k=$k%2dx  dv=$tDv%6.2f s/${dvBytes >> 10}%6d KiB  " +
+        f"cowmerge=$tCow%6.2f s/${cowBytes >> 10}%6d KiB  morread=$tMor%5.2f s  " +
+        f"mat=$tMat%5.2f s  postread=$tPost%5.2f s")
+      require(cowBytes > 0, "cow rung measured no gc rewrite bytes — lineage name drift?")
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      (k, Seq("dv" -> tDv, "dv_kib" -> (dvBytes >> 10).toDouble,
+        "cow" -> tCow, "cow_kib" -> (cowBytes >> 10).toDouble,
+        "morread" -> tMor, "mat" -> tMat, "postread" -> tPost))
+    }
+
     // hot-key rung: st38's scale claim — a stateful top-k whose key is
     // ~100% hot (EVERY row of the run remapped into ONE 6 h window) must
     // not funnel the whole stream through one state store. The ladder runs
@@ -1054,6 +1129,9 @@ object ScaleProbe {
       s""""lakemerge_${k}":{"merge":$t}"""
     } ++ lakeSkipR.map { case (k, t) =>
       s""""lakeskip_${k}x":{"read":$t}"""
+    } ++ lakeDvR.map { case (k, vals) =>
+      vals.map { case (n, v) => s""""$n":$v""" }
+        .mkString(s""""lakedv_${k}x":{""", ",", "}")
     } ++ hotkeyR.map { case (s, t) =>
       s""""hotkey_s${s}":{"drain":$t}"""
     } ++ liveCompactR.map { case (tag, t) =>
