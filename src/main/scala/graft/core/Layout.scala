@@ -101,9 +101,14 @@ object Layout {
       colX: String,
       colY: String,
       nFiles: Int,
-      bits: Int = 8): Unit = {
+      bits: Int = 8,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, floor, least, lit, max, min}
-    val df = spark.read.parquet(inDir)
+    // same contract as [[compactParquet]]'s transform: row-filtering only,
+    // applied to the fresh scan (deletion-vector materialization); the
+    // scaling bounds below are computed post-filter, which only tightens
+    val df = transform(spark.read.parquet(inDir))
     // one stats row to the driver: bounds are rewrite CONFIGURATION. Cast
     // inside the agg so a non-numeric column fails analysis with the column
     // name, not an opaque NumberFormatException from toString parsing.

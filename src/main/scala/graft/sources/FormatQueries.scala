@@ -756,6 +756,76 @@ object FormatQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
   }
 
+  /** f17: LAKE Z-ORDER SKIPPING (OPTIMIZE ZORDER —
+    * `compactPartitions(zorderBy)`, [[graft.core.Layout.zorderParquet]]'s
+    * Morton interleave inside each leaf rewrite). f13 certifies 1-D data
+    * skipping over naturally id-clustered ingest; this row certifies the
+    * 2-D layout for a table whose scan predicates ALTERNATE between two
+    * independent dimensions: the fixture's `event_id` is time-correlated
+    * (each date leaf is a contiguous id span) while `user_id` is uniform
+    * inside every leaf, so no ingest order — and no 1-D clustering — can
+    * make a user-range scan skip anything. After one z-ordered sweep the
+    * files tile the (event_id, user_id) plane per leaf and BOTH range
+    * censuses below run through [[graft.streaming.LakeSink.readPruned]]
+    * with in-query `require(scanned < total)` guards — either dimension
+    * losing its skipping fails the gate, and the suite pins the sharper
+    * claim (1-D clustering leaves the other column unprunable,
+    * LakeStatsSpec). At 100 TB this is the Delta OPTIMIZE ZORDER lever:
+    * one extra single-pass rewrite buys file-level pruning on the second
+    * dimension forever.
+    */
+  val f17 = Q(
+    "f17_lake_zorder_skipping",
+    """WITH b AS (
+      |  SELECT (max(event_id)+1)//4 AS q1, (max(event_id)+1)//2 AS q2,
+      |    min(user_id) + (max(user_id)-min(user_id)+1)//4 AS u1,
+      |    min(user_id) + (max(user_id)-min(user_id)+1)//2 AS u2
+      |  FROM events)
+      |SELECT 'by_event_id' AS dim, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM events, b WHERE event_id >= b.q1 AND event_id < b.q2 GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'by_user_id', event_type, count(*),
+      |  round(sum(value), 2), sum(event_id)::BIGINT
+      |FROM events, b WHERE user_id >= b.u1 AND user_id < b.u2 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    // 2-row driver probe (min/max bound class): the two dims' range edges
+    val bounds = events.agg(max(col("event_id")), min(col("user_id")),
+      max(col("user_id"))).head
+    val m = bounds.getLong(0) + 1L
+    val (q1, q2) = (m / 4, m / 2)
+    val (umin, umax) = (bounds.getLong(1), bounds.getLong(2))
+    val (u1, u2) = (umin + (umax - umin + 1) / 4, umin + (umax - umin + 1) / 2)
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_zorder_")
+    val lakeDir = base.resolve("lake").toString
+    (0 until 4).foreach { i =>
+      graft.streaming.LakeSink.appendBatch(s, lakeDir,
+        events.filter(pmod(col("event_id"), lit(4)) === i),
+        commitId = Some(i.toLong))
+    }
+    graft.streaming.LakeSink.compactPartitions(s, lakeDir,
+      targetFileBytes = 8L << 10, minFiles = 2,
+      statsCols = Seq("event_id", "user_id"),
+      zorderBy = Seq("event_id", "user_id"))
+    def census(dim: String, statsCol: String, lo: Long, hi: Long) = {
+      val (pruned, report) = graft.streaming.LakeSink.readPruned(
+        s, lakeDir, statsCol, BigDecimal(lo), BigDecimal(hi))
+      require(report.scannedFiles < report.totalFiles,
+        s"z-order skipping stopped skipping on $statsCol: $report")
+      pruned.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          sum(col("event_id")).as("id_checksum"))
+        .select(lit(dim).as("dim"), col("event_type"), col("n"),
+          col("total_value"), col("id_checksum"))
+    }
+    val out = census("by_event_id", "event_id", q1, q2 - 1)
+      .unionByName(census("by_user_id", "user_id", u1, u2 - 1))
+    val rows = out.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
+  }
+
   val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13,
-    f14, f15, f16)
+    f14, f15, f16, f17)
 }

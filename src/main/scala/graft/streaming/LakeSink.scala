@@ -1087,7 +1087,12 @@ object LakeSink {
       fenceEpoch: Option[Long] = None,
       statsCols: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil,
       sweepHook: String => Unit = _ => ()): Seq[(String, Int, Int)] = {
+    require(zorderBy.isEmpty || clusterBy.isEmpty,
+      "clusterBy and zorderBy are alternative layouts for one rewrite — pick one")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"zorderBy interleaves exactly two numeric columns, got $zorderBy")
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
@@ -1139,11 +1144,23 @@ object LakeSink {
         // clustering — per-file disjoint ranges), which COMPOSES with
         // `statsCols` zone maps: a clustered column's per-file min/max
         // intervals are disjoint, so a point/range readPruned scans ~one
-        // file per leaf instead of all of them — the OPTIMIZE ZORDER +
-        // data-skipping pairing from FS primitives
-        val after = Layout.compactParquet(
-          spark, leaf.toString, tmp.toString, targetFileBytes, clusterBy,
-          transform = df => dvLive.fold(df)(applyDv(df, _)))
+        // file per leaf instead of all of them. `zorderBy` is the 2-D
+        // variant (Layout's Morton interleave — the OPTIMIZE ZORDER
+        // shape): files cover compact 2-D tiles, so readPruned skips on
+        // EITHER column; 1-D clustering prunes only its own column and
+        // leaves the other unconstrained in every file
+        val dvT = (df: DataFrame) => dvLive.fold(df)(applyDv(df, _))
+        val after =
+          if (zorderBy.isEmpty)
+            Layout.compactParquet(spark, leaf.toString, tmp.toString,
+              targetFileBytes, clusterBy, transform = dvT)
+          else {
+            val bytes = Layout.dataBytes(spark, leaf.toString)
+            val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+            Layout.zorderParquet(spark, leaf.toString, tmp.toString,
+              zorderBy.head, zorderBy(1), n, transform = dvT)
+            n
+          }
         sweepHook(leaf.getName)
         // the rewrite was a long job: re-validate the fence at the last
         // instant before the swap renames — a zombie that paused here must

@@ -136,6 +136,50 @@ class LakeStatsSpec extends AnyFunSuite {
     assert(report.scannedFiles <= 2, s"expected ~one file per touched leaf: $report")
   }
 
+  test("z-order compaction prunes on EITHER column; 1-D clustering only on its own") {
+    import spark.implicits._
+    // 256 rows on one date; user_id = (id * 73) % 256 is a permutation of
+    // the id domain, so the two columns are independent — every ingest file
+    // AND every 1-D-clustered file spans the full user range
+    def rows = (0 until 256).map { i =>
+      Event(i.toLong, ts(s"2024-03-01 10:00:${10 + i % 40}"),
+        (i * 73) % 256, if (i % 3 == 0) "click" else "view", i.toDouble)
+    }
+    def lay(lake: String): Unit = (0 until 4).foreach { b =>
+      LakeSink.appendBatch(spark, lake,
+        rows.filter(_.event_id % 4 == b).toDF().coalesce(1),
+        commitId = Some(b.toLong), statsCols = Seq("event_id", "user_id"))
+    }
+    val zLake = GraftTestSpark.tmpDir("lake_stats_z") + "/t"
+    lay(zLake)
+    LakeSink.compactPartitions(spark, zLake, targetFileBytes = 1L << 10,
+      minFiles = 2, statsCols = Seq("event_id", "user_id"),
+      zorderBy = Seq("event_id", "user_id"))
+    val (zx, rzx) = LakeSink.readPruned(spark, zLake, "event_id", 0, 31)
+    val (zy, rzy) = LakeSink.readPruned(spark, zLake, "user_id", 0, 31)
+    assert(idSet(zx) == (0L to 31L).toSet)
+    assert(idSet(zy) == rows.filter(e => e.user_id >= 0 && e.user_id <= 31)
+      .map(_.event_id).toSet)
+    assert(rzx.scannedFiles < rzx.totalFiles,
+      s"z-order must prune the interleaved X column: $rzx")
+    assert(rzy.scannedFiles < rzy.totalFiles,
+      s"z-order must prune the interleaved Y column: $rzy")
+
+    // negative control: the same table clustered on event_id ONLY — the
+    // user_id query cannot prune a single file (every file spans the full
+    // user range), which is exactly the gap z-order exists to close
+    val cLake = GraftTestSpark.tmpDir("lake_stats_c") + "/t"
+    lay(cLake)
+    LakeSink.compactPartitions(spark, cLake, targetFileBytes = 1L << 10,
+      minFiles = 2, statsCols = Seq("event_id", "user_id"),
+      clusterBy = Seq("event_id"))
+    val (_, rcx) = LakeSink.readPruned(spark, cLake, "event_id", 0, 31)
+    val (_, rcy) = LakeSink.readPruned(spark, cLake, "user_id", 0, 31)
+    assert(rcx.scannedFiles < rcx.totalFiles)
+    assert(rcy.scannedFiles == rcy.totalFiles,
+      s"1-D clustering should NOT prune the other column: $rcy")
+  }
+
   test("merge rewrites and inserts carry zone maps; vacuum folds sidecars") {
     import spark.implicits._
     val lake = GraftTestSpark.tmpDir("lake_stats_merge") + "/t"
