@@ -826,6 +826,85 @@ object FormatQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
   }
 
+  /** f18: LAKE GDPR PURGE (physical erasure —
+    * [[graft.streaming.LakeSink.purgeKeys]]), the verb that completes the
+    * delete ladder f12 (copy-on-write) and f16 (merge-on-read) start: every
+    * row of the purged `user_id`s leaves the LIVE view (no-retention
+    * gc-stamped rewrites of exactly the touched leaves), the RETAINED
+    * HISTORY (generation-leaves holding the key are destroyed — the
+    * in-query guard proves time travel into the erased window now fails
+    * LOUDLY instead of resurrecting or part-serving), and the CHANGE FEED
+    * (the merge's recorded pre/post images are rewritten; a second guard
+    * proves the feed has forgotten the purged users while still serving
+    * the merge commit). The fixture: four appends, one RECORDED merge
+    * (f12's change classes — creating both history generations and a
+    * change record that carry the keys), then one purge of `user_id % 25
+    * == 3`. The oracle rebuilds the merged relation minus the purged
+    * users; a row surviving in any censused store shifts a (date, type)
+    * cell. At 100 TB the find-matches pass is a full-table scan BY
+    * CONSTRUCTION (a data subject's rows live anywhere) — the honest,
+    * documented GDPR cost; everything after is O(touched leaves + history
+    * + churn).
+    */
+  val f18 = Q(
+    "f18_lake_gdpr_purge",
+    """WITH merged AS (
+      |  SELECT event_id, ts, user_id, event_type, value FROM events
+      |  WHERE event_id % 10 NOT IN (3, 7)
+      |  UNION ALL
+      |  SELECT event_id, ts, user_id, 'updated', value + 1000 FROM events
+      |  WHERE event_id % 10 = 7
+      |  UNION ALL
+      |  SELECT event_id + 10000000, ts, user_id, 'inserted', value * 2 FROM events
+      |  WHERE event_id % 10 = 2
+      |)
+      |SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM merged WHERE user_id % 25 <> 3 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_purge_")
+    val lakeDir = base.resolve("lake").toString
+    (0 until 4).foreach { i =>
+      graft.streaming.LakeSink.appendBatch(s, lakeDir,
+        events.filter(pmod(col("event_id"), lit(4)) === i),
+        commitId = Some(i.toLong))
+    }
+    val upserts = events.filter(pmod(col("event_id"), lit(10)) === 7)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("event_type", lit("updated"))
+      .unionByName(events.filter(pmod(col("event_id"), lit(10)) === 2)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("value", col("value") * 2.0)
+        .withColumn("event_type", lit("inserted")))
+    val deletes = events.filter(pmod(col("event_id"), lit(10)) === 3)
+      .select("event_id", "ts")
+    val merged = graft.streaming.LakeSink.mergeInto(s, lakeDir, upserts,
+      "event_id", deletes, targetFileBytes = 512L << 10, recordChanges = true)
+    val stats = graft.streaming.LakeSink.purgeKeys(s, lakeDir,
+      events.filter(pmod(col("user_id"), lit(25)) === 3).select("user_id"),
+      "user_id", targetFileBytes = 512L << 10)
+    require(stats.purgedRows > 0 && stats.historyLeavesDropped > 0 &&
+      stats.cdcRecordsRewritten > 0, s"purge fixture drift: $stats")
+    // time travel into the erased window must fail LOUDLY, never resurrect
+    val preSnapshotLost =
+      try { graft.streaming.LakeSink.readAsOf(s, lakeDir, merged.commitId - 1).count(); false }
+      catch { case e: IllegalStateException => e.getMessage.contains("time travel") }
+    require(preSnapshotLost, "pre-purge snapshot served after history erasure")
+    // the change feed must have forgotten the purged users, not the commit
+    require(graft.streaming.LakeSink
+      .tailChanges(s, lakeDir, merged.commitId - 1, merged.commitId)
+      .filter(pmod(col("user_id"), lit(25)) === 3).isEmpty,
+      "purged keys survived in the change feed")
+    val census = graft.streaming.LakeSink.readLake(s, lakeDir)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = census.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
+  }
+
   val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13,
-    f14, f15, f16, f17)
+    f14, f15, f16, f17, f18)
 }

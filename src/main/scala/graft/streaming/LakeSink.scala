@@ -2132,6 +2132,245 @@ object LakeSink {
     } finally allKeys.unpersist()
   }
 
+  /** Per-purge outcome: the allocated commit id, the live leaves rewritten,
+    * the live rows physically removed, the history-generation leaves
+    * destroyed, and the change records rewritten.
+    */
+  final case class PurgeStats(
+      commitId: Long,
+      rewrittenLeaves: Seq[String],
+      purgedRows: Long,
+      historyLeavesDropped: Int,
+      cdcRecordsRewritten: Int)
+
+  /** GDPR PURGE — physical erasure of every row carrying one of `keys`
+    * from EVERYWHERE the lake stores row data, the right-to-be-forgotten
+    * verb that completes the delete ladder: [[deleteVectors]] hides rows
+    * (logical, O(churn)), [[mergeInto]] removes them from the live view
+    * (copy-on-write, pre-images retained for time travel), purge removes
+    * them from the live view AND the retained history AND the change feed.
+    *
+    * `keys` is a bare key-column relation (typically `user_id`s) matched
+    * ANYWHERE — unlike merge/delete there is no partition scoping, because
+    * a data-subject's rows live wherever they live: the find-matches pass
+    * is a full-table scan by construction (the honest GDPR cost; run it
+    * rarely and batch the requests).
+    *
+    *   - LIVE leaves holding matches are rewritten copy-on-write WITHOUT
+    *     retention: the rewrite carries `gc<B>` lineage (so post-purge
+    *     snapshots work) but the pre-purge copy is renamed aside only for
+    *     crash-safety and DELETED, never stored under `_graft_history/`.
+    *     Committed deletion vectors are applied during the rewrite —
+    *     logically-deleted bytes leave the disk with everything else.
+    *   - HISTORY generations are scanned the same way and every
+    *     generation-leaf holding a match is DESTROYED outright (emptied
+    *     generations fall with them). Surgical history edits are
+    *     deliberately not attempted: a pre-purge snapshot must either be
+    *     fully servable or fail LOUDLY, and [[readAsOf]]'s existing
+    *     lost-window contract provides exactly that — time travel into the
+    *     erased range reports the loss instead of resurrecting (or
+    *     silently part-serving) the purged rows.
+    *   - CHANGE RECORDS (`_graft_cdc/<B'>/`) holding matches are rewritten
+    *     in place (tmp + rename, durable-or-absent) with the key's rows
+    *     dropped — pre-images are row data too. A consumer re-reading an
+    *     old range after a purge sees fewer rows; like vacuum, purge is a
+    *     replay boundary, not a replayable event.
+    *   - ZONE-MAP sidecars are folded to live-file entries only (a dead
+    *     file's min/max can carry a purged key's value).
+    *
+    * One lake-allocated commit B through the atomic marker exchange,
+    * tagged [[MarkerRewrite]] (the tail must refuse it — its effect is
+    * subtractive). Crash at any instant re-runs idempotently: the same B
+    * re-allocates, a re-purged leaf converges (the anti-join is a no-op on
+    * already-clean content), [[recoverSweeps]] heals interrupted swaps,
+    * and CDC/history erasure is pure deletion. `faultInjector` points:
+    * `"rewritten:<leaf>"` after each live-leaf swap, `"pre-marker"`.
+    */
+  def purgeKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      keys: DataFrame,
+      keyCol: String,
+      targetFileBytes: Long = 128L << 20,
+      maxConcurrency: Int = 8,
+      fenceEpoch: Option[Long] = None,
+      faultInjector: String => Unit = _ => ()): PurgeStats = {
+    import org.apache.spark.sql.functions.broadcast
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no lake at $lakeDir")
+    val epoch = fenceEpoch.getOrElse(acquireWriterEpoch(fs, root))
+    checkWriterFence(fs, root, epoch)
+    recoverSweeps(fs, root)
+    val b = maxCommittedId(fs, root) + 1
+    require(b > 0, s"purge on $lakeDir needs a ledgered lake (no commits " +
+      "found) — purge stamps its rewrites with a commit id")
+    val keySet = keys.select(col(keyCol)).distinct().cache()
+    try {
+      val lakeSchema = registeredSchema(fs, root).getOrElse {
+        val leaves = fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+        require(leaves.nonEmpty, s"no event_date= leaves under $lakeDir")
+        spark.read.parquet(leaves.head.getPath.toString).schema
+      }
+      val dvP = dvStore(spark, fs, root)
+      def touchedLeafNames(mount: Path): Seq[String] = {
+        val leaves = if (!fs.exists(mount)) Seq.empty
+          else fs.listStatus(mount).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+            .map(_.getPath)
+        if (leaves.isEmpty) return Seq.empty
+        val scan = spark.read
+          .schema(lakeSchema.add("event_date", org.apache.spark.sql.types.DateType))
+          .option("basePath", mount.toString)
+          .parquet(leaves.map(_.toString): _*)
+        scan.select(col(keyCol), col("event_date").cast("string").as("__d"))
+          .join(broadcast(keySet), Seq(keyCol), "left_semi")
+          .select("__d").distinct().collect()
+          .map(d => s"event_date=${d.getString(0)}").sorted.toSeq
+      }
+
+      // LIVE rewrite: copy-on-write WITHOUT retention, gc<B>-stamped
+      val touchedLive = touchedLeafNames(root)
+      var purged = 0L
+      def purgeOne(leafName: String): Unit = {
+        val leaf = new Path(root, leafName)
+        val tmp = new Path(new Path(root, "_compact_tmp"), leafName)
+        val scan = spark.read.schema(lakeSchema).parquet(leaf.toString)
+        val current = dvP.fold(scan)(applyDv(scan, _)) // materialize DVs too
+        val kept = current.join(broadcast(keySet), Seq(keyCol), "left_anti")
+        val leafBytes = fs.listStatus(leaf)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+        val nFiles = math.max(1L, (leafBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        kept.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+        // stamp the rewrite with the purge commit's lineage
+        fs.listStatus(tmp).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName.toString).zipWithIndex.foreach { case (f, i) =>
+            require(fs.rename(f.getPath, new Path(tmp, s"gc$b-p$i.snappy.parquet")),
+              s"purge stamp rename failed in $tmp")
+          }
+        checkWriterFence(fs, root, epoch)
+        // crash-safe swap with NO retention: aside exists only between the
+        // two renames (recoverSweeps restores or promotes), then dies
+        val old = new Path(new Path(root, OldRoot), leafName)
+        fs.mkdirs(old.getParent)
+        fs.delete(old, true)
+        require(fs.rename(leaf, old), s"purge swap failed renaming $leaf aside")
+        require(fs.rename(tmp, leaf), s"purge swap failed for $leaf")
+        fs.delete(old, true)
+        faultInjector(s"rewritten:$leafName")
+      }
+      if (touchedLive.nonEmpty) {
+        val scanAll = spark.read
+          .schema(lakeSchema.add("event_date", org.apache.spark.sql.types.DateType))
+          .option("basePath", root.toString)
+          .parquet(touchedLive.map(l => new Path(root, l).toString): _*)
+        val liveAll = dvP.fold(scanAll)(applyDv(scanAll, _))
+        purged = liveAll.join(broadcast(keySet), Seq(keyCol), "left_semi").count()
+      }
+      if (touchedLive.size <= 1 || maxConcurrency <= 1) touchedLive.foreach(purgeOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxConcurrency, touchedLive.size))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          Await.result(Future.sequence(touchedLive.map(l => Future(purgeOne(l)))),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      }
+
+      // HISTORY erasure: destroy every generation-leaf holding a match
+      val histRoot = new Path(root, HistoryRoot)
+      var droppedHist = 0
+      if (fs.exists(histRoot)) {
+        fs.listStatus(histRoot).toSeq
+          .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
+          .sortBy(_.getPath.getName.toLong)
+          .foreach { g =>
+            touchedLeafNames(g.getPath).foreach { l =>
+              fs.delete(new Path(g.getPath, l), true)
+              droppedHist += 1
+              System.err.println(s"[lake] purge erased history " +
+                s"${g.getPath.getName}/$l")
+            }
+            if (fs.listStatus(g.getPath).isEmpty) fs.delete(g.getPath, true)
+          }
+      }
+
+      // CHANGE-RECORD erasure: rewrite records holding the key (pre/post
+      // images are row data); tmp + rename keeps them durable-or-absent
+      val cdcRoot = new Path(root, CdcRoot)
+      var cdcRewritten = 0
+      if (fs.exists(cdcRoot)) {
+        fs.listStatus(cdcRoot).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.forall(_.isDigit))
+          .sortBy(_.getPath.getName.toLong)
+          .foreach { d =>
+            val rec = spark.read.parquet(d.getPath.toString)
+            if (!rec.join(broadcast(keySet), Seq(keyCol), "left_semi").isEmpty) {
+              val tmp = new Path(cdcRoot, s".purge${d.getPath.getName}")
+              rec.join(broadcast(keySet), Seq(keyCol), "left_anti")
+                .write.mode("overwrite").parquet(tmp.toString)
+              fs.delete(d.getPath, true)
+              require(fs.rename(tmp, d.getPath),
+                s"purged change-record rename failed for ${d.getPath}")
+              cdcRewritten += 1
+            }
+          }
+      }
+
+      // zone-map fold to live entries only (dead files' min/max can carry
+      // a purged key's value) — same discipline as vacuum's fold
+      val statsDir = new Path(root, StatsRoot)
+      if (fs.exists(statsDir) && fs.listStatus(statsDir).nonEmpty) {
+        val live = statsLines(fs, root).filter { l =>
+          l.split('\t') match {
+            case Array(key, _, _, _) => fs.exists(new Path(root, key))
+            case _ => false
+          }
+        }.distinct
+        val sidecars = fs.listStatus(statsDir).toSeq.filter(_.isFile).map(_.getPath)
+        writeSmallFile(fs, new Path(statsDir, "folded"),
+          (live :+ MarkerEnd).mkString("\n"))
+        sidecars.filter(_.getName != "folded").foreach(p => fs.delete(p, false))
+      }
+
+      // the marker's leaf list comes from the STAMPS, not this run's work
+      // list: a crashed attempt may have swapped leaves (same re-allocated
+      // id b, keys now gone, touchedLive empty on the retry) — its gc<b>
+      // rewrites must still be committed, or the next commit would
+      // re-allocate b and silently collide with the orphaned stamps. A
+      // gc<b> stamp can only be a crashed attempt at THIS id: every
+      // committed rewrite's id has a marker, which caps allocation above it
+      val stampedLeaves = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+        .filter(l => fs.listStatus(l.getPath).exists(f =>
+          f.isFile && f.getPath.getName.startsWith(s"gc$b-")))
+        .map(_.getPath.getName).sorted
+      if (stampedLeaves.isEmpty && droppedHist == 0 && cdcRewritten == 0) {
+        // nothing matched anywhere and no crashed attempt to complete:
+        // burn no commit id (an effect-free rewrite marker would only trip
+        // the change tail's loud boundary)
+        System.err.println(s"[lake] purge matched nothing — no-op")
+        return PurgeStats(-1L, Seq.empty, 0L, 0, 0)
+      }
+      if (touchedLive.isEmpty && stampedLeaves.nonEmpty) System.err.println(
+        s"[lake] purge retry: completing a crashed attempt's commit $b over " +
+          stampedLeaves.mkString(", "))
+      faultInjector("pre-marker")
+      checkWriterFence(fs, root, epoch)
+      writeCommitMarker(fs, new Path(new Path(root, "_graft_commits"), b.toString),
+        b, stampedLeaves, markerTag = Some(MarkerRewrite))
+      System.err.println(s"[lake] purge committed as $b: $purged rows from " +
+        s"${stampedLeaves.size} live leaves, $droppedHist history leaves " +
+        s"erased, $cdcRewritten change records rewritten")
+      PurgeStats(b, stampedLeaves, purged, droppedHist, cdcRewritten)
+    } finally keySet.unpersist()
+  }
+
   /** Heal interrupted compaction swaps (called before every sweep and by
     * [[vacuum]]): an `_compact_old` child whose target leaf is MISSING is
     * a crash between rename-aside and rename-in — restore it (the rewrite
