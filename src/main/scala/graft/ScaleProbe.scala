@@ -722,6 +722,61 @@ object ScaleProbe {
         out
     }
 
+    // knn-join rung: s4's candidate-cost law, measured honestly. Three
+    // facts priced per corpus size (candidate totals come from the
+    // per-cell census — two tiny aggregates + a k1-row join — so the
+    // failure geometry is demonstrated without paying its join):
+    //   1. STRIDE centroids (k1 = N/100, s4's shape): per-query
+    //      candidates hold at ~2x100 while cells stay uniform (measured
+    //      201/208 at 1x/4x); the 16x corpus BREAKS uniformity — the
+    //      ladder's copies are near-duplicates, so 16 near-identical
+    //      centroids split mass unevenly — and candidates inflate with
+    //      the skew (816/query). That is the rung's real lesson: the
+    //      knn-join cost is Sigma_c |P_c||M_c| and SKEW, not just cell
+    //      count, sets the constant — the s4 scaladoc's salting/split
+    //      lever is not optional on clustered corpora (every dedup
+    //      corpus is one). max/mean cell population rides the output.
+    //   2. FIXED cell count: per-cell population grows with N and the
+    //      candidate total goes quadratic — the geometry that must not
+    //      ship.
+    //   3. The timed join carries RAW vectors through the cell shuffle
+    //      (O(cand) x ~0.5 KB rows; ~13 GB at 16x). The production fix
+    //      is e9's: ship PQ codes through the join and refine winners —
+    //      knn-join composes with the IVF-PQ family, not against it.
+    val knnJoinR = (if (phase == "all" || phase == "knnjoin") Seq(1, 4, 16)
+      else Seq.empty[Int]).map { k =>
+      val sim = graft.operators.SimilarityOps
+      val vecs = vecsTimes(spark, dir, k).cache()
+      val n = vecs.count()
+      val t = time {
+        sim.knnJoin(vecs).write.format("noop").mode("overwrite").save()
+      }
+      val e = vecs.selectExpr("vec_id", "embedding",
+        "sqrt(vec_dot(embedding, embedding)) AS nrm").cache()
+      def cellLaw(cents: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+        val ranked = sim.knnJoinRanked(e, cents)
+        val m = ranked.filter(col("rn") === 1).groupBy("cid")
+          .agg(count(lit(1)).as("mc"))
+        val p = ranked.filter(col("rn") <= 2).groupBy("cid")
+          .agg(count(lit(1)).as("pc"))
+        val r = m.join(p, "cid")
+          .agg(sum(col("mc") * col("pc")), max(col("mc")), avg(col("mc"))).head
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      }
+      def centsOf(pred: org.apache.spark.sql.Column) =
+        e.filter(pred).selectExpr("vec_id AS cid", "embedding AS cemb", "nrm AS cnrm")
+      val (candStride, maxCell, meanCell) =
+        cellLaw(centsOf(col("vec_id") % 100 === 0))
+      // fixed 50 cells at every rung: the base copy's ids 0..49
+      val (candFixed, _, _) = cellLaw(centsOf(col("vec_id") < 50))
+      e.unpersist(); vecs.unpersist()
+      System.gc()
+      System.err.println(f"[scale] knnjoin $k%2dx  vecs=$n%7d  $t%6.2f s  " +
+        f"cand(stride)=$candStride%10d  cand(fixed50)=$candFixed%11d  " +
+        f"cellskew=${maxCell / meanCell}%5.1f")
+      (k, t, candStride, candFixed, maxCell / meanCell)
+    }
+
     // lake sweep rung: LakeSink's dirty-set claim — a scoped compaction
     // sweep costs O(|dirty leaves|), independent of how many partitions
     // the TABLE has. One 30-leaf lake (the events fixture per day, each
@@ -1123,6 +1178,8 @@ object ScaleProbe {
       s""""ivfpqmask_${pct}pct":{"scan":$t}"""
     } ++ ivfpqDriftR.map { case (pct, (rf, rr, n)) =>
       s""""ivfpqdrift_${pct}pct":{"recall5_frozen":$rf,"recall5_rebuilt":$rr,"corpus":$n}"""
+    } ++ knnJoinR.map { case (k, t, cs, cf, skew) =>
+      s""""knnjoin_${k}x":{"join":$t,"cand_stride":$cs,"cand_fixed50":$cf,"cell_skew":$skew}"""
     } ++ lakeSweepR.map { case (k, t) =>
       s""""lakesweep_${k}":{"sweep":$t}"""
     } ++ lakeMergeR.map { case (k, t) =>

@@ -258,6 +258,98 @@ object SimilarityOps {
       .select(col("qid"), col("neighbor"), round(col("cos"), 4).as("cosine"), col("rnk"))
   }
 
+  /** s4: distributed k-NN JOIN — the k-NN GRAPH build (top-3 neighbors for
+    * EVERY vector, not a handful of probe queries), the primitive behind
+    * graph-based curation (SemDeDup cluster pruning, connected-component
+    * near-dup grouping, kNN-classifier label propagation) at corpus scale.
+    *
+    * s1/s2 broadcast the QUERY side — fine for Q ~ 10^2, impossible when
+    * every corpus vector is a query. Here NOTHING corpus-sized is
+    * broadcast: centroids (N/100 rows) are the only broadcast; members and
+    * probes both SHUFFLE on cell id (`shuffle_hash` hint pins the plan —
+    * at small SF the member side fits a broadcast threshold and AQE would
+    * happily pick the plan that dies at 100 TB), so each reducer scores
+    * one cell's |probes_c| x |members_c| block — the IVF knn-join cost
+    * Sigma_c |P_c||M_c| ~ N * 2N/k1, never the all-pairs N^2. Per-query
+    * top-3 is a window over qid: one more shuffle, k-bounded output.
+    *
+    * At 100 TB the same plan holds with trained centroids (c3's k-means)
+    * and k1 ~ sqrt(N) cells; skewed cells split by salting the member side
+    * per probe-slice (documented, not needed at test SF — cells here are
+    * uniform by construction). Candidate arithmetic is identical to s2's
+    * (deterministic every-100th centroids, 2-cell probe, exact re-rank),
+    * so the DuckDB oracle replays it bit-for-bit.
+    */
+  val s4 = Q(
+    "s4_knn_join_ivf",
+    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, embedding, nrm FROM e WHERE vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT e.vec_id, cents.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_sum(list_transform(generate_series(1, 64),
+       |                 i -> cents.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |               / (cents.nrm * e.nrm) DESC, cents.cid) AS rn
+       |  FROM e, cents),
+       |assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS neighbor
+       |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT c.qid, c.neighbor, $duckDot / (q.nrm * e.nrm) AS cos
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.qid
+       |  JOIN e   ON e.vec_id = c.neighbor)
+       |SELECT qid, neighbor, round(cos, 4) AS cosine, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, neighbor) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    knnJoin(Tables.load(s, dir, "embeddings"))
+  }
+
+  /** The s4 operator as a reusable pipeline over any (vec_id, embedding)
+    * relation — centroids every `stride`-th id (N/stride cells: cell count
+    * GROWS with the corpus, which is what keeps per-query candidate work
+    * constant; the ScaleProbe `knnjoin` rung pins the law against the
+    * fixed-cell-count geometry that degrades quadratically).
+    */
+  def knnJoin(raw: DataFrame, stride: Int = 100, topK: Int = 3): DataFrame = {
+    val e = raw.selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm")
+    val cents = e.filter(col("vec_id") % stride === 0)
+      .selectExpr("vec_id AS cid", "embedding AS cemb", "nrm AS cnrm")
+    // one centroid-scoring pass serves both roles (the oracle's `ranked`):
+    // rn = 1 rows are the membership assignment, rn <= 2 the probe set
+    val ranked = knnJoinRanked(e, cents)
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id").as("neighbor"),
+        col("embedding").as("nemb"), col("nrm").as("nnrm"))
+    val probes = ranked.filter(col("rn") <= 2)
+      .select(col("cid"), col("vec_id").as("qid"),
+        col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    // the scale-defining join: both sides corpus-sized, co-partitioned on
+    // cell id, shuffle-hash pinned (broadcast here would OOM at real N)
+    val scored = probes.hint("shuffle_hash")
+      .join(members.hint("shuffle_hash"), Seq("cid"))
+      .filter(col("neighbor") =!= col("qid"))
+      .selectExpr("qid", "neighbor", s"${dotExpr("qemb", "nemb")} / (qnrm * nnrm) AS cos")
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("cos"), 4).desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("neighbor"), round(col("cos"), 4).as("cosine"), col("rnk"))
+  }
+
+  /** Per-vector nearest-cell ranking against a centroid relation
+    * `(cid, cemb, cnrm)` — shared by [[knnJoin]] and the ScaleProbe
+    * candidate-law probe.
+    */
+  def knnJoinRanked(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents))
+      .selectExpr("vec_id", "embedding", "nrm", "cid",
+        s"${dotExpr("cemb", "embedding")} / (cnrm * nrm) AS ccos")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+
   /** e1: embedding-cosine near-duplicate pairs (cos >= 0.4) among
     * hyperplane-LSH band candidates — the 6 sign bits split into 2 bands of
     * 3 planes; a pair is a candidate iff it agrees on ALL bits of SOME band
@@ -2041,6 +2133,6 @@ object SimilarityOps {
     s.createDataFrame(s.sparkContext.parallelize(rows), res.schema)
   }
 
-  val all: Seq[Q] = Seq(s1, s2, s3, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11,
+  val all: Seq[Q] = Seq(s1, s2, s3, s4, e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11,
     e12, e13, e14, e15, e16)
 }

@@ -905,6 +905,150 @@ object FormatQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
   }
 
+  /** f19: WRITE-TIME EXPECTATIONS — the data-quality gate
+    * ([[graft.streaming.LakeSink.appendWithExpectations]], the DLT
+    * expectations / Delta CHECK-constraint verb in quarantine form). Four
+    * appends flow through two rules (`value_cap`: value <= 300;
+    * `known_type`: event_type <> 'error'); passing rows commit, violators
+    * land under `_graft_quarantine/b<id>` tagged with the csv of failed
+    * rules. The census below reads BOTH sides — live by event_type,
+    * quarantine by its `_violations` disposition — so a row leaking into
+    * the lake, vanishing entirely, or blaming the wrong rule each shifts a
+    * cell. In-query guards pin the conservation law (live + quarantine =
+    * input) and that the live lake holds zero violators. At 100 TB the
+    * gate is one extra projection per micro-batch (both filters push to
+    * the same scan) and the quarantine is O(rejects) — the poison-row
+    * audit trail a silent drop never leaves.
+    */
+  val f19 = Q(
+    "f19_lake_expectations",
+    """WITH d AS (
+      |  SELECT *, concat_ws(',',
+      |    CASE WHEN value <= 300 THEN NULL ELSE 'value_cap' END,
+      |    CASE WHEN event_type <> 'error' THEN NULL ELSE 'known_type' END) AS viol
+      |  FROM events)
+      |SELECT CASE WHEN viol = '' THEN 'live' ELSE viol END AS disposition,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+      |  sum(event_id)::BIGINT AS id_checksum
+      |FROM d GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val rules = Seq(
+      "value_cap" -> "value <= 300",
+      "known_type" -> "event_type <> 'error'")
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_expect_")
+    val lakeDir = base.resolve("lake").toString
+    (0 until 4).foreach { i =>
+      graft.streaming.LakeSink.appendWithExpectations(s, lakeDir,
+        events.filter(pmod(col("event_id"), lit(4)) === i), rules,
+        commitId = Some(i.toLong))
+    }
+    val live = graft.streaming.LakeSink.readLake(s, lakeDir)
+    val quarantined = graft.streaming.LakeSink.readQuarantine(s, lakeDir)
+    // conservation + gate guards: nothing lost, nothing leaked
+    val total = events.count()
+    require(live.count() + quarantined.count() == total,
+      "expectations gate lost or duplicated rows")
+    require(live.filter(col("value") > 300 || col("event_type") === "error").isEmpty,
+      "violating rows leaked into the live lake")
+    val liveCensus = live
+      .groupBy(lit("live").as("disposition"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val qCensus = quarantined
+      .groupBy(col("_violations").as("disposition"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val census = liveCensus.unionByName(qCensus)
+    val rows = census.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
+  }
+
+  /** f20: LAKE RESTORE — roll the table back to a snapshot AS A NEW
+    * COMMIT ([[graft.streaming.LakeSink.restoreTo]], the Delta
+    * `RESTORE TABLE ... TO VERSION AS OF` verb). The fixture drives the
+    * full bad-deploy arc: three good appends (0–2), then a wrong MERGE
+    * (3), a wrong DELETION-VECTOR delete (4 — logical damage, no file
+    * moved: the restore must catch it from the DV targets manifest, not
+    * the listing), and a wrong BACKFILL onto brand-new date leaves (5 —
+    * exercises wholesale leaf retirement). `restoreTo(2)` lands as commit
+    * 6 — rewriting only damaged leaves, retiring the backfill leaves —
+    * and ingestion continues with the last quartile as commit 7. The
+    * oracle is the PLAIN events census: any residue of the rolled-back
+    * era (an updated value, a missing DV'd row, a +10M inserted id, a
+    * backfill date) shifts a cell. In-query guards pin the history side:
+    * every pre-restore version stays time-travelable AFTER the restore
+    * (including the retired backfill leaves, served history-only), and
+    * restore cost is O(changed leaves) by construction.
+    */
+  val f20 = Q(
+    "f20_lake_restore",
+    """SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val sink = graft.streaming.LakeSink
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_restore_")
+    val lakeDir = base.resolve("lake").toString
+    (0 until 3).foreach { i =>
+      sink.appendBatch(s, lakeDir,
+        events.filter(pmod(col("event_id"), lit(4)) === i),
+        commitId = Some(i.toLong))
+    }
+    val goodCount = sink.readLake(s, lakeDir).count()
+    // the bad era: merge (3), DV delete (4), backfill onto new dates (5)
+    val present = pmod(col("event_id"), lit(4)) < 3
+    val upserts = events.filter(present && pmod(col("event_id"), lit(10)) === 7)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("event_type", lit("updated"))
+      .unionByName(events.filter(pmod(col("event_id"), lit(10)) === 2)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("value", col("value") * 2.0)
+        .withColumn("event_type", lit("inserted")))
+    val merged = sink.mergeInto(s, lakeDir, upserts, "event_id",
+      events.filter(present && pmod(col("event_id"), lit(10)) === 3)
+        .select("event_id", "ts"),
+      targetFileBytes = 512L << 10)
+    require(merged.commitId == 3L, s"fixture drift: merge at ${merged.commitId}")
+    val dv = sink.deleteVectors(s, lakeDir,
+      events.filter(present && pmod(col("event_id"), lit(10)) === 9)
+        .select("event_id", "ts"),
+      "event_id")
+    require(dv.commitId == 4L, s"fixture drift: DV delete at ${dv.commitId}")
+    sink.appendBatch(s, lakeDir,
+      events.filter(pmod(col("event_id"), lit(10)) === 5)
+        .withColumn("event_id", col("event_id") + 20000000L)
+        .withColumn("ts", col("ts") + expr("INTERVAL 3000 DAYS")),
+      commitId = Some(5L))
+    val damagedCount = sink.readLake(s, lakeDir).count()
+
+    val stats = sink.restoreTo(s, lakeDir, asOf = 2L)
+    require(stats.commitId == 6L && stats.rewrittenLeaves.nonEmpty &&
+      stats.retiredLeaves.nonEmpty, s"restore fixture drift: $stats")
+    // the live view IS the snapshot again
+    require(sink.readLake(s, lakeDir).count() == goodCount,
+      "restore did not reproduce the snapshot row count")
+    // history preserved THROUGH the restore: the damaged era still serves
+    // (5 includes the retired backfill leaves — history-only resolution)
+    require(sink.readAsOf(s, lakeDir, 5L).count() == damagedCount,
+      "pre-restore version lost after restore")
+    require(sink.readAsOf(s, lakeDir, 2L).count() == goodCount,
+      "snapshot 2 drifted after restore")
+    // ingestion continues on the restored timeline
+    sink.appendBatch(s, lakeDir,
+      events.filter(pmod(col("event_id"), lit(4)) === 3), commitId = Some(7L))
+    val census = sink.readLake(s, lakeDir)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = census.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
+  }
+
   val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13,
-    f14, f15, f16, f17, f18)
+    f14, f15, f16, f17, f18, f19, f20)
 }

@@ -830,6 +830,15 @@ object LakeSink {
     // directory depths)
     def tagged(dir: Path, tag: String, leafName: String): Either[Long, Seq[(String, String)]] =
       serveDir(dir, tag).map(_.map(f => dir.getParent.toString -> f))
+    // generations that retain this leaf beyond asOf, if any — empty both
+    // when the leaf was never swept and when it exists only at or before
+    // asOf-era history
+    def retainedGens(leafName: String): Seq[Long] =
+      if (!fs.exists(histRoot)) Seq.empty
+      else fs.listStatus(histRoot).toSeq
+        .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
+        .map(_.getPath.getName.toLong)
+        .filter(b => b > asOf && fs.exists(new Path(new Path(histRoot, b.toString), leafName)))
     def serveLeaf(leafName: String): Seq[(String, String)] = {
       def hist = fromHistory(leafName)
       val candidates = Seq(
@@ -838,12 +847,27 @@ object LakeSink {
         (new Path(new Path(root, OldRoot), leafName), s"$OldRoot/$leafName"))
       candidates.find(c => fs.exists(c._1)) match {
         case Some((dir, tag)) => tagged(dir, tag, leafName).getOrElse(hist)
-        case None => hist
+        case None =>
+          // HISTORY-ONLY leaf: retired by a restore (born after its
+          // snapshot, rolled back out of the live tree). Generations
+          // beyond asOf serve it; none means the leaf legitimately has no
+          // content at this snapshot — empty, NOT an error (the
+          // time-travel-lost error is for LIVE leaves whose rewrite
+          // outran asOf with the retained generation vacuumed)
+          if (retainedGens(leafName).isEmpty) Seq.empty else hist
       }
     }
+    // leaf namespace: live, mid-swap, aside, AND history-resident — a
+    // restore retires a born-after-snapshot leaf wholesale into its
+    // generation, where pre-restore snapshots must still find it
+    val histLeafNames: Seq[String] =
+      if (!fs.exists(histRoot)) Seq.empty
+      else fs.listStatus(histRoot).toSeq
+        .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
+        .flatMap(g => childLeafNames(g.getPath))
     val files = (childLeafNames(root) ++
         childLeafNames(new Path(root, "_compact_tmp")) ++
-        childLeafNames(new Path(root, OldRoot)))
+        childLeafNames(new Path(root, OldRoot)) ++ histLeafNames)
       .distinct.sorted
       .flatMap(serveLeaf)
     require(files.nonEmpty, s"no files at or before batch $asOf under $lakeDir")
@@ -1857,6 +1881,253 @@ object LakeSink {
     b
   }
 
+  private val QuarantineRoot = "_graft_quarantine"
+
+  /** WRITE-TIME EXPECTATIONS — data-quality CHECK rules enforced at the
+    * append edge, with violating rows QUARANTINED instead of committed
+    * (the training-data-pipeline gate: Delta ships it as table CHECK
+    * constraints that FAIL the write, DLT as expectations that drop or
+    * quarantine; a 100 TB ingest wants the quarantine form — one poison
+    * row must neither kill the pipeline nor silently enter the corpus).
+    *
+    * Each rule is (name, SQL boolean expr over the row). A row passes iff
+    * EVERY rule evaluates to true; `null` is a VIOLATION (DLT semantics,
+    * deliberately stricter than SQL CHECK's null-passes — a quality gate
+    * that waves through unevaluable rows is not a gate). Violating rows
+    * land under `_graft_quarantine/b<id>/` carrying `_violations` (csv of
+    * failed rule names, declaration order) and `_commit_id` — the audit
+    * trail reviewers triage and re-ingest from.
+    *
+    * Atomicity rides the live append's marker: quarantine files are
+    * written (mode=overwrite, so a crash-replay converges) BEFORE
+    * [[appendBatch]] commits the passing rows at the SAME claimed id —
+    * marker present means both halves landed; marker absent means the
+    * whole batch replays. The retry short-circuit mirrors appendBatch's.
+    * Cost: two passes over the micro-batch (pass + fail filters, both
+    * pushed to the source scan) — no cache, safe under streaming.
+    */
+  def appendWithExpectations(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      rows: DataFrame,
+      expectations: Seq[(String, String)],
+      tsCol: String = "ts",
+      commitId: Option[Long] = None,
+      fenceEpoch: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, concat_ws, expr, when}
+    require(expectations.nonEmpty,
+      "appendWithExpectations with no rules — use appendBatch")
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val epoch = fenceEpoch.getOrElse(acquireWriterEpoch(fs, root))
+    checkWriterFence(fs, root, epoch)
+    val next = maxCommittedId(fs, root) + 1
+    val b = commitId.getOrElse(next)
+    if (b < next) {
+      require(fs.exists(new Path(new Path(root, "_graft_commits"), b.toString)),
+        s"expectations append at commit $b is below the ledger head ($next) " +
+          "but has no marker — refusing an out-of-order append")
+      System.err.println(s"[lake] expectations append commit $b already in " +
+        "the ledger — idempotent retry, skipping")
+      return b
+    }
+    require(b == next, s"expectations append expected commit $b but the " +
+      s"ledger head allocates $next — stale high-water mark or competing " +
+      "writer; refusing to commit out of order")
+    val violCol = concat_ws(",", expectations.map { case (name, pred) =>
+      when(coalesce(expr(pred), lit(false)), lit(null).cast("string"))
+        .otherwise(lit(name))
+    }: _*)
+    val flagged = rows.withColumn("_violations", violCol)
+    flagged.filter(col("_violations") =!= "")
+      .withColumn("_commit_id", lit(b))
+      .write.mode("overwrite")
+      .parquet(new Path(new Path(root, QuarantineRoot), s"b$b").toString)
+    checkWriterFence(fs, root, epoch)
+    appendBatch(spark, lakeDir,
+      flagged.filter(col("_violations") === "").drop("_violations"),
+      tsCol, Some(b), Nil, Some(epoch))
+  }
+
+  /** The quarantine as a relation: every violating row ever gated by
+    * [[appendWithExpectations]], with `_violations` and `_commit_id`.
+    * Rows of a batch whose marker never landed (crash before commit) are
+    * filtered out by the ledger head — the quarantine shows exactly the
+    * committed batches' rejects. Retention is the caller's policy (the
+    * dirs are outside data discovery; vacuum does not touch them).
+    */
+  def readQuarantine(
+      spark: org.apache.spark.sql.SparkSession, lakeDir: String): DataFrame = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = new Path(root, QuarantineRoot)
+    require(fs.exists(q), s"no quarantine under $lakeDir")
+    spark.read.option("recursiveFileLookup", "true").parquet(q.toString)
+      .filter(col("_commit_id") <= maxCommittedId(fs, root))
+  }
+
+  /** Per-restore outcome: the commit the restore landed at, the snapshot
+    * it rolled back to, the leaves rewritten from snapshot content, and
+    * the leaves retired wholesale (created entirely after the snapshot).
+    */
+  final case class RestoreStats(
+      commitId: Long,
+      asOf: Long,
+      rewrittenLeaves: Seq[String],
+      retiredLeaves: Seq[String])
+
+  /** RESTORE — roll the live table back to snapshot `asOf` AS A NEW
+    * COMMIT (Delta `RESTORE TABLE ... TO VERSION AS OF`): the live view
+    * becomes [[readAsOf]]`(asOf)`, history is PRESERVED (post-restore,
+    * time travel still serves every version — including the rolled-back
+    * ones), and the restore itself is version `M = head + 1`.
+    *
+    * Delta restores metadata-only by editing the file manifest; this lake
+    * has no manifest — the live view IS the directory listing — so the
+    * equivalent lever is the sweep machinery: restore is a COMPACTION
+    * WHOSE REWRITE CONTENT IS THE SNAPSHOT, touching ONLY leaves that
+    * changed after `asOf` (post-`asOf` lineage, or targeted by a
+    * post-`asOf` deletion-vector generation — a DV flips logical content
+    * without moving files). Per changed leaf, [[lineageStampedSwap]] at
+    * horizon `M` renames the pre-restore state into
+    * `_graft_history/M/<leaf>` and swaps in `gc<M>` files holding the
+    * snapshot content; a leaf with no snapshot content (born after
+    * `asOf`) retires wholesale into the same generation. The lineage
+    * algebra then serves every era correctly with no special cases:
+    * `x >= M` reads the restored `gc<M>` files; `asOf < x < M` hits
+    * `gc<M> > x`, falls back to generation `M` = the pre-restore state;
+    * `x <= asOf` resolves through older generations exactly as before
+    * (restore deletes nothing). Post-`asOf` DV generations keep serving
+    * those mid-era snapshots; they never touch the live view because DV
+    * entries address (leaf, file) NAMES and the restored files are new
+    * names. Unchanged leaves are never listed, read, or rewritten —
+    * restore is O(churn since asOf), not O(table).
+    *
+    * Sequencing: ONE Spark job materializes the snapshot slice of every
+    * changed leaf into `_restore_stage` BEFORE any rename (no
+    * read-after-swap hazard), then the swaps are pure renames. A crash
+    * anywhere re-runs idempotently: the marker is absent so `M` is
+    * re-allocated, a half-swapped leaf still serves its snapshot via
+    * generation `M`'s fallback, and [[lineageStampedSwap]]'s
+    * same-horizon branch converges. Fenced like every mutation; the
+    * marker (tagged `#rewrite` — its files are rewrites, not appends)
+    * lands LAST via the atomic commit exchange.
+    *
+    * Deliberate deltas from Delta, documented: no CDF records are emitted
+    * for the restore (a [[tailChanges]] range crossing `M` fails loudly
+    * instead of silently skipping the rollback), and the schema registry
+    * keeps the head schema (restore never narrows — pre-widening
+    * snapshot content null-fills, the same read rule as every old file).
+    */
+  def restoreTo(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      asOf: Long,
+      fenceEpoch: Option[Long] = None,
+      faultInjector: String => Unit = _ => ()): RestoreStats = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no lake at $lakeDir")
+    val epoch = fenceEpoch.getOrElse(acquireWriterEpoch(fs, root))
+    checkWriterFence(fs, root, epoch)
+    recoverSweeps(fs, root)
+    val head = maxCommittedId(fs, root)
+    require(head >= 0, s"restore needs a ledgered lake (no commits under $lakeDir)")
+    require(asOf >= 0 && asOf <= head,
+      s"restore target $asOf outside the committed range [0, $head]")
+    if (asOf == head) return RestoreStats(head, asOf, Nil, Nil)
+    val m = head + 1
+
+    def lineageOf(n: String): Long = {
+      val digits = n.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+      require((n.startsWith("gb") || n.startsWith("gc")) && digits.nonEmpty,
+        s"$n carries no batch lineage — this lake was not (only) written " +
+          "by LakeSink; restore undefined")
+      digits.toLong
+    }
+    // leaves whose LOGICAL content moved after asOf via a deletion-vector
+    // generation (file set unchanged — the listing alone would miss them)
+    val dvTouched: Set[String] = {
+      val dvRoot = new Path(root, DvRoot)
+      if (!fs.exists(dvRoot)) Set.empty
+      else fs.listStatus(dvRoot).toSeq
+        .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit) &&
+          g.getPath.getName.toLong > asOf && g.getPath.getName.toLong <= head)
+        .flatMap { g =>
+          val t = new Path(g.getPath, DvTargetsFile)
+          require(fs.exists(t), s"DV generation ${g.getPath.getName} has no " +
+            "targets manifest — cannot bound the restore's leaf set")
+          readSmallFile(fs, t).split('\n').toSeq
+            .filter(l => l.nonEmpty && !l.startsWith("#"))
+            .map(_.split('/').head)
+        }.toSet
+    }
+    val liveLeaves = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      .map(_.getPath.getName).sorted
+    val changed = liveLeaves.filter { l =>
+      dvTouched.contains(l) || fs.listStatus(new Path(root, l)).exists { f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          lineageOf(f.getPath.getName) > asOf
+      }
+    }
+    if (changed.isEmpty) {
+      // nothing moved since asOf (pure no-op commits in between) — still a
+      // commit, so readAsOf(M) is well-defined and the caller's version
+      // arithmetic holds
+      writeCommitMarker(fs, new Path(new Path(root, "_graft_commits"), m.toString),
+        m, Nil, Some(MarkerRewrite))
+      return RestoreStats(m, asOf, Nil, Nil)
+    }
+
+    // ONE job stages the snapshot slice of every changed leaf; the snapshot
+    // listing runs against the untouched table (no rename has happened yet)
+    val snap = readAsOf(spark, lakeDir, asOf)
+    val changedDates = changed.map(_.stripPrefix("event_date="))
+    val stage = new Path(root, "_restore_stage")
+    fs.delete(stage, true) // crashed attempt's leftovers
+    snap.filter(col("event_date").cast("string").isin(changedDates: _*))
+      .repartition(col("event_date"))
+      .write.partitionBy("event_date").mode("overwrite")
+      .parquet(stage.toString)
+    faultInjector("staged")
+    checkWriterFence(fs, root, epoch)
+
+    val staged = fs.listStatus(stage).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      .map(_.getPath.getName).toSet
+    val (rewritten, retired) = changed.partition(staged.contains)
+    val tmpRoot = new Path(root, "_compact_tmp")
+    fs.mkdirs(tmpRoot)
+    rewritten.foreach { l =>
+      val tmp = new Path(tmpRoot, l)
+      fs.delete(tmp, true)
+      require(fs.rename(new Path(stage, l), tmp),
+        s"restore failed staging $l into the sweep namespace")
+      checkWriterFence(fs, root, epoch)
+      lineageStampedSwap(fs, root, new Path(root, l), tmp, m,
+        conf = spark.sparkContext.hadoopConfiguration)
+      faultInjector(s"swapped:$l")
+    }
+    val gen = new Path(new Path(root, HistoryRoot), m.toString)
+    retired.foreach { l =>
+      val hist = new Path(gen, l)
+      fs.mkdirs(gen)
+      checkWriterFence(fs, root, epoch)
+      if (fs.exists(hist)) fs.delete(new Path(root, l), true)
+      else require(fs.rename(new Path(root, l), hist),
+        s"restore failed retiring $l into history")
+      faultInjector(s"retired:$l")
+    }
+    fs.delete(stage, true)
+    faultInjector("pre-marker")
+    checkWriterFence(fs, root, epoch)
+    writeCommitMarker(fs, new Path(new Path(root, "_graft_commits"), m.toString),
+      m, (rewritten ++ retired).sorted, Some(MarkerRewrite))
+    RestoreStats(m, asOf, rewritten, retired)
+  }
+
   /** Per-merge outcome: the allocated commit id, the leaves rewritten
     * copy-on-write (matched keys present), and the leaves that took a
     * plain `gb<id>` insert append (no matches there).
@@ -1945,10 +2216,22 @@ object LakeSink {
         s"lake's ${lakeSchema.simpleString} — merge rewrites leaves " +
         "wholesale, a schema drift here would corrupt them")
 
+    // SOURCE MATERIALIZATION — the snapshot-isolation half of Delta's
+    // MERGE contract: a source that derives from the TARGET (the SCD2
+    // close-out shape — "read my current rows, close them, merge back")
+    // would otherwise be re-evaluated lazily against data files the
+    // rewrite below has already renamed into history, failing the read
+    // (or worse, under eventual-consistency stores, silently shifting).
+    // Eager localCheckpoint pins the source's CONTENT before the first
+    // rename; cost is O(churn) blocks, the size the source already is by
+    // the partition-scoped contract.
+    val srcUpserts = upserts.localCheckpoint(true)
+    val srcDeletes = deletes.localCheckpoint(true)
+
     // the (key, date) match scope — null event times cannot address a leaf
-    val upsertKeys = upserts.select(col(keyCol),
+    val upsertKeys = srcUpserts.select(col(keyCol),
       to_date(col(tsCol)).cast("string").as("__d"))
-    val deleteKeys = deletes.select(col(keyCol),
+    val deleteKeys = srcDeletes.select(col(keyCol),
       to_date(col(tsCol)).cast("string").as("__d"))
     val allKeys = upsertKeys.unionByName(deleteKeys).cache()
     try {
@@ -2007,8 +2290,8 @@ object LakeSink {
           s"[lake] merge retry: change record for commit $b already " +
             "complete — keeping the first attempt's pre-images")
         else {
-          val dated = upserts.withColumn("event_date", to_date(col(tsCol)))
-          val upsertKeySet = upserts.select(col(keyCol),
+          val dated = srcUpserts.withColumn("event_date", to_date(col(tsCol)))
+          val upsertKeySet = srcUpserts.select(col(keyCol),
             to_date(col(tsCol)).cast("string").as("__d")).distinct()
           val changes = scoped match {
             case None => // brand-new dates only: every upsert is an insert
@@ -2059,7 +2342,7 @@ object LakeSink {
           dvM.fold(scan)(applyDv(scan, _))
         }
         val keysHere = allKeys.filter(col("__d") === d).select(keyCol)
-        val upsertsHere = upserts.filter(to_date(col(tsCol)).cast("string") === d)
+        val upsertsHere = srcUpserts.filter(to_date(col(tsCol)).cast("string") === d)
           .select(current.columns.map(col): _*)
         val merged = current
           .join(broadcast(keysHere), Seq(keyCol), "left_anti")
@@ -2098,7 +2381,7 @@ object LakeSink {
       val appended: Seq[String] =
         if (insertDates.isEmpty) Seq.empty
         else {
-          val ins = upserts
+          val ins = srcUpserts
             .filter(to_date(col(tsCol)).cast("string").isInCollection(insertDates))
           if (ins.isEmpty) Seq.empty
           else {

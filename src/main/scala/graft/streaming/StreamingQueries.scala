@@ -1686,6 +1686,37 @@ object StreamingQueries {
         round(col("total_value"), 2).as("total_value"), col("id_checksum")))
   }
 
+  /** st49: SCD TYPE-2 DIMENSION from a CDC stream — every arriving change
+    * inserts a new version row and closes the previous current one, via
+    * partition-scoped [[graft.streaming.LakeSink.mergeInto]] on the
+    * composite `user#event_id` version key
+    * ([[ReplayHarness.replayScd2Dimension]]). Four arrival-ordered
+    * micro-batches, one re-applied verbatim (the crash window between a
+    * committed merge and the consumer's high-water advance) — the
+    * idempotent close-out guard makes the dimension converge. The oracle
+    * reconstructs the full version history with one window over all
+    * events: batch boundaries must be INVISIBLE in the final dimension —
+    * a close-out applied twice, a version lost across the crash replay,
+    * or an intra/cross-batch chain break each shifts a census cell.
+    */
+  val st49 = Q("st49_scd2_dimension",
+    """WITH v AS (
+      |  SELECT user_id, event_id AS valid_from_id, event_type AS segment, value,
+      |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_id
+      |  FROM events)
+      |SELECT (valid_to_id IS NULL) AS is_current, segment, count(*) AS n,
+      |  round(sum(value), 2) AS total_value,
+      |  sum(valid_from_id)::BIGINT AS from_checksum,
+      |  sum(coalesce(valid_to_id, 0))::BIGINT AS to_checksum
+      |FROM v GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayScd2Dimension(s, dir,
+      finish = _.groupBy(col("is_current"), col("segment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          sum(col("valid_from_id")).as("from_checksum"),
+          sum(coalesce(col("valid_to_id"), lit(0L))).as("to_checksum")))
+  }
+
   val st37 = Q("st37_stream_bronze_silver_gold",
     """WITH w AS (
       |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_type,
@@ -1702,5 +1733,5 @@ object StreamingQueries {
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
-      st38, st39, st40, st41, st42, st43, st44, st45, st46, st47, st48)
+      st38, st39, st40, st41, st42, st43, st44, st45, st46, st47, st48, st49)
 }
