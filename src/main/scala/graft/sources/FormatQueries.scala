@@ -1049,6 +1049,102 @@ object FormatQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
   }
 
+  /** f21: SHALLOW CLONE with leaf-level copy-on-write
+    * ([[graft.streaming.LakeSink.cloneTable]]/[[graft.streaming.LakeSink.cloneMerge]],
+    * the Delta `SHALLOW CLONE` verb) — branch production data for
+    * dev/test WITHOUT copying a byte: the clone is a pin file plus its
+    * own ledger; reads overlay local writes over the pinned source
+    * snapshot. The fixture exercises every overlay path at once: the
+    * source DIVERGES after the pin (an append the clone must never see),
+    * the clone takes a local append (union overlay on unshadowed
+    * leaves), and a half-scoped merge CoWs exactly the touched leaves
+    * (shadow overlay) while later dates keep serving source+local union
+    * — so the final read mixes all three modes and any leak (source
+    * edit visible, clone edit reflected back, CoW double-serving or
+    * dropping rows) shifts a cell. In-query guards pin the zero-copy
+    * claims: the source's data files are BYTE-UNTOUCHED by every clone
+    * write, and the source census still includes its post-pin append. At
+    * 100 TB: clone cost is one small file; the first merge on a branched
+    * leaf pays that leaf's materialization — Delta's exact CoW bill
+    * (with Delta's exact caveat, documented: vacuuming the source
+    * breaks the clone's pinned reads loudly).
+    */
+  val f21 = Q(
+    "f21_lake_shallow_clone",
+    """WITH b AS (SELECT (max(event_id)+1)//2 AS h FROM events),
+      |cl AS (
+      |  SELECT event_id, ts, event_type, value FROM events, b
+      |  WHERE event_id % 4 < 3 AND NOT (event_id < b.h AND event_id % 10 IN (3, 7))
+      |  UNION ALL
+      |  SELECT event_id, ts, 'updated', value + 1000 FROM events, b
+      |  WHERE event_id % 4 < 3 AND event_id < b.h AND event_id % 10 = 7
+      |  UNION ALL
+      |  SELECT event_id + 10000000, ts, 'cloneonly', value * 2 FROM events
+      |  WHERE event_id % 4 = 3)
+      |SELECT 'clone' AS tbl, ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM cl GROUP BY 1, 2, 3
+      |UNION ALL
+      |SELECT 'source', ts::DATE, event_type, count(*),
+      |  round(sum(value), 2), sum(event_id)::BIGINT
+      |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val sink = graft.streaming.LakeSink
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_clone_")
+    val src = base.resolve("source").toString
+    val cln = base.resolve("clone").toString
+    (0 until 3).foreach { i =>
+      sink.appendBatch(s, src,
+        events.filter(pmod(col("event_id"), lit(4)) === i),
+        commitId = Some(i.toLong))
+    }
+    require(sink.cloneTable(s, src, cln) == 2L, "clone pinned at wrong head")
+    def srcFiles(): Map[String, Set[String]] = {
+      val root = new org.apache.hadoop.fs.Path(src)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_date="))
+        .map(l => l.getPath.getName -> fs.listStatus(l.getPath).toSeq
+          .filter(_.isFile).map(_.getPath.getName).toSet).toMap
+    }
+    // the source diverges AFTER the pin — invisible to the clone
+    sink.appendBatch(s, src,
+      events.filter(pmod(col("event_id"), lit(4)) === 3), commitId = Some(3L))
+    val srcBefore = srcFiles()
+    // clone-local append: union overlay, no CoW
+    sink.appendBatch(s, cln,
+      events.filter(pmod(col("event_id"), lit(4)) === 3)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("event_type", lit("cloneonly"))
+        .withColumn("value", col("value") * 2.0),
+      commitId = Some(0L))
+    // half-scoped merge: CoW + shadow exactly the early-date leaves
+    val h = (events.agg(max(col("event_id"))).head.getLong(0) + 1) / 2
+    val early = pmod(col("event_id"), lit(4)) < 3 && col("event_id") < h
+    sink.cloneMerge(s, cln,
+      events.filter(early && pmod(col("event_id"), lit(10)) === 7)
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + 1000.0),
+      "event_id",
+      events.filter(early && pmod(col("event_id"), lit(10)) === 3)
+        .select("event_id", "ts"),
+      targetFileBytes = 512L << 10)
+    // zero-copy claim: every clone write left the source byte-untouched
+    require(srcFiles() == srcBefore, "a clone write touched the source")
+    def census(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          sum(col("event_id")).as("id_checksum"))
+        .select(lit(tag).as("tbl"), col("event_date"), col("event_type"),
+          col("n"), col("total_value"), col("id_checksum"))
+    val out = census(sink.readLake(s, cln), "clone")
+      .unionByName(census(sink.readLake(s, src), "source"))
+    val rows = out.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
+  }
+
   val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13,
-    f14, f15, f16, f17, f18, f19, f20)
+    f14, f15, f16, f17, f18, f19, f20, f21)
 }

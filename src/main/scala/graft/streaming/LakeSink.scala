@@ -531,6 +531,7 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (Seq.empty, 0)
+    requireNotClone(fs, root, "vacuum")
     fenceEpoch.foreach(e => checkWriterFence(fs, root, e))
     // heal BEFORE applying retention: healing after the drop would promote
     // a stranded rewrite of a partition retention just retired
@@ -757,6 +758,7 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no lake at $lakeDir")
+    requireNotClone(fs, root, "time travel (readAsOf)")
 
     def lineageId(n: String, prefix: String, leafName: String): Long = {
       val digits = n.stripPrefix(prefix).takeWhile(_.isDigit)
@@ -1120,6 +1122,7 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    requireNotClone(fs, root, "compaction")
     val tmpRoot = new Path(root, "_compact_tmp")
     fenceEpoch.foreach(e => checkWriterFence(fs, root, e))
     // heal BEFORE enumerating: the leaf listing (and the scoped path's
@@ -1355,6 +1358,7 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no lake at $lakeDir")
+    requireNotClone(fs, root, "deleteVectors")
     val epoch = fenceEpoch.getOrElse(acquireWriterEpoch(fs, root))
     checkWriterFence(fs, root, epoch)
     recoverSweeps(fs, root)
@@ -1595,6 +1599,7 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no lake at $lakeDir")
+    requireNotClone(fs, root, "readPruned")
     val files = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .sortBy(_.getPath.getName)
@@ -1787,13 +1792,36 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no lake at $lakeDir")
-    val raw = declaredReadSchema(fs, root) match {
-      case Some(s) => spark.read.schema(s).parquet(lakeDir)
-      case None => spark.read.parquet(lakeDir)
+    cloneMeta(fs, root) match {
+      case Some((srcDir, asOf)) =>
+        // SHALLOW-CLONE OVERLAY: source snapshot (with its own committed
+        // DVs as of the pin — readAsOf applies them) for every leaf not
+        // shadowed by a CoW, plus everything the clone wrote locally
+        val srcSnap = readAsOf(spark, srcDir, asOf)
+        val shadowed = shadowedLeaves(fs, root)
+          .map(_.stripPrefix("event_date=")).toSeq.sorted
+        val srcPart =
+          if (shadowed.isEmpty) srcSnap
+          else srcSnap.filter(!col("event_date").cast("string").isin(shadowed: _*))
+        val localLeaves = fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+          .map(_.getPath.toString).sorted
+        if (localLeaves.isEmpty) srcPart
+        else {
+          val r = spark.read.option("basePath", lakeDir)
+          val localRaw = declaredReadSchema(fs, root).fold(r)(r.schema)
+            .parquet(localLeaves: _*)
+          srcPart.unionByName(localRaw, allowMissingColumns = true)
+        }
+      case None =>
+        val raw = declaredReadSchema(fs, root) match {
+          case Some(s) => spark.read.schema(s).parquet(lakeDir)
+          case None => spark.read.parquet(lakeDir)
+        }
+        // committed deletion vectors anti-apply here (merge-on-read); a lake
+        // with no `_graft_dv` pays nothing — the plan is exactly the raw scan
+        dvStore(spark, fs, root).fold(raw)(applyDv(raw, _))
     }
-    // committed deletion vectors anti-apply here (merge-on-read); a lake
-    // with no `_graft_dv` pays nothing — the plan is exactly the raw scan
-    dvStore(spark, fs, root).fold(raw)(applyDv(raw, _))
   }
 
   /** Max committed id in the lake's ledger, -1 when none (or no ledger). */
@@ -1967,6 +1995,141 @@ object LakeSink {
       .filter(col("_commit_id") <= maxCommittedId(fs, root))
   }
 
+  private val CloneFile = "_graft_clone"
+  private val ShadowRoot = "_graft_shadow"
+
+  /** Parse a clone's pin, or None for a regular lake. */
+  private def cloneMeta(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Option[(String, Long)] = {
+    val p = new Path(root, CloneFile)
+    if (!fs.exists(p)) None
+    else {
+      val lines = readSmallFile(fs, p).split('\n').toSeq
+      require(lines.length >= 2 && lines(1).forall(_.isDigit),
+        s"torn clone pin under $root")
+      Some(lines.head -> lines(1).toLong)
+    }
+  }
+
+  private def requireNotClone(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, verb: String): Unit =
+    require(!fs.exists(new Path(root, CloneFile)),
+      s"$verb is unsupported on a shallow clone ($root) — materialize the " +
+        "clone into a regular table first (read it, write it) or run the " +
+        "verb on the source")
+
+  /** Leaf names whose shadow marker is EFFECTIVE: the marker exists AND
+    * the CoW commit it references is in the clone's local ledger — a
+    * crash between marker and materialization leaves the marker inert
+    * (the leaf keeps serving from the source) until the retry lands the
+    * claimed commit.
+    */
+  private def shadowedLeaves(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] = {
+    val dir = new Path(root, ShadowRoot)
+    if (!fs.exists(dir)) Set.empty
+    else {
+      val head = maxCommittedId(fs, root)
+      fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { m =>
+        val content = readSmallFile(fs, m.getPath).trim
+        if (content.nonEmpty && content.forall(_.isDigit) && content.toLong <= head)
+          Some(m.getPath.getName)
+        else None
+      }.toSet
+    }
+  }
+
+  /** SHALLOW CLONE — a zero-copy writable branch of `srcDir` pinned at
+    * its current head (Delta `CREATE TABLE ... SHALLOW CLONE`): the clone
+    * directory holds only a pin file, its own (empty) ledger namespace,
+    * and whatever the clone WRITES; reads overlay local state over the
+    * source snapshot. The dev/test verb at 100 TB — branch production
+    * data without copying a byte; writes touch only the clone.
+    *
+    * Overlay semantics ([[readLake]]): a leaf SHADOWED by a copy-on-write
+    * ([[cloneMerge]]) serves from the clone only; every other leaf serves
+    * the source snapshot UNION the clone's local appends. Time travel,
+    * restore, DV deletes, purge, compaction, and vacuum are LOUDLY
+    * unsupported on the clone (materialize it first); appends and merges
+    * work. The Delta caveat carries over verbatim: the clone references
+    * the source's files at the pinned snapshot, so a source [[vacuum]]
+    * that prunes the pinned generation BREAKS the clone (the read fails
+    * loudly through [[readAsOf]]'s lost-window contract, never serves a
+    * part-snapshot).
+    */
+  def cloneTable(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      dstDir: String): Long = {
+    val src = new Path(srcDir)
+    val dst = new Path(dstDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"no lake at $srcDir")
+    requireNotClone(fs, src, "cloning a clone")
+    val asOf = maxCommittedId(fs, src)
+    require(asOf >= 0, s"clone needs a ledgered source (no commits under $srcDir)")
+    require(!fs.exists(dst) || fs.listStatus(dst).isEmpty,
+      s"clone target $dstDir is not empty")
+    fs.mkdirs(dst)
+    writeSmallFile(fs, new Path(dst, CloneFile), s"$srcDir\n$asOf")
+    asOf
+  }
+
+  /** MERGE INTO a shallow clone: COPY-ON-WRITE the touched source leaves
+    * into the clone (one claimed-id local append of the snapshot slice,
+    * shadow markers written first via tmp+rename so existence implies
+    * complete content, effective only once their commit lands — the
+    * crash-ordering that can neither double-serve nor drop rows), then a
+    * plain local [[mergeInto]]. Cost: O(touched leaves) copied ONCE per
+    * leaf lifetime — the first write to a branched leaf pays its
+    * materialization, exactly Delta's shallow-clone CoW bill.
+    */
+  def cloneMerge(
+      spark: org.apache.spark.sql.SparkSession,
+      cloneDir: String,
+      upserts: DataFrame,
+      keyCol: String,
+      deletes: DataFrame,
+      tsCol: String = "ts",
+      targetFileBytes: Long = 128L << 20): MergeStats = {
+    val root = new Path(cloneDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (srcDir, asOf) = cloneMeta(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"$cloneDir is not a shallow clone"))
+    // k-bounded probe: one row per touched date
+    val dates = upserts.select(to_date(col(tsCol)).cast("string").as("__d"))
+      .unionByName(deletes.select(to_date(col(tsCol)).cast("string").as("__d")))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val srcSnap = readAsOf(spark, srcDir, asOf)
+    val already = shadowedLeaves(fs, root)
+    val srcDates = srcSnap
+      .filter(col("event_date").cast("string").isin(dates: _*))
+      .select(col("event_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val needCow = dates.filter(d =>
+      srcDates.contains(d) && !already.contains(s"event_date=$d"))
+    if (needCow.nonEmpty) {
+      val b = maxCommittedId(fs, root) + 1
+      val shadowDir = new Path(root, ShadowRoot)
+      fs.mkdirs(shadowDir)
+      needCow.foreach { d =>
+        val tmp = new Path(shadowDir, s".tmp.event_date=$d")
+        writeSmallFile(fs, tmp, b.toString)
+        val marker = new Path(shadowDir, s"event_date=$d")
+        fs.delete(marker, false) // stale inert marker from a crashed attempt
+        require(fs.rename(tmp, marker), s"shadow marker rename failed for $d")
+      }
+      val dataCols = srcSnap.columns.filterNot(_ == "event_date").map(col)
+      appendBatch(spark, cloneDir,
+        srcSnap.filter(col("event_date").cast("string").isin(needCow: _*))
+          .select(dataCols.toIndexedSeq: _*),
+        tsCol, commitId = Some(b))
+    }
+    mergeIntoImpl(spark, cloneDir, upserts, keyCol, deletes, tsCol,
+      targetFileBytes, maxConcurrency = 8, fenceEpoch = None,
+      statsCols = Nil, recordChanges = false, faultInjector = _ => ())
+  }
+
   /** Per-restore outcome: the commit the restore landed at, the snapshot
     * it rolled back to, the leaves rewritten from snapshot content, and
     * the leaves retired wholesale (created entirely after the snapshot).
@@ -2029,6 +2192,7 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no lake at $lakeDir")
+    requireNotClone(fs, root, "restoreTo")
     val epoch = fenceEpoch.getOrElse(acquireWriterEpoch(fs, root))
     checkWriterFence(fs, root, epoch)
     recoverSweeps(fs, root)
@@ -2190,6 +2354,29 @@ object LakeSink {
       statsCols: Seq[String] = Nil,
       recordChanges: Boolean = false,
       faultInjector: String => Unit = _ => ()): MergeStats = {
+    // a direct merge on a shallow clone would match only LOCAL rows and
+    // silently insert duplicates of un-CoW'd source keys — [[cloneMerge]]
+    // is the clone's merge verb (CoW first, then this impl)
+    requireNotClone(new Path(lakeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(lakeDir), "mergeInto")
+    mergeIntoImpl(spark, lakeDir, upserts, keyCol, deletes, tsCol,
+      targetFileBytes, maxConcurrency, fenceEpoch, statsCols, recordChanges,
+      faultInjector)
+  }
+
+  private def mergeIntoImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      upserts: DataFrame,
+      keyCol: String,
+      deletes: DataFrame,
+      tsCol: String,
+      targetFileBytes: Long,
+      maxConcurrency: Int,
+      fenceEpoch: Option[Long],
+      statsCols: Seq[String],
+      recordChanges: Boolean,
+      faultInjector: String => Unit): MergeStats = {
     import org.apache.spark.sql.functions.{broadcast, lit}
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2482,6 +2669,7 @@ object LakeSink {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no lake at $lakeDir")
+    requireNotClone(fs, root, "purgeKeys")
     val epoch = fenceEpoch.getOrElse(acquireWriterEpoch(fs, root))
     checkWriterFence(fs, root, epoch)
     recoverSweeps(fs, root)

@@ -1032,6 +1032,85 @@ object ReplayHarness {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
   }
 
+  /** st50's harness: DOWNSTREAM RESYNC ACROSS A SOURCE RESTORE — the
+    * consumer half of f20's bad-deploy arc. A replica maintained by the
+    * ledger tail ([[LakeSink.tailCommits]] high-water-mark discipline)
+    * has already PROPAGATED a bad deploy's rows when the source rolls
+    * back ([[LakeSink.restoreTo]]); the tail then hits the restore's
+    * `#rewrite` marker and fails LOUDLY with the resync protocol in the
+    * message — which this harness executes: REBUILD the replica from the
+    * restored snapshot (`readAsOf(restoreCommit)`, the fresh-bootstrap
+    * the boundary error prescribes) as a new replica generation, swap the
+    * serving pointer (the e13 rebuild-and-swap pattern — downstream
+    * tables are cattle, their ledgers restart at 0), and resume tailing
+    * ABOVE the restore. A crash between the rebuild and the high-water
+    * advance re-applies the bootstrap verbatim — a claimed-id ledger
+    * no-op. At 100 TB the rebuild costs one snapshot scan of the SOURCE
+    * (not the history), the same price any new consumer pays to
+    * bootstrap; the alternative — a consumer silently tailing across a
+    * rollback — would serve the rolled-back rows forever.
+    */
+  def replayRestoreResync(
+      spark: SparkSession,
+      sfDir: String,
+      finish: DataFrame => DataFrame = identity): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val base = scratchDir("graft_resync_")
+    val src = base.resolve("source").toString
+    def replica(v: Int) = base.resolve(s"replica_v$v").toString
+    val sink = LakeSink
+    val dataCols = events.columns.toSeq.map(col)
+
+    // source: three good appends
+    (0 until 3).foreach { i =>
+      sink.appendBatch(spark, src,
+        events.filter(pmod(col("event_id"), lit(4)) === i), commitId = Some(i.toLong))
+    }
+    // replica v1 bootstraps, then dutifully propagates the BAD deploy
+    sink.appendBatch(spark, replica(1),
+      sink.tailCommits(spark, src, -1L, 2L).select(dataCols: _*),
+      commitId = Some(0L))
+    sink.appendBatch(spark, src,
+      events.filter(pmod(col("event_id"), lit(4)) === 3)
+        .withColumn("value", col("value") * 100.0)
+        .withColumn("event_type", lit("corrupted")),
+      commitId = Some(3L))
+    sink.appendBatch(spark, replica(1),
+      sink.tailCommits(spark, src, 2L, 3L).select(dataCols: _*),
+      commitId = Some(1L))
+    require(sink.readLake(spark, replica(1))
+      .filter(col("event_type") === "corrupted").count() > 0,
+      "fixture drift: the replica never saw the bad deploy")
+
+    // source rolls back and continues with the corrected batch
+    val rs = sink.restoreTo(spark, src, asOf = 2L)
+    require(rs.commitId == 4L, s"fixture drift: restore landed at $rs")
+    sink.appendBatch(spark, src,
+      events.filter(pmod(col("event_id"), lit(4)) === 3), commitId = Some(5L))
+
+    // the tail must refuse the rewrite boundary, not cross it silently
+    val boundary =
+      try { sink.tailCommits(spark, src, 3L, 4L); false }
+      catch { case e: IllegalStateException => e.getMessage.contains("REWRITE") }
+    require(boundary, "ledger tail crossed a restore commit silently")
+
+    // RESYNC: rebuild from the restored snapshot, swap, tail above it
+    val snap = sink.readAsOf(spark, src, 4L).select(dataCols: _*)
+    sink.appendBatch(spark, replica(2), snap, commitId = Some(0L))
+    // crash window: rebuild committed, high-water not advanced — the
+    // verbatim re-apply must be a ledger no-op
+    sink.appendBatch(spark, replica(2), snap, commitId = Some(0L))
+    sink.appendBatch(spark, replica(2),
+      sink.tailCommits(spark, src, 4L, 5L).select(dataCols: _*),
+      commitId = Some(1L))
+
+    val result = finish(sink.readLake(spark, replica(2)))
+    val rows = result.collect().toIndexedSeq
+    val schema = result.schema
+    cleanupScratch(base)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
   /** The engine-crash simulation shared by the lake replays: delete the
     * streaming checkpoint's LAST batch-commit record (offsets/<N> stays,
     * commits/<N> goes — exactly the on-disk state a hard kill between the

@@ -1717,6 +1717,28 @@ object StreamingQueries {
           sum(coalesce(col("valid_to_id"), lit(0L))).as("to_checksum")))
   }
 
+  /** st50: DOWNSTREAM RESYNC ACROSS A SOURCE RESTORE — the consumer half
+    * of f20's bad-deploy arc ([[ReplayHarness.replayRestoreResync]]): a
+    * ledger-tailed replica that has already propagated the bad rows hits
+    * the restore's `#rewrite` boundary LOUDLY, rebuilds from the restored
+    * snapshot (the protocol the boundary error prescribes), swaps
+    * generations, and resumes tailing above the restore — with the
+    * crash-window re-apply a claimed-id ledger no-op. The oracle is the
+    * plain events census: any residue of the corrupted batch in the
+    * final replica (a x100 value, a 'corrupted' type), a lost row from
+    * the rebuild, or a double-applied bootstrap shifts a cell.
+    */
+  val st50 = Q("st50_restore_resync_tail",
+    """SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayRestoreResync(s, dir,
+      finish = _.groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"),
+          sum(col("event_id")).as("id_checksum")))
+  }
+
   val st37 = Q("st37_stream_bronze_silver_gold",
     """WITH w AS (
       |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws, event_type,
@@ -1733,5 +1755,6 @@ object StreamingQueries {
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
-      st38, st39, st40, st41, st42, st43, st44, st45, st46, st47, st48, st49)
+      st38, st39, st40, st41, st42, st43, st44, st45, st46, st47, st48, st49,
+      st50)
 }
