@@ -525,6 +525,43 @@ case class HyperplaneBucketN(child: Expression, nPlanes: Int) extends UnaryExpre
     copy(child = newChild)
 }
 
+/** Magic-byte modality sniff shared by the `media_modality` SQL surface:
+  * the same signature checks [[graft.multimodal.MultimodalOps.MagicDecoder]]
+  * dispatches on (BMP 54-byte header floor, RIFF/WAVE 44-byte floor) —
+  * MultimodalFixtureSpec pins the two agreeing on every fixture payload,
+  * so the SQL predicate and the decode path cannot drift apart silently.
+  */
+object MediaKernel {
+  private def ascii(p: Array[Byte], off: Int, s: String): Boolean =
+    p.length >= off + s.length && s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+  def modality(p: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      if (p.length >= 54 && ascii(p, 0, "BM")) "image"
+      else if (p.length >= 44 && ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE")) "audio"
+      else "binary")
+}
+
+/** `media_modality(payload)`: the container modality of a binary column by
+  * REAL magic bytes, as a codegen'd scalar — the SQL-expressible face of
+  * the m-family's decode triage, so WRITE-TIME rules (the f19 expectations
+  * gate) can validate catalog claims against actual bytes without leaving
+  * whole-stage codegen.
+  */
+case class MediaModality(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    MediaKernel.modality(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p =>
+      s"${ev.value} = graft.functions.MediaKernel.modality($p);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extension registering the custom functions — the public Spark
   * plug-in point (`spark.sql.extensions` / `builder.withExtensions`), no
   * internal API access.
@@ -572,5 +609,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (exprs: Seq[Expression]) => Shingles3(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("media_modality"),
+      new ExpressionInfo(classOf[MediaModality].getName, "media_modality"),
+      (exprs: Seq[Expression]) => MediaModality(exprs.head)))
   }
 }

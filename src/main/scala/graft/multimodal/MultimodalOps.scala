@@ -535,5 +535,69 @@ object MultimodalOps {
         sum(col("n_frames")).as("total_frames"))
   }
 
-  val all: Seq[Q] = Seq(m1, m2, m3, m4, m5)
+  /** m6: MEDIA CATALOG GATE — catalog-claims-vs-actual-bytes validation at
+    * the lake write edge, composing the m-family's magic-byte triage with
+    * f19's expectations machinery: each arriving item carries its
+    * cataloged `modality` (what the upstream source CLAIMS the bytes are)
+    * and the write-time rule `media_modality(payload) = modality` checks
+    * the claim against real magic bytes via the codegen'd
+    * [[graft.functions.MediaModality]] expression — corrupt payloads
+    * (deliberately truncated media: headers below the 54/44-byte BMP/WAV
+    * floors) sniff as 'binary', fail the claim, and land in quarantine
+    * with the rule name. This is the ingest gate every media lake needs:
+    * a truncated image must neither kill the pipeline nor enter the
+    * training corpus as a "valid" item. In-query guards pin the gate
+    * EXACT (zero false positives, zero false negatives against the
+    * injected corruption), so a drifting sniffer fails the oracle row,
+    * not just a suite. Scale shape: the rule is one codegen'd projection
+    * per micro-batch; quarantine is O(rejects).
+    */
+  val m6 = Q(
+    "m6_media_catalog_gate",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
+      |    CASE WHEN doc_id % 3 < 2 AND doc_id % 7 = 0 THEN 'catalog_match' ELSE 'live' END AS disposition
+      |  FROM documents)
+      |SELECT disposition, modality, count(*) AS n, sum(doc_id)::BIGINT AS id_checksum
+      |FROM d GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val sink = graft.streaming.LakeSink
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_mediagate_")
+    val lakeDir = base.resolve("lake").toString
+    val corrupt = "doc_id % 3 < 2 AND doc_id % 7 = 0"
+    val rows = withPayloads(s, dir)
+      .withColumn("modality",
+        expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END"))
+      .withColumn("payload",
+        when(expr(corrupt), expr("substring(payload, 1, 20)"))
+          .otherwise(col("payload")))
+      .withColumn("ts",
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, CAST(doc_id % 10 AS INT))"))
+    (0 until 4).foreach { i =>
+      sink.appendWithExpectations(s, lakeDir,
+        rows.filter(pmod(col("doc_id"), lit(4)) === i),
+        Seq("catalog_match" -> "media_modality(payload) = modality"),
+        commitId = Some(i.toLong))
+    }
+    val live = sink.readLake(s, lakeDir)
+    val quarantined = sink.readQuarantine(s, lakeDir)
+    // the gate must be EXACT against the injected corruption — a drifting
+    // sniffer fails here, making the oracle row a true gate on the decoder
+    require(quarantined.filter(!expr(corrupt)).isEmpty,
+      "catalog gate false positive: a clean payload was quarantined")
+    require(live.filter(expr(corrupt)).isEmpty,
+      "catalog gate false negative: a corrupt payload went live")
+    val liveC = live
+      .groupBy(lit("live").as("disposition"), col("modality"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+    val qC = quarantined
+      .groupBy(col("_violations").as("disposition"), col("modality"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+    val out = liveC.unionByName(qC)
+    val collected = out.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(collected), out.schema)
+  }
+
+  val all: Seq[Q] = Seq(m1, m2, m3, m4, m5, m6)
 }

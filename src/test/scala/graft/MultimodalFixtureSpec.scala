@@ -21,6 +21,26 @@ import graft.multimodal.MultimodalOps.{MagicDecoder, MediaContainers, Thumbnaile
 class MultimodalFixtureSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSpark.spark
 
+  test("media_modality kernel agrees with MagicDecoder on every fixture payload") {
+    import spark.implicits._
+    // the SQL-facing sniff (functions.MediaKernel, behind media_modality)
+    // and the decode path must never drift — m6's gate answers from the
+    // former, m1/m3/m4 from the latter. Also covered: the truncated-media
+    // shapes m6 injects (sub-floor headers must sniff 'binary' in BOTH).
+    val disagreements = graft.multimodal.MultimodalOps.withPayloads(spark, GraftTestSpark.sf)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val variants = Seq(p, p.take(20), p.take(45))
+        variants.flatMap { v =>
+          val sql = graft.functions.MediaKernel.modality(v).toString
+          val dec = MagicDecoder.decode(id, v).modality
+          if (sql != dec) Some((id, v.length, sql, dec)) else None
+        }
+      }
+      .collect()
+    assert(disagreements.isEmpty, disagreements.take(5).mkString(", "))
+  }
+
   test("no bare-bytes fixture payload collides with a BMP/WAV magic signature") {
     import spark.implicits._
     val collisions = graft.multimodal.MultimodalOps.withPayloads(spark, GraftTestSpark.sf)
