@@ -112,7 +112,23 @@ object ClusterOps {
       graft.core.Checkpoints.release(frontier)
       frontier = next
       val done = next.filter(col("improved")).isEmpty
-      comp = next.select(col("node"), col("comp"))
+      // STATS TRUNCATION at the round boundary — localCheckpoint truncates
+      // EXECUTION lineage but INHERITS the checkpointed plan's sizeInBytes
+      // estimate (originalStats), and this loop's two joins then multiply
+      // the previous round's estimate into the next one's: the BigInt
+      // QUADRUPLES in digit count per executed round, and past ~12 rounds
+      // Catalyst's stats visitor spends minutes per round multiplying
+      // million-digit integers (found live: the c6 graph at one fixture SF
+      // converges in more rounds than at another, and the extra rounds hit
+      // this wall — the suite froze while the job itself was idle). The
+      // public-API reset is an RDD boundary: createDataFrame over the
+      // checkpointed rows drops originalStats, so the next round's
+      // estimate restarts from defaultSizeInBytes — constant-size stats
+      // per round forever, at the cost of one row-encode pass per read of
+      // the frontier (proportional to the checkpoint write itself; the
+      // intermediate prop/next frames inherit only this bounded base).
+      comp = next.sparkSession.createDataFrame(next.rdd, next.schema)
+        .select(col("node"), col("comp"))
       round += 1
       System.err.println(s"[cluster] hash-min round $round done=$done")
       if (done) {
@@ -492,5 +508,51 @@ object ClusterOps {
   def semdedupCensus(embs: DataFrame, k: Int = KMeansK): DataFrame =
     semdedupCensusFrom(kmeansAssign(embs, k), embs)
 
-  val all: Seq[Q] = Seq(c1, c2, c3, c4, c5)
+  /** c6: MUTUAL-kNN CLUSTERS over the embedding corpus — s4's distributed
+    * k-NN graph composed with c1's O(log d) connected components: an edge
+    * exists iff BOTH endpoints rank each other in their top-3 (the
+    * mutuality filter is the standard density gate — one-directional
+    * edges chain dissimilar regions through hubs; mutual edges require
+    * agreement), then min-label components over the mutual graph and a
+    * per-cluster census. This is the curation shape between pairwise
+    * near-dup (d-family) and centroid clustering (c3): clusters emerge
+    * from local neighborhood agreement, no k chosen up front. Scale: the
+    * kNN graph is s4's cell-shuffle build (never all-pairs), the
+    * mutuality filter is a self-join of the 3N-row edge list on the
+    * reversed key (checkpointed once, joined once), components are the
+    * pointer-jumping loop — every stage corpus-shuffled, nothing
+    * broadcast but centroids.
+    */
+  val c6 = Q(
+    "c6_mutual_knn_clusters",
+    s"""WITH RECURSIVE ${graft.operators.SimilarityOps.duckKnnJoinCtes},
+       |mutual AS (
+       |  SELECT k1.qid AS a, k1.neighbor AS b
+       |  FROM knn k1 JOIN knn k2
+       |    ON k2.qid = k1.neighbor AND k2.neighbor = k1.qid
+       |  WHERE k1.qid < k1.neighbor),
+       |medges AS (SELECT a AS u, b AS v FROM mutual UNION SELECT b, a FROM mutual),
+       |walk(node, comp) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM medges) n
+       |  UNION
+       |  SELECT m.v, w.comp FROM walk w JOIN medges m ON m.u = w.node),
+       |comps AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+       |SELECT component, count(*) AS n_members, sum(node)::BIGINT AS id_checksum
+       |FROM comps GROUP BY 1""".stripMargin) { (s, dir) =>
+    val knn = graft.operators.SimilarityOps
+      .knnJoin(graft.core.Tables.load(s, dir, "embeddings"))
+      .select(col("qid"), col("neighbor"))
+      .localCheckpoint() // the IVF pipeline runs ONCE; the self-join reads blocks
+    val mutual = knn.as("x")
+      .join(knn.as("y"),
+        col("x.qid") === col("y.neighbor") && col("x.neighbor") === col("y.qid"))
+      .filter(col("x.qid") < col("x.neighbor"))
+      .select(col("x.qid").as("a"), col("x.neighbor").as("b"))
+    val comps = connectedComponents(mutual)
+    graft.core.Checkpoints.release(knn)
+    comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), sum(col("doc_id")).as("id_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(c1, c2, c3, c4, c5, c6)
 }

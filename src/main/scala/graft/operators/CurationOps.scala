@@ -341,5 +341,43 @@ object CurationOps {
       row_number().over(w).cast("long").as("pos"))
   }
 
-  val all: Seq[Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8)
+  /** p9: GROUP-AWARE train/test split — rows follow their GROUP's hash
+    * (here: every event goes where its USER goes, 80/20 by the portable
+    * md5 hash of user_id), the leakage-prevention discipline: a row-level
+    * split (p2/p3's shape) would put one user's events on both sides of
+    * the boundary, and any model that memorizes user behavior then grades
+    * itself on training data. The in-query guard pins the invariant
+    * DIRECTLY — zero users straddle — so a refactor back to row hashing
+    * fails the row, not a code review. Census per side (rows, distinct
+    * users, id checksum) makes the exact membership oracle-checked.
+    *
+    * Scale shape: the split is a pure map stage (hash of the group key
+    * rides each row — no join against a group table, no shuffle); the
+    * guard is one aggregate. At 100 TB the same predicate pushes into
+    * every downstream scan unchanged.
+    */
+  val p9 = Q(
+    "p9_group_split",
+    s"""WITH t AS (
+       |  SELECT *, CASE WHEN ${graft.core.PortableHash.duck("user_id::VARCHAR")} % 10 < 8
+       |    THEN 'train' ELSE 'test' END AS split
+       |  FROM events)
+       |SELECT split, count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+       |  sum(event_id)::BIGINT AS id_checksum
+       |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
+    val t = Tables.load(s, dir, "events")
+      .withColumn("split",
+        when(expr(graft.core.PortableHash.spark("CAST(user_id AS STRING)") + " % 10") < 8,
+          "train").otherwise("test"))
+    require(t.groupBy(col("user_id"))
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).isEmpty,
+      "group split leaked: a user appears on both sides of the boundary")
+    t.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("id_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(p1, p2, p3, p4, p5, p6, p7, p8, p9)
 }

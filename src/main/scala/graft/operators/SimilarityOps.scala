@@ -280,9 +280,12 @@ object SimilarityOps {
     * (deterministic every-100th centroids, 2-cell probe, exact re-rank),
     * so the DuckDB oracle replays it bit-for-bit.
     */
-  val s4 = Q(
-    "s4_knn_join_ivf",
-    s"""WITH e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+  /** The s4 oracle chain as a reusable CTE list ending in `knn`
+    * (qid, neighbor, cosine, rnk <= 3) — c6 composes components on top of
+    * it, so oracle and engine agree on the exact same graph.
+    */
+  private[operators] val duckKnnJoinCtes: String =
+    s"""e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
        |cents AS (SELECT vec_id AS cid, embedding, nrm FROM e WHERE vec_id % 100 = 0),
        |ranked AS (
        |  SELECT e.vec_id, cents.cid,
@@ -300,11 +303,17 @@ object SimilarityOps {
        |  SELECT c.qid, c.neighbor, $duckDot / (q.nrm * e.nrm) AS cos
        |  FROM cand c
        |  JOIN e q ON q.vec_id = c.qid
-       |  JOIN e   ON e.vec_id = c.neighbor)
-       |SELECT qid, neighbor, round(cos, 4) AS cosine, rnk FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, neighbor) AS rnk
-       |  FROM scored) t
-       |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+       |  JOIN e   ON e.vec_id = c.neighbor),
+       |knn AS (
+       |  SELECT qid, neighbor, round(cos, 4) AS cosine, rnk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, neighbor) AS rnk
+       |    FROM scored) t
+       |  WHERE rnk <= 3)""".stripMargin
+
+  val s4 = Q(
+    "s4_knn_join_ivf",
+    s"""WITH $duckKnnJoinCtes
+       |SELECT qid, neighbor, cosine, rnk FROM knn""".stripMargin) { (s, dir) =>
     knnJoin(Tables.load(s, dir, "embeddings"))
   }
 
