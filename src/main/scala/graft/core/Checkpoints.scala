@@ -20,6 +20,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   * (eager localCheckpoint — the default — guarantees that by the time the
   * call returns), because the new checkpoint's lineage was computed FROM
   * the old one's blocks.
+  *
+  * RELATED HAZARD for loops that JOIN their checkpointed frontier with
+  * itself: localCheckpoint truncates execution lineage but the resulting
+  * LogicalRDD INHERITS the checkpointed plan's sizeInBytes estimate
+  * (originalStats), so a loop with two frontier joins per round grows the
+  * estimate's BigInt digit count geometrically — past ~12 executed rounds
+  * Catalyst's stats visitor grinds minutes per round on million-digit
+  * multiplications while the cluster sits idle. Reset at the round
+  * boundary with an RDD boundary (`createDataFrame(df.rdd, df.schema)` —
+  * drops originalStats, estimate restarts from defaultSizeInBytes); see
+  * ClusterOps.connectedComponents for the worked fix. Loops whose rounds
+  * join the frontier with CONSTANT-stats frames only (bpeTrain,
+  * mmrRerank) grow linearly and do not need it.
   */
 object Checkpoints {
 
