@@ -378,6 +378,26 @@ object LakeSink {
     */
   private[streaming] val MarkerDv = "#dv"
 
+  /** First line of a clone COPY-ON-WRITE commit's marker: the commit is
+    * the snapshot-slice materialization that makes [[cloneMerge]]'s shadow
+    * markers effective. The tag is what TIES shadow-marker validity to
+    * this specific commit — a crashed cloneMerge's stale shadow markers
+    * reference an id that a later PLAIN append may claim, and without the
+    * tag that unrelated commit would activate the markers with no CoW
+    * content behind them (clone reads would silently drop every source
+    * row for the shadowed dates).
+    */
+  private[streaming] val MarkerCow = "#cow"
+
+  /** First line of an [[appendWithExpectations]] commit's marker: the
+    * commit's `_graft_quarantine/b<id>` rejects went through the gate.
+    * [[readQuarantine]] serves ONLY tagged commits' quarantine dirs — an
+    * orphaned quarantine write (crash between the quarantine write and
+    * the live append) whose id is later claimed by a different verb must
+    * not surface as committed rejects of a batch that never gated.
+    */
+  private[streaming] val MarkerExpect = "#expect"
+
   private def writeCommitMarker(
       fs: org.apache.hadoop.fs.FileSystem, marker: Path, batchId: Long,
       leaves: Seq[String], markerTag: Option[String] = None): Unit = {
@@ -419,6 +439,15 @@ object LakeSink {
   private def isDvMarker(
       fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
     readSmallFile(fs, p).split('\n').headOption.contains(MarkerDv)
+
+  /** The commit marker's first-line tag, if any — readable even off most
+    * torn markers (the tag is written first; [[MarkerEnd]] alone means an
+    * untagged empty-leaf-list marker, not a tag).
+    */
+  private def markerTagOf(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] =
+    readSmallFile(fs, p).split('\n').headOption
+      .filter(l => l.startsWith("#") && l != MarkerEnd)
 
   private def writeSmallFile(
       fs: org.apache.hadoop.fs.FileSystem, p: Path, content: String): Unit = {
@@ -789,14 +818,34 @@ object LakeSink {
       })
     }
     val histRoot = new Path(root, HistoryRoot)
+    // read-only remnant resolution (see scaladoc): a leaf name can be live
+    // under the root, mid-swap in _compact_tmp, or aside in _compact_old —
+    // the union is the leaf namespace; the live copy always wins (a tmp or
+    // old child whose target exists is a stale orphan for the next sweep's
+    // healing, not for this reader)
+    def childLeafNames(dir: Path): Seq[String] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath.getName)
+    // ONE listing per history generation, answered from memory after —
+    // retainedGens/fromHistory per-leaf fs.exists probes were
+    // O(leaves x generations) metadata RPCs per snapshot read, expensive
+    // on object stores for lakes with long restore/compaction history
+    val genLeaves: Map[Long, Set[String]] =
+      if (!fs.exists(histRoot)) Map.empty
+      else fs.listStatus(histRoot).toSeq
+        .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
+        .map(g => g.getPath.getName.toLong -> childLeafNames(g.getPath).toSet)
+        .toMap
+    // generations that retain this leaf beyond asOf, if any — empty both
+    // when the leaf was never swept and when it exists only at or before
+    // asOf-era history
+    def retainedGens(leafName: String): Seq[Long] =
+      genLeaves.keys.toSeq.filter(b => b > asOf && genLeaves(b)(leafName))
     def fromHistory(leafName: String): Seq[(String, String)] = {
       // resolve from history: smallest stored horizon > asOf for THIS leaf
-      val gens =
-        if (!fs.exists(histRoot)) Seq.empty
-        else fs.listStatus(histRoot).toSeq
-          .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
-          .map(_.getPath.getName.toLong)
-          .filter(b => b > asOf && fs.exists(new Path(new Path(histRoot, b.toString), leafName)))
+      val gens = retainedGens(leafName)
       if (gens.isEmpty) throw new IllegalStateException(
         s"time travel to batch $asOf is lost for $leafName: the " +
           "compaction that rewrote it has no retained pre-sweep " +
@@ -812,16 +861,6 @@ object LakeSink {
             "could serve this snapshot has been vacuumed")
       }
     }
-    // read-only remnant resolution (see scaladoc): a leaf name can be live
-    // under the root, mid-swap in _compact_tmp, or aside in _compact_old —
-    // the union is the leaf namespace; the live copy always wins (a tmp or
-    // old child whose target exists is a stale orphan for the next sweep's
-    // healing, not for this reader)
-    def childLeafNames(dir: Path): Seq[String] =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .map(_.getPath.getName)
     // each served file is tagged with its MOUNT (the directory holding the
     // `event_date=` leaf — the root, a history generation, or a mid-swap
     // staging dir): partition discovery needs one consistent depth per
@@ -832,15 +871,6 @@ object LakeSink {
     // directory depths)
     def tagged(dir: Path, tag: String, leafName: String): Either[Long, Seq[(String, String)]] =
       serveDir(dir, tag).map(_.map(f => dir.getParent.toString -> f))
-    // generations that retain this leaf beyond asOf, if any — empty both
-    // when the leaf was never swept and when it exists only at or before
-    // asOf-era history
-    def retainedGens(leafName: String): Seq[Long] =
-      if (!fs.exists(histRoot)) Seq.empty
-      else fs.listStatus(histRoot).toSeq
-        .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
-        .map(_.getPath.getName.toLong)
-        .filter(b => b > asOf && fs.exists(new Path(new Path(histRoot, b.toString), leafName)))
     def serveLeaf(leafName: String): Seq[(String, String)] = {
       def hist = fromHistory(leafName)
       val candidates = Seq(
@@ -862,11 +892,7 @@ object LakeSink {
     // leaf namespace: live, mid-swap, aside, AND history-resident — a
     // restore retires a born-after-snapshot leaf wholesale into its
     // generation, where pre-restore snapshots must still find it
-    val histLeafNames: Seq[String] =
-      if (!fs.exists(histRoot)) Seq.empty
-      else fs.listStatus(histRoot).toSeq
-        .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
-        .flatMap(g => childLeafNames(g.getPath))
+    val histLeafNames: Seq[String] = genLeaves.values.flatten.toSeq
     val files = (childLeafNames(root) ++
         childLeafNames(new Path(root, "_compact_tmp")) ++
         childLeafNames(new Path(root, OldRoot)) ++ histLeafNames)
@@ -1700,8 +1726,19 @@ object LakeSink {
     fs.mkdirs(hist.getParent)
     if (fs.exists(hist)) {
       fs.delete(leaf, true)
-    } else require(fs.rename(leaf, hist),
-      s"rewrite swap failed renaming $leaf into history")
+    } else if (fs.exists(leaf)) {
+      require(fs.rename(leaf, hist),
+        s"rewrite swap failed renaming $leaf into history")
+    } else {
+      // no live copy to retire — a restore RESURRECTING a leaf a prior
+      // restore retired into history. The EMPTY generation dir records
+      // that the leaf was absent from the live view just before this
+      // commit: snapshots between the retire and the resurrection resolve
+      // here (Right(Nil) — zero files) instead of erroring as
+      // vacuumed-history, while older snapshots keep serving from the
+      // deeper generation that holds the pre-retire content.
+      fs.mkdirs(hist)
+    }
     require(fs.rename(tmp, leaf), s"rewrite swap failed for $leaf")
   }
 
@@ -1858,7 +1895,8 @@ object LakeSink {
       tsCol: String = "ts",
       commitId: Option[Long] = None,
       statsCols: Seq[String] = Nil,
-      fenceEpoch: Option[Long] = None): Long = {
+      fenceEpoch: Option[Long] = None,
+      markerTag: Option[String] = None): Long = {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
@@ -1904,7 +1942,7 @@ object LakeSink {
       }, statsCols)
     checkWriterFence(fs, root, epoch)
     writeCommitMarker(fs, new Path(new Path(root, "_graft_commits"), b.toString),
-      b, committed)
+      b, committed, markerTag)
     fs.delete(staging, true)
     b
   }
@@ -1975,15 +2013,18 @@ object LakeSink {
     checkWriterFence(fs, root, epoch)
     appendBatch(spark, lakeDir,
       flagged.filter(col("_violations") === "").drop("_violations"),
-      tsCol, Some(b), Nil, Some(epoch))
+      tsCol, Some(b), Nil, Some(epoch), markerTag = Some(MarkerExpect))
   }
 
   /** The quarantine as a relation: every violating row ever gated by
     * [[appendWithExpectations]], with `_violations` and `_commit_id`.
-    * Rows of a batch whose marker never landed (crash before commit) are
-    * filtered out by the ledger head — the quarantine shows exactly the
-    * committed batches' rejects. Retention is the caller's policy (the
-    * dirs are outside data discovery; vacuum does not touch them).
+    * A quarantine dir serves iff its commit's marker carries the
+    * [[MarkerExpect]] tag — that both drops batches whose marker never
+    * landed (crash before commit) AND keeps an orphaned quarantine write
+    * invisible when its id is later claimed by a DIFFERENT verb (a plain
+    * append at that id must not surface rejects of a batch that never
+    * went through the gate). Retention is the caller's policy (the dirs
+    * are outside data discovery; vacuum does not touch them).
     */
   def readQuarantine(
       spark: org.apache.spark.sql.SparkSession, lakeDir: String): DataFrame = {
@@ -1991,8 +2032,17 @@ object LakeSink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val q = new Path(root, QuarantineRoot)
     require(fs.exists(q), s"no quarantine under $lakeDir")
+    val ledger = new Path(root, "_graft_commits")
+    val gated: Seq[Long] = fs.listStatus(q).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+      .map(_.getPath.getName.stripPrefix("b"))
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+      .filter { id =>
+        val m = new Path(ledger, id.toString)
+        fs.exists(m) && markerTagOf(fs, m).contains(MarkerExpect)
+      }
     spark.read.option("recursiveFileLookup", "true").parquet(q.toString)
-      .filter(col("_commit_id") <= maxCommittedId(fs, root))
+      .filter(col("_commit_id").isin(gated: _*))
   }
 
   private val CloneFile = "_graft_clone"
@@ -2019,22 +2069,30 @@ object LakeSink {
         "verb on the source")
 
   /** Leaf names whose shadow marker is EFFECTIVE: the marker exists AND
-    * the CoW commit it references is in the clone's local ledger — a
-    * crash between marker and materialization leaves the marker inert
-    * (the leaf keeps serving from the source) until the retry lands the
-    * claimed commit.
+    * the commit it references is in the clone's local ledger AND that
+    * commit is [[MarkerCow]]-tagged — i.e. it is the CoW materialization
+    * itself, not an unrelated commit that happened to claim the same id.
+    * A crash between marker and materialization leaves the marker inert
+    * (the leaf keeps serving from the source); a plain clone-local append
+    * that then claims the referenced id leaves it inert TOO (its marker
+    * is untagged), so clone reads can never drop source rows behind a
+    * shadow with no CoW content. Only the cloneMerge retry — whose CoW
+    * commit rewrites the shadow markers to its own tagged id — activates
+    * them.
     */
   private def shadowedLeaves(
       fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] = {
     val dir = new Path(root, ShadowRoot)
     if (!fs.exists(dir)) Set.empty
     else {
-      val head = maxCommittedId(fs, root)
+      val ledger = new Path(root, "_graft_commits")
       fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { m =>
         val content = readSmallFile(fs, m.getPath).trim
-        if (content.nonEmpty && content.forall(_.isDigit) && content.toLong <= head)
-          Some(m.getPath.getName)
-        else None
+        val cowCommitted = content.nonEmpty && content.forall(_.isDigit) && {
+          val marker = new Path(ledger, content)
+          fs.exists(marker) && markerTagOf(fs, marker).contains(MarkerCow)
+        }
+        if (cowCommitted) Some(m.getPath.getName) else None
       }.toSet
     }
   }
@@ -2123,7 +2181,7 @@ object LakeSink {
       appendBatch(spark, cloneDir,
         srcSnap.filter(col("event_date").cast("string").isin(needCow: _*))
           .select(dataCols.toIndexedSeq: _*),
-        tsCol, commitId = Some(b))
+        tsCol, commitId = Some(b), markerTag = Some(MarkerCow))
     }
     mergeIntoImpl(spark, cloneDir, upserts, keyCol, deletes, tsCol,
       targetFileBytes, maxConcurrency = 8, fenceEpoch = None,
@@ -2138,7 +2196,8 @@ object LakeSink {
       commitId: Long,
       asOf: Long,
       rewrittenLeaves: Seq[String],
-      retiredLeaves: Seq[String])
+      retiredLeaves: Seq[String],
+      resurrectedLeaves: Seq[String] = Nil)
 
   /** RESTORE — roll the live table back to snapshot `asOf` AS A NEW
     * COMMIT (Delta `RESTORE TABLE ... TO VERSION AS OF`): the live view
@@ -2236,7 +2295,23 @@ object LakeSink {
           lineageOf(f.getPath.getName) > asOf
       }
     }
-    if (changed.isEmpty) {
+    // leaves retired into _graft_history by a PRIOR restore are not live,
+    // but the snapshot at asOf may still hold their rows — e.g. undoing a
+    // restore (restoreTo(5) after an earlier restoreTo(2) retired a leaf
+    // born in (2, 5]). readAsOf serves them from their generation
+    // (histLeafNames); the restored LIVE view must RESURRECT them, or it
+    // silently diverges from readAsOf(asOf). Which of them have content at
+    // asOf is decided by the staging write below.
+    val hRoot = new Path(root, HistoryRoot)
+    val histOnly: Seq[String] =
+      (if (!fs.exists(hRoot)) Seq.empty[String]
+       else fs.listStatus(hRoot).toSeq
+         .filter(g => g.isDirectory && g.getPath.getName.forall(_.isDigit))
+         .flatMap(g => fs.listStatus(g.getPath).toSeq
+           .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+           .map(_.getPath.getName)))
+        .distinct.filterNot(liveLeaves.contains).sorted
+    if (changed.isEmpty && histOnly.isEmpty) {
       // nothing moved since asOf (pure no-op commits in between) — still a
       // commit, so readAsOf(M) is well-defined and the caller's version
       // arithmetic holds
@@ -2245,10 +2320,11 @@ object LakeSink {
       return RestoreStats(m, asOf, Nil, Nil)
     }
 
-    // ONE job stages the snapshot slice of every changed leaf; the snapshot
-    // listing runs against the untouched table (no rename has happened yet)
+    // ONE job stages the snapshot slice of every changed or resurrectable
+    // leaf; the snapshot listing runs against the untouched table (no
+    // rename has happened yet)
     val snap = readAsOf(spark, lakeDir, asOf)
-    val changedDates = changed.map(_.stripPrefix("event_date="))
+    val changedDates = (changed ++ histOnly).map(_.stripPrefix("event_date="))
     val stage = new Path(root, "_restore_stage")
     fs.delete(stage, true) // crashed attempt's leftovers
     snap.filter(col("event_date").cast("string").isin(changedDates: _*))
@@ -2262,9 +2338,18 @@ object LakeSink {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
       .map(_.getPath.getName).toSet
     val (rewritten, retired) = changed.partition(staged.contains)
+    // history-resident leaves with snapshot content: re-materialize live
+    // (those without stay retired — they legitimately had no rows at asOf)
+    val resurrected = histOnly.filter(staged.contains)
+    if (rewritten.isEmpty && retired.isEmpty && resurrected.isEmpty) {
+      fs.delete(stage, true)
+      writeCommitMarker(fs, new Path(new Path(root, "_graft_commits"), m.toString),
+        m, Nil, Some(MarkerRewrite))
+      return RestoreStats(m, asOf, Nil, Nil)
+    }
     val tmpRoot = new Path(root, "_compact_tmp")
     fs.mkdirs(tmpRoot)
-    rewritten.foreach { l =>
+    (rewritten ++ resurrected).foreach { l =>
       val tmp = new Path(tmpRoot, l)
       fs.delete(tmp, true)
       require(fs.rename(new Path(stage, l), tmp),
@@ -2288,8 +2373,8 @@ object LakeSink {
     faultInjector("pre-marker")
     checkWriterFence(fs, root, epoch)
     writeCommitMarker(fs, new Path(new Path(root, "_graft_commits"), m.toString),
-      m, (rewritten ++ retired).sorted, Some(MarkerRewrite))
-    RestoreStats(m, asOf, rewritten, retired)
+      m, (rewritten ++ retired ++ resurrected).sorted, Some(MarkerRewrite))
+    RestoreStats(m, asOf, rewritten, retired, resurrected)
   }
 
   /** Per-merge outcome: the allocated commit id, the leaves rewritten
@@ -2599,7 +2684,16 @@ object LakeSink {
       System.err.println(s"[lake] merge committed as $b: " +
         s"${rewritten.size} leaves rewritten, ${appended.size} appended")
       MergeStats(b, rewritten, appended)
-    } finally allKeys.unpersist()
+    } finally {
+      allKeys.unpersist()
+      // the eager localCheckpoints pinned the source's content for
+      // snapshot isolation; their blocks are dead once the commit marker
+      // (or the failure) is decided — release them explicitly, or
+      // repeated merges accumulate executor storage until a JVM GC
+      // happens to collect the RDDs (Checkpoints scaladoc)
+      graft.core.Checkpoints.release(srcUpserts)
+      graft.core.Checkpoints.release(srcDeletes)
+    }
   }
 
   /** Per-purge outcome: the allocated commit id, the live leaves rewritten,

@@ -86,13 +86,27 @@ class LakeCloneSpec extends AnyFunSuite {
     out.write("0".getBytes("UTF-8")); out.close()
     // commit 0 does not exist locally -> the marker is inert, rows serve
     assert(ids(LakeSink.readLake(spark, cln)) == Set(1L, 2L, 3L, 5L, 6L, 7L))
-    // the retry lands the claimed commit -> the marker becomes effective
+    // a PLAIN local append claims the referenced id: its marker is NOT
+    // #cow-tagged, so the stale shadow must stay inert — the crash-window
+    // that would otherwise silently drop every source row for the date
     assert(LakeSink.appendBatch(spark, cln,
-      Seq(ev(1, 1, "cowed", 1.0), ev(2, 1, "cowed", 2.0),
-        ev(3, 1, "cowed", 3.0)).toDF(), commitId = Some(0L)) == 0L)
+      Seq(ev(20, 1, "local", 20.0)).toDF(), commitId = Some(0L)) == 0L)
     val got = LakeSink.readLake(spark, cln)
-    assert(ids(got) == Set(1L, 2L, 3L, 5L, 6L, 7L))
-    assert(got.filter(col("event_type") === "cowed").count() == 3L)
+    assert(ids(got) == Set(1L, 2L, 3L, 5L, 6L, 7L, 20L),
+      "stale shadow marker activated by an unrelated commit")
+    assert(got.filter(col("event_id") === 1L).count() == 1L)
+    // the real cloneMerge retry rewrites the markers to ITS tagged CoW
+    // commit — only then do they become effective
+    val stats = LakeSink.cloneMerge(spark, cln,
+      Seq(ev(1, 1, "edited", 100.0)).toDF(), "event_id",
+      Seq(ev(3, 1, "click", 3.0)).toDF().select("event_id", "ts"))
+    assert(stats.rewrittenLeaves == Seq("event_date=2024-03-01"))
+    val after = LakeSink.readLake(spark, cln)
+    assert(ids(after) == Set(1L, 2L, 5L, 6L, 7L, 20L))
+    assert(after.filter(col("event_id") === 1L).select("event_type")
+      .head.getString(0) == "edited")
+    // the shadowed leaf serves from the clone ONLY: no double-serving
+    assert(after.filter(col("event_id") === 2L).count() == 1L)
   }
 
   test("unsupported verbs fail loudly on a clone") {

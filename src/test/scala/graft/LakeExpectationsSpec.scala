@@ -84,4 +84,32 @@ class LakeExpectationsSpec extends AnyFunSuite {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(visible == Set(2L), "uncommitted quarantine rows leaked")
   }
+
+  test("orphaned quarantine stays invisible when its id is claimed by a plain append") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_expect_orphan") + "/t"
+    val rules = Seq("value_cap" -> "value <= 300")
+    assert(LakeSink.appendWithExpectations(spark, lake,
+      Seq(ev(1, "click", 1.0), ev(2, "view", 400.0)).toDF(), rules) == 0L)
+    // crash window: a gated batch wrote its quarantine for commit 1, then
+    // died before the live append — the quarantine dir is an orphan
+    Seq(ev(9, "view", 999.0)).toDF()
+      .withColumn("_violations", lit("value_cap"))
+      .withColumn("_commit_id", lit(1L))
+      .write.mode("overwrite")
+      .parquet(s"$lake/_graft_quarantine/b1")
+    // a DIFFERENT verb claims commit 1 (plain append, no gate): the
+    // orphan's id is now committed, but its marker carries no #expect tag
+    assert(LakeSink.appendBatch(spark, lake,
+      Seq(ev(3, "view", 3.0)).toDF()) == 1L)
+    val visible = LakeSink.readQuarantine(spark, lake)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(visible == Set(2L),
+      "orphaned quarantine rows surfaced as rejects of an ungated commit")
+    // a later GATED commit still surfaces normally
+    assert(LakeSink.appendWithExpectations(spark, lake,
+      Seq(ev(4, "view", 4.0), ev(5, "view", 500.0)).toDF(), rules) == 2L)
+    assert(LakeSink.readQuarantine(spark, lake)
+      .select("event_id").collect().map(_.getLong(0)).toSet == Set(2L, 5L))
+  }
 }

@@ -108,6 +108,35 @@ class LakeRestoreSpec extends AnyFunSuite {
     assert(ids(LakeSink.readAsOf(spark, lake, 3L)) == (1L to 12L).toSet)
   }
 
+  test("restore-after-restore resurrects a leaf the prior restore retired") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_restore_undo") + "/t"
+    layDown(lake)
+    // commit 2: a backfill onto a brand-new date leaf
+    assert(LakeSink.appendBatch(spark, lake,
+      Seq(ev(50, 9, "backfill", 50.0)).toDF()) == 2L)
+    // commit 3: roll back past the backfill — day 9 retires into history
+    val first = LakeSink.restoreTo(spark, lake, asOf = 1L)
+    assert(first.retiredLeaves == Seq("event_date=2024-03-09"))
+    assert(ids(LakeSink.readLake(spark, lake)) == (1L to 12L).toSet)
+    // commit 4: UNDO the restore — asOf=2 covers the retired leaf, which
+    // only exists in _graft_history now; the live view must resurrect it
+    val undo = LakeSink.restoreTo(spark, lake, asOf = 2L)
+    assert(undo.commitId == 4L)
+    assert(undo.rewrittenLeaves.isEmpty && undo.retiredLeaves.isEmpty)
+    assert(undo.resurrectedLeaves == Seq("event_date=2024-03-09"))
+    assert(ids(LakeSink.readLake(spark, lake)) == (1L to 12L).toSet + 50L,
+      "live view diverged from readAsOf(2): the retired leaf was not resurrected")
+    // every era still time-travels
+    assert(ids(LakeSink.readAsOf(spark, lake, 2L)) == (1L to 12L).toSet + 50L)
+    assert(ids(LakeSink.readAsOf(spark, lake, 3L)) == (1L to 12L).toSet)
+    assert(ids(LakeSink.readAsOf(spark, lake, 4L)) == (1L to 12L).toSet + 50L)
+    // ingestion continues on the undone timeline
+    assert(LakeSink.appendBatch(spark, lake,
+      Seq(ev(13, 1, "click", 13.0)).toDF()) == 5L)
+    assert(ids(LakeSink.readLake(spark, lake)) == (1L to 13L).toSet + 50L)
+  }
+
   test("restore converges through a crash at every injection point") {
     import spark.implicits._
     val points = Seq("staged", "swapped:event_date=2024-03-01",
