@@ -722,27 +722,28 @@ object ScaleProbe {
         out
     }
 
-    // knn-join rung: s4's candidate-cost law, measured honestly. Three
-    // facts priced per corpus size (candidate totals come from the
-    // per-cell census — two tiny aggregates + a k1-row join — so the
-    // failure geometry is demonstrated without paying its join):
-    //   1. STRIDE centroids (k1 = N/100, s4's shape): per-query
-    //      candidates hold at ~2x100 while cells stay uniform (measured
-    //      201/208 at 1x/4x); the 16x corpus BREAKS uniformity — the
-    //      ladder's copies are near-duplicates, so 16 near-identical
-    //      centroids split mass unevenly — and candidates inflate with
-    //      the skew (816/query). That is the rung's real lesson: the
-    //      knn-join cost is Sigma_c |P_c||M_c| and SKEW, not just cell
-    //      count, sets the constant — the s4 scaladoc's salting/split
-    //      lever is not optional on clustered corpora (every dedup
-    //      corpus is one). max/mean cell population rides the output.
-    //   2. FIXED cell count: per-cell population grows with N and the
-    //      candidate total goes quadratic — the geometry that must not
-    //      ship.
-    //   3. The timed join carries RAW vectors through the cell shuffle
-    //      (O(cand) x ~0.5 KB rows; ~13 GB at 16x). The production fix
-    //      is e9's: ship PQ codes through the join and refine winners —
-    //      knn-join composes with the IVF-PQ family, not against it.
+    // knn-join rung: s4's candidate-cost law on the CLUSTERED ladder
+    // (vecsTimes copies are near-duplicates — every dedup corpus is one),
+    // measured against the round-15 failure geometry it replaced:
+    //   1. the timed join is the REAL operator — PQ codes through the
+    //      cell shuffle (SDC), two-level assignment (bounded super
+    //      broadcast), hot cells salted to <= KnnJoinCellCap members per
+    //      shard. Raw 64-float vectors re-attach only for the per-query
+    //      shortlist, keyed by vec_id (round 15 shipped ~13 GB of raw
+    //      vectors through the cell shuffle at 16x; codes are ~32x
+    //      lighter, and the analytic shuffle-weight contrast rides the
+    //      output).
+    //   2. candidate law from the REAL two-level SDC assignment: total
+    //      stays ~2 probes x cell population; skew (max/mean cell) says
+    //      how clustered the corpus is; block_raw = max |P_c|x|M_c| is
+    //      the reducer block WITHOUT salting, block_salted = max
+    //      |P_c|x min(|M_c|, cap) the bound WITH it — the rung's pass
+    //      criterion is block_salted holding while block_raw blows up
+    //      with the 16x skew.
+    //   3. FIXED cell count contrast (knnJoinRanked census, the flat
+    //      broadcast shape kept only as a probe): per-cell population
+    //      grows with N and the candidate total goes quadratic — the
+    //      geometry that must not ship.
     val knnJoinR = (if (phase == "all" || phase == "knnjoin") Seq(1, 4, 16)
       else Seq.empty[Int]).map { k =>
       val sim = graft.operators.SimilarityOps
@@ -753,28 +754,50 @@ object ScaleProbe {
       }
       val e = vecs.selectExpr("vec_id", "embedding",
         "sqrt(vec_dot(embedding, embedding)) AS nrm").cache()
-      def cellLaw(cents: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
-        val ranked = sim.knnJoinRanked(e, cents)
-        val m = ranked.filter(col("rn") === 1).groupBy("cid")
-          .agg(count(lit(1)).as("mc"))
-        val p = ranked.filter(col("rn") <= 2).groupBy("cid")
-          .agg(count(lit(1)).as("pc"))
-        val r = m.join(p, "cid")
-          .agg(sum(col("mc") * col("pc")), max(col("mc")), avg(col("mc"))).head
-        (r.getLong(0), r.getLong(1), r.getDouble(2))
-      }
-      def centsOf(pred: org.apache.spark.sql.Column) =
-        e.filter(pred).selectExpr("vec_id AS cid", "embedding AS cemb", "nrm AS cnrm")
-      val (candStride, maxCell, meanCell) =
-        cellLaw(centsOf(col("vec_id") % 100 === 0))
-      // fixed 50 cells at every rung: the base copy's ids 0..49
-      val (candFixed, _, _) = cellLaw(centsOf(col("vec_id") < 50))
+      // census of the REAL assignment (two-level SDC, codes-only)
+      val embsOnly = vecs.select(col("vec_id"), col("embedding"))
+      val cbK = sim.pqCodebooks(embsOnly).localCheckpoint()
+      val ranked = sim.knnJoinAssign(e, sim.packedCodes(embsOnly, cbK),
+        sim.sdcPairTable(cbK))
+      val m = ranked.filter(col("rn") === 1).groupBy("cid")
+        .agg(count(lit(1)).as("mc"))
+      val p = ranked.filter(col("rn") <= 2).groupBy("cid")
+        .agg(count(lit(1)).as("pc"))
+      val cap = sim.KnnJoinCellCap
+      val r = m.join(p, "cid").agg(
+        sum(col("mc") * col("pc")), max(col("mc")), avg(col("mc")),
+        max(col("mc") * col("pc")),
+        max(least(col("mc"), lit(cap)) * col("pc"))).head
+      val (candStride, maxCell, meanCell) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (blockRaw, blockSalted) = (r.getLong(3), r.getLong(4))
+      // fixed 50 cells at every rung: the base copy's ids 0..49 (census
+      // via the flat-broadcast probe; the operator never runs this shape)
+      val rankedF = sim.knnJoinRanked(e,
+        e.filter(col("vec_id") < 50)
+          .selectExpr("vec_id AS cid", "embedding AS cemb", "nrm AS cnrm"))
+      val candFixed = rankedF.filter(col("rn") === 1).groupBy("cid")
+        .agg(count(lit(1)).as("mc"))
+        .join(rankedF.filter(col("rn") <= 2).groupBy("cid")
+          .agg(count(lit(1)).as("pc")), "cid")
+        .agg(sum(col("mc") * col("pc"))).head.getLong(0)
+      // analytic shuffle weight of the candidate join's corpus-sized rows:
+      // codes row ~ (8B id + 8B norm + 8x4B codes) vs raw ~ 64x4B vector
+      val codesMB = candStride * 48.0 / (1 << 20)
+      val rawMB = candStride * 528.0 / (1 << 20)
+      graft.core.Checkpoints.release(cbK)
       e.unpersist(); vecs.unpersist()
       System.gc()
       System.err.println(f"[scale] knnjoin $k%2dx  vecs=$n%7d  $t%6.2f s  " +
         f"cand(stride)=$candStride%10d  cand(fixed50)=$candFixed%11d  " +
-        f"cellskew=${maxCell / meanCell}%5.1f")
-      (k, t, candStride, candFixed, maxCell / meanCell)
+        f"cellskew=${maxCell / meanCell}%5.1f  blockraw=$blockRaw%9d  " +
+        f"blocksalted=$blockSalted%9d  shuffle codes=$codesMB%.1f MB vs raw=$rawMB%.1f MB")
+      (k, Seq[(String, Double)](
+        "join" -> t, "cand_stride" -> candStride.toDouble,
+        "cand_fixed50" -> candFixed.toDouble,
+        "cell_skew" -> maxCell / meanCell,
+        "block_raw" -> blockRaw.toDouble,
+        "block_salted" -> blockSalted.toDouble,
+        "shuffle_codes_mb" -> codesMB, "shuffle_raw_mb" -> rawMB))
     }
 
     // lake sweep rung: LakeSink's dirty-set claim — a scoped compaction
@@ -1178,8 +1201,9 @@ object ScaleProbe {
       s""""ivfpqmask_${pct}pct":{"scan":$t}"""
     } ++ ivfpqDriftR.map { case (pct, (rf, rr, n)) =>
       s""""ivfpqdrift_${pct}pct":{"recall5_frozen":$rf,"recall5_rebuilt":$rr,"corpus":$n}"""
-    } ++ knnJoinR.map { case (k, t, cs, cf, skew) =>
-      s""""knnjoin_${k}x":{"join":$t,"cand_stride":$cs,"cand_fixed50":$cf,"cell_skew":$skew}"""
+    } ++ knnJoinR.map { case (k, vals) =>
+      vals.map { case (n2, v) => s""""$n2":$v""" }
+        .mkString(s""""knnjoin_${k}x":{""", ",", "}")
     } ++ lakeSweepR.map { case (k, t) =>
       s""""lakesweep_${k}":{"sweep":$t}"""
     } ++ lakeMergeR.map { case (k, t) =>

@@ -258,99 +258,12 @@ object SimilarityOps {
       .select(col("qid"), col("neighbor"), round(col("cos"), 4).as("cosine"), col("rnk"))
   }
 
-  /** s4: distributed k-NN JOIN — the k-NN GRAPH build (top-3 neighbors for
-    * EVERY vector, not a handful of probe queries), the primitive behind
-    * graph-based curation (SemDeDup cluster pruning, connected-component
-    * near-dup grouping, kNN-classifier label propagation) at corpus scale.
-    *
-    * s1/s2 broadcast the QUERY side — fine for Q ~ 10^2, impossible when
-    * every corpus vector is a query. Here NOTHING corpus-sized is
-    * broadcast: centroids (N/100 rows) are the only broadcast; members and
-    * probes both SHUFFLE on cell id (`shuffle_hash` hint pins the plan —
-    * at small SF the member side fits a broadcast threshold and AQE would
-    * happily pick the plan that dies at 100 TB), so each reducer scores
-    * one cell's |probes_c| x |members_c| block — the IVF knn-join cost
-    * Sigma_c |P_c||M_c| ~ N * 2N/k1, never the all-pairs N^2. Per-query
-    * top-3 is a window over qid: one more shuffle, k-bounded output.
-    *
-    * At 100 TB the same plan holds with trained centroids (c3's k-means)
-    * and k1 ~ sqrt(N) cells; skewed cells split by salting the member side
-    * per probe-slice (documented, not needed at test SF — cells here are
-    * uniform by construction). Candidate arithmetic is identical to s2's
-    * (deterministic every-100th centroids, 2-cell probe, exact re-rank),
-    * so the DuckDB oracle replays it bit-for-bit.
-    */
-  /** The s4 oracle chain as a reusable CTE list ending in `knn`
-    * (qid, neighbor, cosine, rnk <= 3) — c6 composes components on top of
-    * it, so oracle and engine agree on the exact same graph.
-    */
-  private[operators] val duckKnnJoinCtes: String =
-    s"""e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
-       |cents AS (SELECT vec_id AS cid, embedding, nrm FROM e WHERE vec_id % 100 = 0),
-       |ranked AS (
-       |  SELECT e.vec_id, cents.cid,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY list_sum(list_transform(generate_series(1, 64),
-       |                 i -> cents.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
-       |               / (cents.nrm * e.nrm) DESC, cents.cid) AS rn
-       |  FROM e, cents),
-       |assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
-       |probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE rn <= 2),
-       |cand AS (
-       |  SELECT p.qid, a.vec_id AS neighbor
-       |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
-       |scored AS (
-       |  SELECT c.qid, c.neighbor, $duckDot / (q.nrm * e.nrm) AS cos
-       |  FROM cand c
-       |  JOIN e q ON q.vec_id = c.qid
-       |  JOIN e   ON e.vec_id = c.neighbor),
-       |knn AS (
-       |  SELECT qid, neighbor, round(cos, 4) AS cosine, rnk FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, neighbor) AS rnk
-       |    FROM scored) t
-       |  WHERE rnk <= 3)""".stripMargin
-
-  val s4 = Q(
-    "s4_knn_join_ivf",
-    s"""WITH $duckKnnJoinCtes
-       |SELECT qid, neighbor, cosine, rnk FROM knn""".stripMargin) { (s, dir) =>
-    knnJoin(Tables.load(s, dir, "embeddings"))
-  }
-
-  /** The s4 operator as a reusable pipeline over any (vec_id, embedding)
-    * relation — centroids every `stride`-th id (N/stride cells: cell count
-    * GROWS with the corpus, which is what keeps per-query candidate work
-    * constant; the ScaleProbe `knnjoin` rung pins the law against the
-    * fixed-cell-count geometry that degrades quadratically).
-    */
-  def knnJoin(raw: DataFrame, stride: Int = 100, topK: Int = 3): DataFrame = {
-    val e = raw.selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm")
-    val cents = e.filter(col("vec_id") % stride === 0)
-      .selectExpr("vec_id AS cid", "embedding AS cemb", "nrm AS cnrm")
-    // one centroid-scoring pass serves both roles (the oracle's `ranked`):
-    // rn = 1 rows are the membership assignment, rn <= 2 the probe set
-    val ranked = knnJoinRanked(e, cents)
-    val members = ranked.filter(col("rn") === 1)
-      .select(col("cid"), col("vec_id").as("neighbor"),
-        col("embedding").as("nemb"), col("nrm").as("nnrm"))
-    val probes = ranked.filter(col("rn") <= 2)
-      .select(col("cid"), col("vec_id").as("qid"),
-        col("embedding").as("qemb"), col("nrm").as("qnrm"))
-    // the scale-defining join: both sides corpus-sized, co-partitioned on
-    // cell id, shuffle-hash pinned (broadcast here would OOM at real N)
-    val scored = probes.hint("shuffle_hash")
-      .join(members.hint("shuffle_hash"), Seq("cid"))
-      .filter(col("neighbor") =!= col("qid"))
-      .selectExpr("qid", "neighbor", s"${dotExpr("qemb", "nemb")} / (qnrm * nnrm) AS cos")
-    val w = Window.partitionBy(col("qid")).orderBy(round(col("cos"), 4).desc, col("neighbor"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("qid"), col("neighbor"), round(col("cos"), 4).as("cosine"), col("rnk"))
-  }
-
   /** Per-vector nearest-cell ranking against a centroid relation
-    * `(cid, cemb, cnrm)` — shared by [[knnJoin]] and the ScaleProbe
-    * candidate-law probe.
+    * `(cid, cemb, cnrm)` — the ScaleProbe candidate-law census probe.
+    * NOT the operator's assignment path: [[knnJoin]] assigns two-level
+    * (bounded super broadcast + sup-keyed join); this flat
+    * `broadcast(cents)` is exactly the shape that OOMs when cell count
+    * grows with the corpus, kept only to measure that geometry honestly.
     */
   def knnJoinRanked(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents))
@@ -989,43 +902,52 @@ object SimilarityOps {
     * broadcast; scoring is one equi join on (s, cid) + a per-(qid,vec)
     * 8-row fold, linear in N·m. Nothing full-vector-sized shuffles.
     */
+  /** e8's PQ train+encode oracle chain over RAW `embeddings` sub-vectors,
+    * through `codes` (vec_id, s, cid): slicing, seeded one-round Lloyd per
+    * subspace (`cb`), full-corpus encode. Shared verbatim by e8's ADC
+    * retrieval and s4's SDC kNN join — one certified quantizer, two
+    * distance modes (asymmetric query-vs-code, symmetric code-vs-code).
+    */
+  private def duckPqRawCtes: String =
+    s"""sub AS (
+       |  SELECT vec_id, g.s,
+       |    list_transform(generate_series(1, $PqSubDim), i -> embedding[$PqSubDim * g.s + i]) AS sub
+       |  FROM embeddings, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
+       |subq AS (
+       |  SELECT vec_id, s, sub, ${duckDot8("sub", "sub")} AS sq FROM sub),
+       |seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |seeds AS (
+       |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+       |    sub AS cent, sq AS csq
+       |  FROM subq WHERE vec_id IN (SELECT vec_id FROM seed_ids)),
+       |a1 AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT b.vec_id, b.s, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY b.sq + c.csq - 2 * ${duckDot8("b.sub", "c.cent")}, c.cid) AS rn
+       |    FROM subq b JOIN seeds c ON c.s = b.s) t WHERE rn = 1),
+       |upd AS (
+       |  SELECT a.s, a.cid, i.i, avg(b.sub[i.i])::FLOAT AS m
+       |  FROM a1 a JOIN subq b ON b.vec_id = a.vec_id AND b.s = a.s,
+       |    (SELECT unnest(generate_series(1, $PqSubDim)) AS i) i
+       |  GROUP BY 1, 2, 3),
+       |cb AS (
+       |  SELECT s, cid, list(m ORDER BY i) AS cent,
+       |    list_sum(list_transform(list(m ORDER BY i), x -> x::DOUBLE * x::DOUBLE)) AS csq
+       |  FROM upd GROUP BY 1, 2),
+       |codes AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT b.vec_id, b.s, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY b.sq + c.csq - 2 * ${duckDot8("b.sub", "c.cent")}, c.cid) AS rn
+       |    FROM subq b JOIN cb c ON c.s = b.s) t WHERE rn = 1)""".stripMargin
+
   val e8 = {
     def dot8(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, $PqSubDim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
     Q(
       "e8_pq_adc_retrieve",
-      s"""WITH sub AS (
-         |  SELECT vec_id, g.s,
-         |    list_transform(generate_series(1, $PqSubDim), i -> embedding[$PqSubDim * g.s + i]) AS sub
-         |  FROM embeddings, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s) g),
-         |subq AS (
-         |  SELECT vec_id, s, sub, ${dot8("sub", "sub")} AS sq FROM sub),
-         |seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK),
-         |seeds AS (
-         |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
-         |    sub AS cent, sq AS csq
-         |  FROM subq WHERE vec_id IN (SELECT vec_id FROM seed_ids)),
-         |a1 AS (
-         |  SELECT vec_id, s, cid FROM (
-         |    SELECT b.vec_id, b.s, c.cid,
-         |      row_number() OVER (PARTITION BY b.vec_id, b.s
-         |        ORDER BY b.sq + c.csq - 2 * ${dot8("b.sub", "c.cent")}, c.cid) AS rn
-         |    FROM subq b JOIN seeds c ON c.s = b.s) t WHERE rn = 1),
-         |upd AS (
-         |  SELECT a.s, a.cid, i.i, avg(b.sub[i.i])::FLOAT AS m
-         |  FROM a1 a JOIN subq b ON b.vec_id = a.vec_id AND b.s = a.s,
-         |    (SELECT unnest(generate_series(1, $PqSubDim)) AS i) i
-         |  GROUP BY 1, 2, 3),
-         |cb AS (
-         |  SELECT s, cid, list(m ORDER BY i) AS cent,
-         |    list_sum(list_transform(list(m ORDER BY i), x -> x::DOUBLE * x::DOUBLE)) AS csq
-         |  FROM upd GROUP BY 1, 2),
-         |codes AS (
-         |  SELECT vec_id, s, cid FROM (
-         |    SELECT b.vec_id, b.s, c.cid,
-         |      row_number() OVER (PARTITION BY b.vec_id, b.s
-         |        ORDER BY b.sq + c.csq - 2 * ${dot8("b.sub", "c.cent")}, c.cid) AS rn
-         |    FROM subq b JOIN cb c ON c.s = b.s) t WHERE rn = 1),
+      s"""WITH $duckPqRawCtes,
          |q AS (SELECT vec_id AS qid, s, sub AS qsub, sq AS qsq FROM subq WHERE vec_id < 3),
          |lut AS (
          |  SELECT q.qid, c.s, c.cid, q.qsq + c.csq - 2 * ${dot8("q.qsub", "c.cent")} AS d
@@ -1058,6 +980,283 @@ object SimilarityOps {
         .select(col("qid"), col("rnk"), col("vec_id").as("doc_id"),
           round(col("dist"), 4).as("adist"))
     }
+  }
+
+  /** s4 geometry. Cells every 100th id (k1 = N/100 GROWS with the corpus —
+    * what keeps per-query candidate work constant); super-cells every
+    * [[KnnJoinSupStride]]-th id (k2 = N/supStride, the ONLY corpus-∝
+    * broadcast left in the pipeline, and the knob: at production N set
+    * supStride ≈ N/√k1 so k2 ≈ √k1 — e.g. N=10^9, k1=10^7 → k2 ≈ 3.2k
+    * rows, a kilobyte-scale broadcast; deeper trees push toward log).
+    */
+  val KnnJoinSupStride = 200
+
+  /** Supers probed per vector (c5's [[graft.operators.ClusterOps.HierProbes]]
+    * convention) — repairs most super-boundary misassignments.
+    */
+  val KnnJoinSupProbes = 2
+
+  /** SDC shortlist depth per query: candidates ranked by symmetric PQ
+    * distance, only this many exact-reranked (the e10 refine discipline
+    * applied to the self-join).
+    */
+  val KnnJoinShortlist = 10
+
+  /** Max members per (cell, salt) shard — the hot-cell salting cap. On
+    * clustered corpora (every dedup corpus is one) cell population skews;
+    * the cap bounds each reducer's |P_c|×|M_shard| block regardless of
+    * skew, at the price of replicating each probe row across the cell's
+    * shards. Salting never changes the candidate SET (every probe still
+    * meets every member across shards), so it is oracle-invisible.
+    */
+  val KnnJoinCellCap = 256
+
+  /** SDC approximate dot of two PQ code arrays via the broadcast flat pair
+    * table `tflat` (index s·K² + ci·K + cj, 1-based): the symmetric
+    * distance computation of Jégou, Douze & Schmid (TPAMI 2011) — both
+    * sides compressed, the self-join case where e9's asymmetric LUTs are
+    * impossible (every vector is a query; per-query LUTs would be
+    * corpus-sized). A codegen'd 8-term fold in subspace order, bit-equal
+    * to the oracle's `list_sum(list(d ORDER BY s))`.
+    */
+  private def sdcExpr(q: String, n: String): String =
+    s"aggregate(sequence(0, ${PqSubspaces - 1}), 0D, (acc, s) -> " +
+      s"acc + element_at(tflat, s * ${PqK * PqK} + element_at($q, s + 1) * $PqK + element_at($n, s + 1) + 1))"
+
+  /** The s4 oracle chain as a reusable CTE list ending in `knn`
+    * (qid, neighbor, cosine, rnk <= 3) — c6 composes components on top of
+    * it, so oracle and engine agree on the exact same graph. Replays
+    * [[knnJoin]] CTE-for-stage: e8's PQ train+encode ([[duckPqRawCtes]]),
+    * the SDC pair table, two-level cell assignment (exact vector→super,
+    * SDC vector→cell within probed supers), banded candidates, SDC
+    * shortlist, exact rerank. Salting is physical-only and has no CTE.
+    */
+  private[operators] val duckKnnJoinCtes: String =
+    s"""e AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+       |$duckPqRawCtes,
+       |sdct AS (
+       |  SELECT a.s, a.cid AS ci, b.cid AS cj, ${duckDot8("a.cent", "b.cent")} AS d
+       |  FROM cb a JOIN cb b ON b.s = a.s),
+       |sups AS (SELECT vec_id AS sup, embedding AS semb, nrm AS snrm
+       |  FROM e WHERE vec_id % $KnnJoinSupStride = 0),
+       |vsup AS (
+       |  SELECT vec_id, nrm, sup FROM (
+       |    SELECT e.vec_id, e.nrm, s.sup,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckDot64("s.semb", "e.embedding")} / (s.snrm * e.nrm) DESC, s.sup) AS srn
+       |    FROM e, sups s) t WHERE srn <= $KnnJoinSupProbes),
+       |csup AS (
+       |  SELECT sup, cid, cnrm FROM (
+       |    SELECT c.vec_id AS cid, c.nrm AS cnrm, s.sup,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${duckDot64("s.semb", "c.embedding")} / (s.snrm * c.nrm) DESC, s.sup) AS srn
+       |    FROM e c, sups s WHERE c.vec_id % 100 = 0) t WHERE srn = 1),
+       |cellrank AS (
+       |  SELECT vec_id, cid, rn FROM (
+       |    SELECT a.vec_id, a.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY a.acos DESC, a.cid) AS rn
+       |    FROM (
+       |      SELECT v.vec_id, c.cid,
+       |        list_sum(list(t.d ORDER BY t.s)) / (v.nrm * c.cnrm) AS acos
+       |      FROM vsup v JOIN csup c USING (sup)
+       |      JOIN codes q ON q.vec_id = v.vec_id
+       |      JOIN codes n ON n.vec_id = c.cid AND n.s = q.s
+       |      JOIN sdct t ON t.s = q.s AND t.ci = q.cid AND t.cj = n.cid
+       |      GROUP BY v.vec_id, c.cid, v.nrm, c.cnrm) a) b),
+       |cand AS (
+       |  SELECT p.vec_id AS qid, m.vec_id AS neighbor
+       |  FROM (SELECT vec_id, cid FROM cellrank WHERE rn <= 2) p
+       |  JOIN (SELECT vec_id, cid FROM cellrank WHERE rn = 1) m
+       |    ON m.cid = p.cid AND m.vec_id <> p.vec_id),
+       |cscore AS (
+       |  SELECT c.qid, c.neighbor,
+       |    list_sum(list(t.d ORDER BY t.s)) / (eq.nrm * en.nrm) AS acos
+       |  FROM cand c
+       |  JOIN codes q ON q.vec_id = c.qid
+       |  JOIN codes n ON n.vec_id = c.neighbor AND n.s = q.s
+       |  JOIN sdct t ON t.s = q.s AND t.ci = q.cid AND t.cj = n.cid
+       |  JOIN e eq ON eq.vec_id = c.qid
+       |  JOIN e en ON en.vec_id = c.neighbor
+       |  GROUP BY c.qid, c.neighbor, eq.nrm, en.nrm),
+       |shortl AS (
+       |  SELECT qid, neighbor FROM (
+       |    SELECT qid, neighbor,
+       |      row_number() OVER (PARTITION BY qid ORDER BY round(acos, 4) DESC, neighbor) AS srn
+       |    FROM cscore) t WHERE srn <= $KnnJoinShortlist),
+       |knn AS (
+       |  SELECT qid, neighbor, round(cos, 4) AS cosine, rnk FROM (
+       |    SELECT qid, neighbor, cos,
+       |      row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, neighbor) AS rnk
+       |    FROM (
+       |      SELECT s.qid, s.neighbor,
+       |        ${duckDot64("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+       |      FROM shortl s
+       |      JOIN e q ON q.vec_id = s.qid
+       |      JOIN e n ON n.vec_id = s.neighbor) x) t
+       |  WHERE rnk <= 3)""".stripMargin
+
+  /** s4: distributed k-NN JOIN — the k-NN GRAPH build (top-3 neighbors
+    * for EVERY vector, not a handful of probe queries), the primitive
+    * behind graph-based curation (SemDeDup cluster pruning,
+    * connected-component near-dup grouping, c6's mutual-kNN clusters) at
+    * corpus scale.
+    *
+    * s1/s2 broadcast the QUERY side — fine for Q ~ 10^2, impossible when
+    * every corpus vector is a query. The round-15 shape shipped RAW
+    * 64-float vectors through the cell shuffle (~0.5 KB/row, measured
+    * ~13 GB at the rung's 16×) behind a flat `broadcast(cents)` that
+    * grows with N — correct, but a scale-killer on clustered corpora.
+    * This shape wires in the rung's own three fixes:
+    *
+    *   1. PQ CODES through every corpus-sized shuffle (8 bytes + norm per
+    *      row, 32× lighter than vectors), scored by SDC against the
+    *      broadcast 8×16×16 pair table; only the per-query shortlist of
+    *      [[KnnJoinShortlist]] winners re-attaches float vectors — by a
+    *      UNIFORM vec_id-keyed equi join (e1's discipline), never on the
+    *      skewed cell key.
+    *   2. TWO-LEVEL assignment (c5's shape): the only broadcast relations
+    *      are the supers (k2 ≈ √k1 at production settings) and the
+    *      codebook tables; vectors meet their super's centroids via a
+    *      sup-keyed equi join of code rows, not an N×k1 broadcast
+    *      product.
+    *   3. HOT-CELL SALTING: member cells split into ≤[[KnnJoinCellCap]]
+    *      shards, probes replicated per shard — per-reducer blocks stay
+    *      bounded under the skew the 16× rung measured (816 cand/query),
+    *      without changing the candidate set.
+    */
+  val s4 = Q(
+    "s4_knn_join_ivf",
+    s"""WITH $duckKnnJoinCtes
+       |SELECT qid, neighbor, cosine, rnk FROM knn""".stripMargin) { (s, dir) =>
+    knnJoin(Tables.load(s, dir, "embeddings"))
+  }
+
+  /** PQ codes packed one row per vector `(vec_id, codes: array<int>)` —
+    * the 8-byte-per-vector shape every corpus-sized s4 shuffle carries.
+    */
+  def packedCodes(embs: DataFrame, cb: DataFrame): DataFrame =
+    pqEncode(embs, cb)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, cid))), x -> x.cid)")
+        .as("codes"))
+
+  /** SDC pair table T[s][ci][cj] = <cent_si, cent_sj>, flattened to ONE
+    * broadcast row (8·16·16 doubles) — k-bounded at any corpus size.
+    */
+  def sdcPairTable(cb: DataFrame): DataFrame =
+    cb.selectExpr("s", "cid AS ci", "cent AS centi")
+      .join(cb.selectExpr("s", "cid AS cj", "cent AS centj"), Seq("s"))
+      .select(struct(
+        (col("s") * (PqK * PqK) + col("ci") * PqK + col("cj")).as("k"),
+        expr("vec_dot(centi, centj)").as("d")).as("kd"))
+      .agg(expr("transform(array_sort(collect_list(kd)), x -> x.d)").as("tflat"))
+
+  /** Two-level SDC cell assignment over `(vec_id, embedding, nrm)` rows:
+    * exact vector→super scoring against the bounded super broadcast (a map
+    * stage over the scan — raw vectors never shuffle here), then
+    * SDC-approximate vector→cell ranking WITHIN the probed supers via a
+    * sup-keyed equi join of code rows. Returns
+    * `(vec_id, nrm, codes, cid, rn)` — rn = 1 is the member cell,
+    * rn <= 2 the probe cells. Exposed for the ScaleProbe knnjoin rung's
+    * candidate/skew census.
+    */
+  def knnJoinAssign(
+      e: DataFrame,
+      vcodes: DataFrame,
+      tflat: DataFrame,
+      stride: Int = 100,
+      supStride: Int = KnnJoinSupStride): DataFrame = {
+    val sups = e.filter(col("vec_id") % supStride === 0)
+      .selectExpr("vec_id AS sup", "embedding AS semb", "nrm AS snrm")
+    def topSups(src: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("sup"))
+      src.join(broadcast(sups))
+        .selectExpr("vec_id", "nrm", "sup",
+          s"${dotExpr("semb", "embedding")} / (snrm * nrm) AS scos")
+        .withColumn("srn", row_number().over(w)).filter(col("srn") <= keep)
+        .select("vec_id", "nrm", "sup")
+    }
+    val vsup = topSups(e, KnnJoinSupProbes)
+    val csup = topSups(e.filter(col("vec_id") % stride === 0), 1)
+      .selectExpr("sup", "vec_id AS cid", "nrm AS cnrm")
+      .join(vcodes.selectExpr("vec_id AS cid", "codes AS ccodes"), Seq("cid"))
+    // within-super cell ranking by SDC cosine: the sup-keyed shuffle
+    // carries codes + norms only
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("acos").desc, col("cid"))
+    vsup.join(vcodes, Seq("vec_id"))
+      .join(csup, Seq("sup"))
+      .crossJoin(broadcast(tflat))
+      .selectExpr("vec_id", "nrm", "codes", "cid",
+        s"${sdcExpr("codes", "ccodes")} / (nrm * cnrm) AS acos")
+      .withColumn("rn", row_number().over(wCell))
+  }
+
+  /** The s4 operator as a reusable pipeline over any (vec_id, embedding)
+    * relation — see [[s4]]'s scaladoc for the scale design. Cells every
+    * `stride`-th id (N/stride cells: cell count GROWS with the corpus,
+    * which is what keeps per-query candidate work constant; the
+    * ScaleProbe `knnjoin` rung pins the law against the fixed-cell-count
+    * geometry that degrades quadratically).
+    */
+  def knnJoin(
+      raw: DataFrame,
+      stride: Int = 100,
+      supStride: Int = KnnJoinSupStride,
+      topK: Int = 3,
+      shortlist: Int = KnnJoinShortlist,
+      cellCap: Int = KnnJoinCellCap): DataFrame = {
+    val embs = raw.select(col("vec_id"), col("embedding"))
+    val e = embs.selectExpr("vec_id", "embedding", s"${normExpr("embedding")} AS nrm")
+    // ---- PQ train + encode: e8's certified quantizer, packed per vector.
+    // The train/encode/assignment stages are materialized ONCE
+    // (localCheckpoint): cb and tflat are k-bounded, vcodes/ranked are
+    // corpus-sized SCALAR rows (~16 B/vector) — without the pin, the
+    // multi-branch plan (members+probes, csup, both SDC stages) recomputes
+    // the whole Lloyd train per branch.
+    val cb = pqCodebooks(embs).localCheckpoint()
+    val vcodes = packedCodes(embs, cb).localCheckpoint()
+    val tflat = sdcPairTable(cb).localCheckpoint()
+    val ranked = knnJoinAssign(e, vcodes, tflat, stride, supStride).localCheckpoint()
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("cid").as("cell"), col("vec_id").as("neighbor"),
+        col("codes").as("ncodes"), col("nrm").as("nnrm"))
+    val probes = ranked.filter(col("rn") <= 2)
+      .select(col("cid").as("cell"), col("vec_id").as("qid"),
+        col("codes").as("qcodes"), col("nrm").as("qnrm"))
+    // ---- hot-cell salting: shard count from the member census (k1-row
+    // relation, equi-joined on the cell key — linear scalar rows, not the
+    // quadratic join output the salt exists to bound)
+    val shards = members.groupBy(col("cell"))
+      .agg(ceil(count(lit(1)).cast("double") / cellCap).cast("int").as("nshards"))
+    val membersS = members.join(shards, Seq("cell"))
+      .withColumn("salt", pmod(col("neighbor"), col("nshards")).cast("int"))
+    val probesS = probes.join(shards, Seq("cell"))
+      .withColumn("salt", explode(expr("sequence(0, nshards - 1)")))
+    // the scale-defining join: both sides corpus-sized CODE rows,
+    // co-partitioned on (cell, salt), shuffle-hash pinned (broadcast here
+    // would OOM at real N; at small SF AQE would happily pick the plan
+    // that dies at 100 TB)
+    val scored = probesS.hint("shuffle_hash")
+      .join(membersS.hint("shuffle_hash"), Seq("cell", "salt"))
+      .filter(col("neighbor") =!= col("qid"))
+      .crossJoin(broadcast(tflat))
+      .selectExpr("qid", "neighbor",
+        s"${sdcExpr("qcodes", "ncodes")} / (qnrm * nnrm) AS acos")
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(round(col("acos"), 4).desc, col("neighbor"))
+    val shortl = scored.withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= shortlist).select("qid", "neighbor")
+    // ---- exact rerank of the id-only shortlist: float vectors re-attach
+    // by uniform vec_id equi joins (e1's discipline — never on the cell key)
+    val exact = shortl
+      .join(e.selectExpr("vec_id AS qid", "embedding AS qemb", "nrm AS qnrm"), Seq("qid"))
+      .join(e.selectExpr("vec_id AS neighbor", "embedding AS nemb", "nrm AS nnrm"),
+        Seq("neighbor"))
+      .selectExpr("qid", "neighbor", s"${dotExpr("qemb", "nemb")} / (qnrm * nnrm) AS cos")
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("cos"), 4).desc, col("neighbor"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("neighbor"), round(col("cos"), 4).as("cosine"), col("rnk"))
   }
 
   /** Cells an e9 query probes (s2/c5's 2-probe convention). */

@@ -433,6 +433,51 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
   }
 
+  test("s4: codes-not-vectors through the cell exchanges; only k-bounded or knob-bounded broadcasts") {
+    import org.apache.spark.sql.types.FloatType
+    val df = graft.operators.SimilarityOps.s4.fn(spark, sf)
+    // forced broadcasts must be bounded at any corpus size: the supers
+    // (N/supStride — THE documented knob, set ∝ √k1 at production N) and
+    // the 1-row SDC pair table. Neither may carry a corpus-sized relation;
+    // structurally, none may output more than a handful of columns of
+    // array type unless it is the pair table / super relation itself.
+    val hints = broadcastHints(df).filter(
+      _.hints.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+    assert(hints.nonEmpty, "s4 pins its bounded broadcasts explicitly")
+    hints.foreach { h =>
+      val cols = h.child.output.map(_.name).toSet
+      val bounded = cols.contains("tflat") ||  // 1-row SDC pair table
+        cols.contains("semb") ||               // supers (N/supStride, the knob)
+        cols.contains("csq") ||                // PQ codebooks (8x16 rows)
+        cols.contains("seed_id")               // PQ seed ids (16 rows)
+      assert(bounded,
+        s"unexpected forced broadcast in s4: $cols — only the SDC pair " +
+          "table, supers, and codebook relations are bounded at every " +
+          "corpus size")
+    }
+    df.collect()
+    // THE scale invariant (round 15's measured ~13 GB at the rung's 16x):
+    // no shuffle keyed by the cell/sup/salt topology may carry a float
+    // vector — corpus-sized exchanges move 8-byte PQ code rows only; raw
+    // embeddings re-attach by uniform vec_id keys after the shortlist.
+    val exchanges = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    val topoShuffles = exchanges.filter { e =>
+      val p = e.outputPartitioning.toString
+      p.contains("cell") || p.contains("sup") || p.contains("salt")
+    }
+    assert(topoShuffles.nonEmpty, "expected cell/sup-keyed exchanges in s4")
+    topoShuffles.foreach { e =>
+      val floatArrays = e.output.filter(a => a.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      assert(floatArrays.isEmpty,
+        s"raw float vectors shuffled on the cell topology: " +
+          floatArrays.map(a => s"${a.name}:${a.dataType}").mkString(", "))
+    }
+  }
+
   test("t14: winnowed fingerprinting is a shuffle-free codegen map stage") {
     val df = graft.functions.TextOps.t14.fn(spark, sf)
     val p = df.queryExecution.executedPlan

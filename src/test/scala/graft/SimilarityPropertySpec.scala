@@ -13,6 +13,18 @@ class SimilarityPropertySpec extends AnyFunSuite {
   private lazy val spark = GraftTestSpark.spark
   private val sf = GraftTestSpark.sf
 
+  test("s4 salting is oracle-invisible: an aggressive cellCap reproduces the default graph") {
+    // salting redistributes the cell join physically (probes replicate per
+    // member shard) but must never change WHICH pairs are candidates —
+    // cellCap=2 forces many shards per cell at fixture scale, so any
+    // dropped or duplicated pair-slot would diverge here
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    val base = SimilarityOps.knnJoin(embs).collect().map(_.toSeq).toSet
+    val salted = SimilarityOps.knnJoin(embs, cellCap = 2).collect().map(_.toSeq).toSet
+    assert(base.nonEmpty)
+    assert(salted == base, "salting changed the kNN graph")
+  }
+
   test("codegen hyperplane_bucket equals the lambda spec on fixture embeddings") {
     val rows = graft.core.Tables.load(spark, sf, "embeddings")
       .selectExpr(
