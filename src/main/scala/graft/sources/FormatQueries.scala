@@ -1145,6 +1145,83 @@ object FormatQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
   }
 
+  /** f22: OPTIMISTIC MULTI-WRITER CONCURRENCY
+    * ([[graft.streaming.LakeSink.appendBatchOcc]]) — the Delta-style
+    * commit protocol exercised as a full arc: one table, three writers.
+    * A merge job steals the ingest tail's allocated commit id mid-flight
+    * (the fault injector runs it between the tail's file placement and
+    * its marker attempt — the exact race the atomic exchange used to
+    * answer by killing the loser); the tail validates leaf-disjointness
+    * against the winner's marker, renames its lineage forward, and
+    * commits at the next id; a third OCC writer then backfills with a
+    * dedup key. Census of the final table proves no writer lost rows and
+    * the merge's row-level effects survived the interleave. Writers are
+    * leaf-disjoint by construction (the tail/backfill shift event time by
+    * 1/2 years), which is exactly the contract: overlapping writers die.
+    */
+  val f22 = Q(
+    "f22_lake_occ_writers",
+    """WITH base AS (SELECT * FROM events WHERE event_id % 3 = 0),
+      |merged AS (
+      |  SELECT event_id, ts,
+      |    CASE WHEN event_id % 10 = 7 THEN 'updated' ELSE event_type END AS event_type,
+      |    CASE WHEN event_id % 10 = 7 THEN value + 1000 ELSE value END AS value
+      |  FROM base WHERE event_id % 10 <> 3),
+      |tail AS (
+      |  SELECT event_id, ts + INTERVAL 365 DAY AS ts, 'tail' AS event_type, value
+      |  FROM events WHERE event_id % 3 = 1),
+      |bf AS (
+      |  SELECT event_id, ts + INTERVAL 730 DAY AS ts, 'backfill' AS event_type, value
+      |  FROM events WHERE event_id % 3 = 2),
+      |allr AS (SELECT event_id, ts, event_type, value FROM merged
+      |  UNION ALL SELECT event_id, ts, event_type, value FROM tail
+      |  UNION ALL SELECT event_id, ts, event_type, value FROM bf)
+      |SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM allr GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val sink = graft.streaming.LakeSink
+    val base = graft.streaming.ReplayHarness.scratchDir("graft_occ_")
+    val lake = base.resolve("t").toString
+    sink.appendBatch(s, lake,
+      events.filter(pmod(col("event_id"), lit(3)) === 0), commitId = Some(0L))
+    // the deployment's standing epoch, handed to the merge job so no
+    // writer bumps the fence out from under the others
+    val epoch = sink.claimWriterEpoch(s, lake)
+    val tailRows = events.filter(pmod(col("event_id"), lit(3)) === 1)
+      .withColumn("ts", expr("ts + INTERVAL 365 DAYS"))
+      .withColumn("event_type", lit("tail"))
+    val tailId = sink.appendBatchOcc(s, lake, tailRows, writerId = "tail",
+      faultInjector = p => if (p == "placed") {
+        val m = sink.mergeInto(s, lake,
+          events.filter(pmod(col("event_id"), lit(3)) === 0 &&
+              pmod(col("event_id"), lit(10)) === 7)
+            .withColumn("event_type", lit("updated"))
+            .withColumn("value", col("value") + 1000.0),
+          "event_id",
+          events.filter(pmod(col("event_id"), lit(3)) === 0 &&
+              pmod(col("event_id"), lit(10)) === 3)
+            .select("event_id", "ts"),
+          fenceEpoch = Some(epoch))
+        require(m.commitId == 1L, s"merge expected commit 1, got ${m.commitId}")
+      })
+    require(tailId == 2L, s"OCC tail expected commit 2, got $tailId")
+    val bfId = sink.appendBatchOcc(s, lake,
+      events.filter(pmod(col("event_id"), lit(3)) === 2)
+        .withColumn("ts", expr("ts + INTERVAL 730 DAYS"))
+        .withColumn("event_type", lit("backfill")),
+      writerId = "backfill", dedupKey = Some("bf1"))
+    require(bfId == 3L, s"OCC backfill expected commit 3, got $bfId")
+    val out = sink.readLake(s, lake)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = out.collect().toIndexedSeq
+    graft.streaming.ReplayHarness.cleanupScratch(base)
+    s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
+  }
+
   val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12, f13,
-    f14, f15, f16, f17, f18, f19, f20, f21)
+    f14, f15, f16, f17, f18, f19, f20, f21, f22)
 }

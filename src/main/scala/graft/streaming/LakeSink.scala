@@ -398,6 +398,15 @@ object LakeSink {
     */
   private[streaming] val MarkerExpect = "#expect"
 
+  /** First line of an OPTIMISTIC-CONCURRENCY append's marker:
+    * `#occ <writerId> [dedupKey]`. The writerId ties the commit to the
+    * lineage names its files carry (`gb<id>-w<writerId>-…`) so a crashed
+    * attempt's leftovers are distinguishable from committed data; the
+    * optional dedupKey gives [[appendBatchOcc]] retries exactly-once
+    * semantics without a pinned commit id (OCC ids float by design).
+    */
+  private[streaming] val MarkerOcc = "#occ"
+
   private def writeCommitMarker(
       fs: org.apache.hadoop.fs.FileSystem, marker: Path, batchId: Long,
       leaves: Seq[String], markerTag: Option[String] = None): Unit = {
@@ -1945,6 +1954,194 @@ object LakeSink {
       b, committed, markerTag)
     fs.delete(staging, true)
     b
+  }
+
+  /** OPTIMISTIC multi-writer batch append — the verb that lets INDEPENDENT
+    * writers (a merge job and an ingest tail, two backfill jobs) commit to
+    * one table without serializing on the exclusive epoch fence,
+    * Delta-style: commits stay totally ordered by the ledger, but a writer
+    * that loses the atomic commit exchange RE-VALIDATES instead of dying —
+    * every commit that landed since its id allocation must carry a
+    * readable leaf list DISJOINT from its own; if so it renames its files
+    * forward to the next id and retries the exchange. Only a genuine
+    * logical conflict (overlapping leaf, torn marker it cannot reason
+    * about, or a newly claimed exclusive epoch) dies — loudly, after
+    * rolling its own uncommitted files back out, so no committed row is
+    * ever lost.
+    *
+    * Contract (the consumer-group discipline): `writerId` names a logical
+    * writer with AT MOST ONE live instance; file lineage is
+    * `gb<id>-w<writerId>-p<i>` so every writer owns its names and the
+    * forward rename can never touch a rival's files. A crashed attempt can
+    * leave its files visible in live leaves until the writer's next call
+    * reaps them (leftovers whose id has no `#occ <writerId>` marker) — the
+    * same at-least-once window the staged-replay path already has; pass
+    * `dedupKey` to make retries exactly-once (a marker already carrying
+    * `writerId dedupKey` short-circuits without re-writing).
+    *
+    * The epoch fence is validated SHARED: the call observes the max epoch
+    * at entry and refuses to commit if it advances mid-flight — an
+    * exclusive writer (streaming sink, maintenance) still fences out every
+    * OCC writer by claiming a new epoch, while OCC writers never fence
+    * each other or the standing exclusive owner.
+    */
+  def appendBatchOcc(
+      spark: org.apache.spark.sql.SparkSession,
+      lakeDir: String,
+      rows: DataFrame,
+      writerId: String,
+      tsCol: String = "ts",
+      dedupKey: Option[String] = None,
+      maxAttempts: Int = 5,
+      faultInjector: String => Unit = _ => ()): Long = {
+    require(writerId.nonEmpty && writerId.forall(c => c.isLetterOrDigit || c == '_'),
+      s"writerId '$writerId' must be alphanumeric (it becomes file lineage)")
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val sharedEpoch = maxWriterEpoch(fs, root)
+    def checkShared(): Unit = {
+      val m = maxWriterEpoch(fs, root)
+      if (m != sharedEpoch) throw new IllegalStateException(
+        s"OCC writer $writerId fenced: epoch advanced $sharedEpoch -> $m " +
+          s"for $root — an exclusive writer claimed the lake mid-commit")
+    }
+    val ledger = new Path(root, "_graft_commits")
+    // (id, tag words after #occ) of THIS writer's committed markers —
+    // O(retained ledger), which vacuum bounds
+    def occCommits(): Seq[(Long, Seq[String])] =
+      if (!fs.exists(ledger)) Seq.empty
+      else fs.listStatus(ledger).toSeq
+        .filter(s => s.isFile && s.getPath.getName.nonEmpty &&
+          s.getPath.getName.forall(_.isDigit))
+        .flatMap { s =>
+          markerTagOf(fs, s.getPath).map(_.split(' ').toSeq) match {
+            case Some(`MarkerOcc` +: rest) if rest.headOption.contains(writerId) =>
+              Some(s.getPath.getName.toLong -> rest)
+            case _ => None
+          }
+        }
+    // exactly-once short-circuit: this batch already committed
+    dedupKey.foreach { k =>
+      occCommits().find(_._2.lift(1).contains(k)).foreach { case (id, _) =>
+        System.err.println(s"[lake] occ append $writerId/$k already " +
+          s"committed as $id — idempotent retry, skipping")
+        return id
+      }
+    }
+    // reap THIS writer's uncommitted leftovers (crashed attempt): my
+    // lineage names whose id carries no #occ <writerId> marker. Only one
+    // live instance holds this writerId, so the delete can never race a
+    // rival's in-flight commit.
+    val committedMine = occCommits().map(_._1).toSet
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      .foreach { leaf =>
+        fs.listStatus(leaf.getPath)
+          .filter { f =>
+            val n = f.getPath.getName
+            f.isFile && n.startsWith("gb") && n.contains(s"-w$writerId-") && {
+              val id = n.stripPrefix("gb").takeWhile(_.isDigit)
+              id.nonEmpty && !committedMine.contains(id.toLong)
+            }
+          }
+          .foreach { f =>
+            System.err.println(
+              s"[lake] occ reap: uncommitted leftover ${f.getPath.getName}")
+            fs.delete(f.getPath, false)
+          }
+      }
+    registerSchemaIfWidened(fs, root, maxCommittedId(fs, root) + 1, rows.schema)
+    val staging = new Path(new Path(root, StagingRoot), s"occ-$writerId")
+    rows.withColumn("event_date", to_date(col(tsCol)))
+      .write.partitionBy("event_date").mode("overwrite")
+      .parquet(staging.toString)
+    checkShared()
+    var cur = maxCommittedId(fs, root) + 1
+    // place staged parts into live leaves under my lineage names
+    val placedLeaves: Seq[String] = {
+      val leaves =
+        if (!fs.exists(staging)) Seq.empty
+        else fs.listStatus(staging).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .map(_.getPath).sortBy(_.getName.toString)
+      leaves.map { sLeaf =>
+        val target = new Path(root, sLeaf.getName)
+        fs.mkdirs(target)
+        val parts = fs.listStatus(sLeaf).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName.toString)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dst = new Path(target, s"gb$cur-w$writerId-p$i.snappy.parquet")
+          fs.delete(dst, false)
+          require(fs.rename(f.getPath, dst),
+            s"occ placement failed: ${f.getPath} -> $dst")
+        }
+        sLeaf.getName
+      }
+    }
+    faultInjector("placed")
+    def rollback(): Unit = placedLeaves.foreach { l =>
+      fs.listStatus(new Path(root, l))
+        .filter(f => f.isFile && f.getPath.getName.startsWith(s"gb$cur-w$writerId-"))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    val tag = Some((Seq(MarkerOcc, writerId) ++ dedupKey).mkString(" "))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try checkShared()
+      catch { case e: Throwable => rollback(); fs.delete(staging, true); throw e }
+      try {
+        writeCommitMarker(fs, new Path(ledger, cur.toString), cur,
+          placedLeaves.sorted, tag)
+        fs.delete(staging, true)
+        System.err.println(s"[lake] occ append $writerId committed as $cur " +
+          s"(${placedLeaves.size} leaves, attempt $attempt)")
+        return cur
+      } catch {
+        case _: IllegalStateException =>
+          // lost the exchange: someone committed `cur` first. Logical
+          // conflict detection, Delta-style: the winner's leaf list must
+          // be readable and disjoint from mine.
+          val winnerLeaves =
+            readMarkerLeaves(fs, new Path(ledger, cur.toString))
+          val overlap = winnerLeaves.map(_.toSet.intersect(placedLeaves.toSet))
+          val conflict = winnerLeaves.isEmpty || overlap.exists(_.nonEmpty)
+          if (conflict || attempt >= maxAttempts) {
+            rollback()
+            fs.delete(staging, true)
+            throw new IllegalStateException(
+              if (winnerLeaves.isEmpty)
+                s"OCC conflict: commit $cur landed with an unreadable (torn) " +
+                  s"marker — cannot prove disjointness; $writerId rolled back, " +
+                  "no committed rows lost"
+              else if (overlap.exists(_.nonEmpty))
+                s"OCC conflict: commit $cur touched " +
+                  s"${overlap.get.toSeq.sorted.mkString(", ")} which $writerId " +
+                  "is also writing — concurrent writers must be leaf-disjoint; " +
+                  "rolled back, no committed rows lost"
+              else
+                s"OCC exhausted $maxAttempts attempts for $writerId (hot " +
+                  "ledger); rolled back, no committed rows lost")
+          }
+          // disjoint: carry my files forward to the next id and retry
+          val next = cur + 1
+          placedLeaves.foreach { l =>
+            fs.listStatus(new Path(root, l))
+              .filter(f => f.isFile &&
+                f.getPath.getName.startsWith(s"gb$cur-w$writerId-"))
+              .foreach { f =>
+                val dst = new Path(new Path(root, l),
+                  f.getPath.getName.replaceFirst(s"^gb$cur-", s"gb$next-"))
+                require(fs.rename(f.getPath, dst),
+                  s"occ forward rename failed for ${f.getPath}")
+              }
+          }
+          cur = next
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private val QuarantineRoot = "_graft_quarantine"
