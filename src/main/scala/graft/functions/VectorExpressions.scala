@@ -537,6 +537,9 @@ object MediaKernel {
   def modality(p: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(
       if (p.length >= 54 && ascii(p, 0, "BM")) "image"
+      else if (p.length >= 33 && p(0) == 0x89.toByte && ascii(p, 1, "PNG") &&
+        p(4) == 0x0d.toByte && p(5) == 0x0a.toByte &&
+        p(6) == 0x1a.toByte && p(7) == 0x0a.toByte) "image_png"
       else if (p.length >= 44 && ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE")) "audio"
       else "binary")
 }

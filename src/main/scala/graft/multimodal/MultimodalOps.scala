@@ -55,6 +55,36 @@ object MultimodalOps {
         le32(0) ++ le32(0) ++ // info header
         body
 
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    /** PNG chunk: big-endian length + type + data + real CRC32 over
+      * type||data (the spec's framing, java.util.zip.CRC32 — no media lib).
+      */
+    private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = chunkType.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+
+    /** Structurally valid PNG container: the 8-byte signature, a real IHDR
+      * (big-endian width/height at fixed offsets 16/20, 8-bit RGB, with a
+      * correct CRC), the body framed as an IDAT chunk (CRC'd), and IEND.
+      * The pixel stream is stored RAW, not zlib-deflated — header parsing
+      * (the m-family's decode scope) never inflates, and a deterministic
+      * body is what lets the DuckDB oracle predict n_bytes in closed form;
+      * total size = 57 + body length.
+      */
+    def png(width: Int, height: Int, body: Array[Byte]): Array[Byte] =
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+        0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+        pngChunk("IHDR", be32(width) ++ be32(height) ++
+          Array(8.toByte, 2.toByte, 0.toByte, 0.toByte, 0.toByte)) ++
+        pngChunk("IDAT", body) ++
+        pngChunk("IEND", Array.empty[Byte])
+
     /** Canonical 44-byte RIFF/WAVE header (PCM). */
     def wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
         body: Array[Byte]): Array[Byte] = {
@@ -129,11 +159,15 @@ object MultimodalOps {
     }
 
     /** Deterministic fixture → container mapping (the oracle's contract):
-      * doc_id % 3 = 0 → BMP with width = n_chars % 96 + 16, height =
-      * doc_id % 64 + 16 over a real [[raster]] body; = 1 → 16-bit WAV with
-      * sampleRate = 8000 + (n_chars % 8) * 4000, channels = 1 + doc_id % 2,
-      * over a real [[pcm]] body of [[pcmFrames]] frames; = 2 → bare bytes
-      * (no container — exercises the decoder's unknown-format fallback).
+      * doc_id % 3 = 0 → an image with width = n_chars % 96 + 16, height =
+      * doc_id % 64 + 16 over a real [[raster]] body — BMP when
+      * doc_id % 6 = 0, [[png]] when doc_id % 6 = 3 (the web-scale corpus
+      * shape is JPEG/PNG, not BMP; PNG's IHDR exercises the BIG-endian
+      * fixed-offset parse the little-endian containers cannot); = 1 →
+      * 16-bit WAV with sampleRate = 8000 + (n_chars % 8) * 4000, channels
+      * = 1 + doc_id % 2, over a real [[pcm]] body of [[pcmFrames]] frames;
+      * = 2 → bare bytes (no container — exercises the decoder's
+      * unknown-format fallback).
       *
       * CONTENT-DEPENDENT INVARIANT (not structural): the m1/m3/m4 oracles
       * pin modality by doc_id % 3, while [[MagicDecoder]] dispatches on
@@ -150,7 +184,8 @@ object MultimodalOps {
       (docId % 3) match {
         case 0 =>
           val (w, h) = ((nChars % 96).toInt + 16, (docId % 64).toInt + 16)
-          bmp(w, h, raster(docId, w, h))
+          if (docId % 6 == 0) bmp(w, h, raster(docId, w, h))
+          else png(w, h, raster(docId, w, h))
         case 1 =>
           val ch = 1 + (docId % 2).toInt
           wav(8000 + (nChars % 8).toInt * 4000, ch, 16,
@@ -181,13 +216,28 @@ object MultimodalOps {
     private def le32(p: Array[Byte], off: Int): Long =
       (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
         ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    private def be32(p: Array[Byte], off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
     private def ascii(p: Array[Byte], off: Int, s: String): Boolean =
       s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+
+    /** PNG signature: 0x89 'PNG' CR LF 0x1A LF; floor is signature + full
+      * IHDR chunk (8 + 25 = 33 bytes) — width/height live big-endian at
+      * fixed offsets 16/20, the first fields of IHDR's data.
+      */
+    private[multimodal] def isPng(p: Array[Byte]): Boolean =
+      p.length >= 33 && p(0) == 0x89.toByte && ascii(p, 1, "PNG") &&
+        p(4) == 0x0d.toByte && p(5) == 0x0a.toByte &&
+        p(6) == 0x1a.toByte && p(7) == 0x0a.toByte
 
     def decode(docId: Long, p: Array[Byte]): MediaFeatures =
       if (p.length >= 54 && ascii(p, 0, "BM"))
         MediaFeatures(docId, "image", p.length,
           Some(le32(p, 18)), Some(le32(p, 22)), None, 1L)
+      else if (isPng(p))
+        MediaFeatures(docId, "image_png", p.length,
+          Some(be32(p, 16)), Some(be32(p, 20)), None, 1L)
       else if (p.length >= 44 && ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE"))
         MediaFeatures(docId, "audio", p.length,
           None, None, Some(le32(p, 24)),
@@ -220,11 +270,15 @@ object MultimodalOps {
   val m1 = Q(
     "m1_multimodal_features",
     """SELECT doc_id,
-      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
-      |  CASE doc_id % 3
-      |    WHEN 0 THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
-      |    WHEN 1 THEN 44 + (n_chars % 97 + 32) * (1 + doc_id % 2) * 2
-      |    ELSE octet_length(encode(text)) END AS n_bytes,
+      |  CASE WHEN doc_id % 6 = 0 THEN 'image'
+      |       WHEN doc_id % 6 = 3 THEN 'image_png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'binary' END AS modality,
+      |  CASE WHEN doc_id % 6 = 0
+      |         THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
+      |       WHEN doc_id % 6 = 3
+      |         THEN 57 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
+      |       WHEN doc_id % 3 = 1 THEN 44 + (n_chars % 97 + 32) * (1 + doc_id % 2) * 2
+      |       ELSE octet_length(encode(text)) END AS n_bytes,
       |  CASE WHEN doc_id % 3 = 0 THEN n_chars % 96 + 16 END AS width,
       |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 16 END AS height,
       |  CASE WHEN doc_id % 3 = 1 THEN 8000 + (n_chars % 8) * 4000 END AS sample_rate,
@@ -293,7 +347,7 @@ object MultimodalOps {
     """WITH geom AS (
       |  SELECT doc_id, n_chars % 96 + 16 AS w, doc_id % 64 + 16 AS h,
       |    greatest(n_chars % 96 + 16, doc_id % 64 + 16) AS longest
-      |  FROM documents WHERE doc_id % 3 = 0),
+      |  FROM documents WHERE doc_id % 6 = 0),
       |dims AS (
       |  SELECT doc_id, w, h,
       |    CASE WHEN longest <= 64 THEN w ELSE greatest(w * 64 // longest, 1) END AS nw,
@@ -311,11 +365,17 @@ object MultimodalOps {
       |          + 31 * ((o % (((nw * 3 + 3) // 4) * 4)) % 3)) % 256 END),
       |      ',')) AS thumb_digest
       |  FROM dims)
-      |SELECT d.doc_id, img.src_width, img.width, img.height,
-      |  CASE WHEN d.doc_id % 3 = 0 THEN img.n_bytes
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 6 = 3 THEN d.n_chars % 96 + 16 ELSE img.src_width END AS src_width,
+      |  CASE WHEN d.doc_id % 6 = 3 THEN d.n_chars % 96 + 16 ELSE img.width END AS width,
+      |  CASE WHEN d.doc_id % 6 = 3 THEN d.doc_id % 64 + 16 ELSE img.height END AS height,
+      |  CASE WHEN d.doc_id % 6 = 0 THEN img.n_bytes
+      |       WHEN d.doc_id % 6 = 3
+      |         THEN 57 + (((d.n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (d.doc_id % 64 + 16)
       |       WHEN d.doc_id % 3 = 1 THEN 44 + (d.n_chars % 97 + 32) * (1 + d.doc_id % 2) * 2
       |       ELSE octet_length(encode(d.text)) END AS n_bytes,
-      |  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
+      |  CASE WHEN d.doc_id % 6 = 0 THEN 'image' WHEN d.doc_id % 6 = 3 THEN 'image_png'
+      |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'binary' END AS modality,
       |  img.thumb_digest
       |FROM documents d LEFT JOIN img ON img.doc_id = d.doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -507,12 +567,16 @@ object MultimodalOps {
     */
   val m3 = Q(
     "m3_modality_census",
-    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
+    """SELECT CASE WHEN doc_id % 6 = 0 THEN 'image'
+      |       WHEN doc_id % 6 = 3 THEN 'image_png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'binary' END AS modality,
       |  count(*) AS n_items,
-      |  sum(CASE doc_id % 3
-      |        WHEN 0 THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
-      |        WHEN 1 THEN 44 + (n_chars % 97 + 32) * (1 + doc_id % 2) * 2
-      |        ELSE octet_length(encode(text)) END)::BIGINT AS total_bytes,
+      |  sum(CASE WHEN doc_id % 6 = 0
+      |             THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
+      |           WHEN doc_id % 6 = 3
+      |             THEN 57 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
+      |           WHEN doc_id % 3 = 1 THEN 44 + (n_chars % 97 + 32) * (1 + doc_id % 2) * 2
+      |           ELSE octet_length(encode(text)) END)::BIGINT AS total_bytes,
       |  sum(CASE doc_id % 3 WHEN 0 THEN 1
       |                      WHEN 1 THEN n_chars % 97 + 32
       |                      ELSE (octet_length(encode(text)) + 63) // 64 END)::BIGINT AS total_frames
@@ -521,10 +585,12 @@ object MultimodalOps {
     withPayloads(s, dir)
       .select(
         expr("CASE WHEN substring(payload, 1, 2) = X'424D' THEN 'image' " +
+          "WHEN substring(payload, 1, 8) = X'89504E470D0A1A0A' THEN 'image_png' " +
           "WHEN substring(payload, 1, 4) = X'52494646' AND substring(payload, 9, 4) = X'57415645' THEN 'audio' " +
           "ELSE 'binary' END").as("modality"),
         length(col("payload")).cast("long").as("n_bytes"),
         expr(s"CASE WHEN substring(payload, 1, 2) = X'424D' THEN 1L " +
+          s"WHEN substring(payload, 1, 8) = X'89504E470D0A1A0A' THEN 1L " +
           s"WHEN substring(payload, 1, 4) = X'52494646' AND substring(payload, 9, 4) = X'57415645' " +
           s"THEN ${leExpr("payload", 41, 4)} DIV ${leExpr("payload", 33, 2)} " +
           s"ELSE (length(payload) + ${MagicDecoder.FrameBytes - 1}) DIV ${MagicDecoder.FrameBytes} END")
@@ -556,7 +622,8 @@ object MultimodalOps {
     "m6_media_catalog_gate",
     """WITH d AS (
       |  SELECT doc_id,
-      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
+      |    CASE WHEN doc_id % 6 = 0 THEN 'image' WHEN doc_id % 6 = 3 THEN 'image_png'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'binary' END AS modality,
       |    CASE WHEN doc_id % 3 < 2 AND doc_id % 7 = 0 THEN 'catalog_match' ELSE 'live' END AS disposition
       |  FROM documents)
       |SELECT disposition, modality, count(*) AS n, sum(doc_id)::BIGINT AS id_checksum
@@ -567,7 +634,8 @@ object MultimodalOps {
     val corrupt = "doc_id % 3 < 2 AND doc_id % 7 = 0"
     val rows = withPayloads(s, dir)
       .withColumn("modality",
-        expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END"))
+        expr("CASE WHEN doc_id % 6 = 0 THEN 'image' WHEN doc_id % 6 = 3 THEN 'image_png' " +
+          "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'binary' END"))
       .withColumn("payload",
         when(expr(corrupt), expr("substring(payload, 1, 20)"))
           .otherwise(col("payload")))

@@ -54,6 +54,33 @@ class MultimodalFixtureSpec extends AnyFunSuite {
         "the doc_id%3-keyed oracles are unsound for these rows")
   }
 
+  test("PNG writer/decoder round-trip: signature, big-endian IHDR dims, chunk CRCs") {
+    val body = MediaContainers.raster(41L, 33, 17)
+    val p = MediaContainers.png(640, 480, body)
+    assert(p.length == 57 + body.length, "PNG framing overhead must be 57 bytes")
+    val f = MagicDecoder.decode(41L, p)
+    assert(f.modality == "image_png" && f.width.contains(640L) &&
+      f.height.contains(480L) && f.n_frames == 1L, f.toString)
+    // every chunk's CRC32 must verify over type||data (real PNG framing)
+    def be32(off: Int): Int =
+      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    var off = 8
+    var chunks = List.empty[String]
+    while (off < p.length) {
+      val len = be32(off)
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, off + 4, 4 + len)
+      assert(crc.getValue.toInt == be32(off + 8 + len),
+        s"bad CRC for chunk at $off")
+      chunks ::= new String(p.slice(off + 4, off + 8), "US-ASCII")
+      off += 12 + len
+    }
+    assert(chunks.reverse == List("IHDR", "IDAT", "IEND"))
+    // a truncated PNG (below the 33-byte signature+IHDR floor) is binary
+    assert(MagicDecoder.decode(41L, p.take(20)).modality == "binary")
+  }
+
   /** Independent reference: decode the raster to an image-space (y)(x)(c)
     * grid, 2-D NN sample in image space, re-serialize bottom-up + padded.
     */
