@@ -826,5 +826,118 @@ object DedupOps {
     winnowOverlapJoin(Tables.load(s, dir, "documents"))
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13)
+  /** d14: GROUP-AWARE DECONTAMINATION — p9's group-split discipline
+    * composed with d9's 5-gram overlap scrub, closing the gap between the
+    * two certificates: p9 proves no GROUP straddles the train/eval
+    * boundary at split time, d9 proves no surviving EVAL DOC shares a rare
+    * 5-gram with train — but a per-doc scrub leaves the contaminated doc's
+    * group in eval, and contamination is group-correlated (one crawl of a
+    * site that also leaked into train taints its siblings, exactly the
+    * failure mode group splits exist to prevent). Here the split is BY
+    * GROUP (`source`, hash-deterministic, p9's rule) and the scrub
+    * ESCALATES by group: a source whose contaminated fraction reaches
+    * [[GroupEvictPct]]% of its eval docs is evicted WHOLESALE
+    * (`eval_scrubbed_group` — pervasive leakage means the siblings can't
+    * be trusted either), below that only the contaminated docs drop
+    * (`eval_scrubbed_doc`) and the group stays. The threshold compare is
+    * integer arithmetic (`nc·100 >= n·[[GroupEvictPct]]`) so both engines
+    * decide identically. Invariants asserted in-query: no source straddles
+    * the boundary, and no contaminated doc survives into `eval_clean` —
+    * a true gate, not just a census.
+    *
+    * Scale shape: d9's machinery unchanged (shingle shuffles are
+    * vocab-keyed and df-capped, never corpus×corpus); the escalation adds
+    * one group-keyed agg over eval docs (group-cardinality output,
+    * AQE-broadcast while small) and two semi-class joins on scalar keys.
+    */
+  val GroupEvictPct = 15L
+
+  val d14 = Q(
+    "d14_group_decontamination",
+    s"""WITH d AS (
+       |  SELECT doc_id, text, source,
+       |    CASE WHEN ${graft.core.PortableHash.duck("source")} % 10 < 8
+       |      THEN 'train' ELSE 'eval' END AS split
+       |  FROM documents),
+       |tr AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(
+       |    list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+       |      i -> array_to_string(string_split(text, ' ')[i : i + 4], ' ')),
+       |    g -> ${graft.core.PortableHash.duck("g")}))) AS sg
+       |  FROM d WHERE split = 'train'),
+       |keep AS (SELECT sg FROM tr GROUP BY sg
+       |         HAVING count(DISTINCT doc_id) <= $ContamDfCap),
+       |te AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(
+       |    list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+       |      i -> array_to_string(string_split(text, ' ')[i : i + 4], ' ')),
+       |    g -> ${graft.core.PortableHash.duck("g")}))) AS sg
+       |  FROM d WHERE split = 'eval'),
+       |cont AS (SELECT DISTINCT doc_id FROM te WHERE sg IN (SELECT sg FROM keep)),
+       |evict AS (
+       |  SELECT d.source FROM d LEFT JOIN cont ON cont.doc_id = d.doc_id
+       |  WHERE d.split = 'eval' GROUP BY d.source
+       |  HAVING count(cont.doc_id) * 100 >= count(*) * $GroupEvictPct),
+       |disp AS (
+       |  SELECT d.doc_id, d.source,
+       |    CASE WHEN d.split = 'train' THEN 'train'
+       |         WHEN d.source IN (SELECT source FROM evict) THEN 'eval_scrubbed_group'
+       |         WHEN cont.doc_id IS NOT NULL THEN 'eval_scrubbed_doc'
+       |         ELSE 'eval_clean' END AS disposition
+       |  FROM d LEFT JOIN cont ON cont.doc_id = d.doc_id)
+       |SELECT disposition, count(*) AS n_docs,
+       |  count(DISTINCT source) AS n_sources,
+       |  sum(doc_id)::BIGINT AS id_checksum
+       |FROM disp GROUP BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val sgExpr =
+      s"""IF(size(t) >= 5,
+         |  array_distinct(transform(
+         |    transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5))),
+         |    g -> ${graft.core.PortableHash.spark("g")})),
+         |  CAST(array() AS ARRAY<BIGINT>))""".stripMargin
+    val d = docs
+      .withColumn("split",
+        when(expr(graft.core.PortableHash.spark("source") + " % 10") < 8, "train")
+          .otherwise("eval"))
+      .withColumn("t", split(col("text"), " "))
+    val tr = d.filter(col("split") === "train")
+      .select(col("doc_id"), explode(expr(sgExpr)).as("sg"))
+    val keep = tr.groupBy(col("sg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= ContamDfCap).select("sg")
+    val te = d.filter(col("split") === "eval")
+      .select(col("doc_id"), col("source"), explode(expr(sgExpr)).as("sg"))
+    val cont = te.join(keep, Seq("sg"), "left_semi")
+      .select("doc_id").distinct().withColumn("hit", lit(1))
+    val evict = d.filter(col("split") === "eval")
+      .join(cont, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), count(col("hit")).as("nc"))
+      .filter(col("nc") * 100 >= col("n") * GroupEvictPct)
+      .select(col("source")).withColumn("evicted", lit(1))
+    val disp = d.join(evict, Seq("source"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("disposition",
+        when(col("split") === "train", "train")
+          .when(col("evicted").isNotNull, "eval_scrubbed_group")
+          .when(col("hit").isNotNull, "eval_scrubbed_doc")
+          .otherwise("eval_clean"))
+    // the composed certificate, asserted in-query: (1) p9's — no source
+    // straddles train/eval; (2) the new one — after scrubbing, no
+    // contaminated doc survives in the clean eval set
+    require(d.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).isEmpty,
+      "group split leaked: a source appears on both sides of the boundary")
+    require(disp.filter(col("disposition") === "eval_clean" &&
+        col("hit").isNotNull).isEmpty,
+      "group scrub leaked: a contaminated doc survived in the clean eval set")
+    disp.groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("doc_id")).as("id_checksum"))
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,
+    d14)
 }
