@@ -630,6 +630,74 @@ object ScaleProbe {
       out
     }
 
+    // filtered-ANN rung: e15's broadcast-mask semi join vs e16's
+    // encode-time predicate denormalization, priced on the ladder with
+    // recall@5 PINNED — the two shapes contractually return IDENTICAL
+    // rows (e16's scaladoc), so the rung asserts bit-equal results and
+    // reports the recall both achieve against exact ground truth over the
+    // ALLOWED corpus. What diverges with scale is cost: e15 re-derives
+    // and broadcasts the allowed-id set per query batch (and at real N
+    // that set stops fitting a broadcast at all), e16 paid once at encode
+    // time and its query-time mask is a pushed-down data filter on the
+    // stored codes scan.
+    val filteredAnnR = (if (phase == "all" || phase == "filteredann") Seq(1, 4, 16)
+      else Seq.empty[Int]).map { k =>
+      val sim = graft.operators.SimilarityOps
+      val vecs = vecsTimes(spark, dir, k).cache()
+      val n = vecs.count()
+      val q = vecs.filter(col("vec_id") < 3)
+      val allowed = vecs.filter(col("label") < 4)
+      val idx = sim.ivfpqBuild(vecs)
+      val codes = idx.codes.localCheckpoint(); codes.count()
+      val pinned = sim.IvfPqIndex(idx.cents, idx.cb, codes)
+      val base = java.nio.file.Files.createTempDirectory("graft-filteredann")
+      val codesDir = base.resolve("codes").toString
+      codes.join(vecs.select("vec_id", "label"), Seq("vec_id"))
+        .write.partitionBy("cell").parquet(codesDir)
+      val stored = spark.read.parquet(codesDir)
+        .select(col("vec_id"), col("s"), col("code"),
+          col("cell").cast("long").as("cell"), col("label"))
+      def e15Scan() = sim.ivfpqFilteredScan(q, pinned, allowed)
+      def e16Scan() = sim.ivfpqScan(q,
+        sim.IvfPqIndex(idx.cents, idx.cb, stored.filter(col("label") < 4)))
+      def once(f: () => DataFrame) = time {
+        f().write.format("noop").mode("overwrite").save()
+      }
+      once(e15Scan); once(e16Scan) // warmup
+      val t15 = math.min(once(e15Scan), once(e15Scan))
+      val t16 = math.min(once(e16Scan), once(e16Scan))
+      // the contract: identical rows from both shapes
+      val got15 = e15Scan().collect().map(_.toSeq).toSet
+      require(got15 == e16Scan().collect().map(_.toSeq).toSet,
+        s"e15/e16 diverged at ${k}x — the denormalized mask is not the mask")
+      // recall@5 against exact L2 ground truth over the ALLOWED corpus
+      val wx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      val want = q.selectExpr("vec_id AS qid", "embedding AS qemb",
+          "vec_dot(embedding, embedding) AS qsq")
+        .crossJoin(allowed.selectExpr("vec_id", "embedding AS emb",
+          "vec_dot(embedding, embedding) AS sq"))
+        .filter(col("vec_id") =!= col("qid"))
+        .selectExpr("qid", "vec_id", "qsq + sq - 2 * vec_dot(qemb, emb) AS dist")
+        .withColumn("rnk", row_number().over(wx))
+        .filter(col("rnk") <= sim.PqTopK)
+        .collect().groupBy(_.getAs[Long]("qid"))
+        .map { case (g, rs) => g -> rs.map(_.getAs[Long]("vec_id")).toSet }
+      val got = got15.toSeq.groupBy(_.head.asInstanceOf[Long])
+        .map { case (g, rs) => g -> rs.map(_(2).asInstanceOf[Long]).toSet }
+      val recall = want.map { case (g, w) =>
+        got.getOrElse(g, Set.empty).count(w).toDouble / w.size
+      }.sum / want.size
+      vecs.unpersist()
+      graft.core.Checkpoints.release(codes)
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      System.gc()
+      System.err.println(f"[scale] filteredann $k%2dx  vecs=$n%7d  " +
+        f"e15(mask)=$t15%6.2f s  e16(denorm)=$t16%6.2f s  recall5=$recall%.3f")
+      (k, Seq[(String, Double)]("e15_mask" -> t15, "e16_denorm" -> t16,
+        "recall5" -> recall))
+    }
+
     // ivfpq quantizer-drift rung: the rebuild-trigger question e11/e13
     // leave open — e11 pins that frozen-quantizer ingest is CHEAP and e13
     // that rebuild+swap is SAFE, but nothing says WHEN a rebuild pays.
@@ -1201,6 +1269,9 @@ object ScaleProbe {
       s""""ivfpqmask_${pct}pct":{"scan":$t}"""
     } ++ ivfpqDriftR.map { case (pct, (rf, rr, n)) =>
       s""""ivfpqdrift_${pct}pct":{"recall5_frozen":$rf,"recall5_rebuilt":$rr,"corpus":$n}"""
+    } ++ filteredAnnR.map { case (k, vals) =>
+      vals.map { case (n2, v) => s""""$n2":$v""" }
+        .mkString(s""""filteredann_${k}x":{""", ",", "}")
     } ++ knnJoinR.map { case (k, vals) =>
       vals.map { case (n2, v) => s""""$n2":$v""" }
         .mkString(s""""knnjoin_${k}x":{""", ",", "}")
