@@ -324,6 +324,15 @@ object ClusterOps {
   def kmeansAssign(embs: DataFrame, k: Int = KMeansK): DataFrame =
     assignTo(withSq(embs), finalCentroids(embs, k))
 
+  /** [[kmeansAssign]] against an ALREADY-MATERIALIZED centroid relation —
+    * for callers that hold [[finalCentroids]] pinned (ivfpqBuild
+    * checkpoints it): assignment reads the pinned rows instead of
+    * re-running the whole seeded Lloyd train, which would otherwise
+    * execute once per consumer of the assignment's lineage.
+    */
+  def kmeansAssignWith(embs: DataFrame, cents: DataFrame): DataFrame =
+    assignTo(withSq(embs), cents)
+
   /** Backwards-compatible census form of [[kmeansAssign]] (ScaleProbe's
     * entry point — one aggregated row per cluster).
     */

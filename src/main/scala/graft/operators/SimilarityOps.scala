@@ -1420,7 +1420,9 @@ object SimilarityOps {
     */
   def ivfpqBuild(embs: DataFrame): IvfPqIndex = {
       val cents = ClusterOps.finalCentroids(embs).localCheckpoint()
-      val assign = ClusterOps.kmeansAssign(embs)
+      // assign against the PINNED centroids — kmeansAssign would re-run
+      // the whole seeded Lloyd train once per consumer of the codes
+      val assign = ClusterOps.kmeansAssignWith(embs, cents)
         .select(col("vec_id"), col("cid").as("cell"))
       val res = embs.join(assign, Seq("vec_id"))
         .join(broadcast(cents.selectExpr("cid AS cell", "cent AS ccent")), Seq("cell"))
@@ -1942,7 +1944,11 @@ object SimilarityOps {
     val cur = churnRotated(embs)
     val updIds = churnUpdatedIds(embs)
     val delIds = churnDeletedIds(embs)
-    val idx = ivfpqBuild(embs) // ver-0: the original corpus
+    // ver-0: the original corpus. The codes pin once — they feed the
+    // served view AND (via cents/cb, already pinned by the build) the
+    // ingest encode; without it the full encode re-executes per branch
+    val idx0 = ivfpqBuild(embs)
+    val idx = idx0.copy(codes = idx0.codes.localCheckpoint())
     // delete wins over update: an id in both is never re-encoded
     val arriving = churnArrivals(embs)
       .join(delIds, Seq("vec_id"), "left_anti")
