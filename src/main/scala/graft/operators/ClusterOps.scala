@@ -526,11 +526,11 @@ object ClusterOps {
     * per-cluster census. This is the curation shape between pairwise
     * near-dup (d-family) and centroid clustering (c3): clusters emerge
     * from local neighborhood agreement, no k chosen up front. Scale: the
-    * kNN graph is s4's cell-shuffle build (never all-pairs), the
+    * kNN graph is s4's salted code-shuffle build (never all-pairs; only
+    * supers, codebooks, and the SDC pair table broadcast), the
     * mutuality filter is a self-join of the 3N-row edge list on the
     * reversed key (checkpointed once, joined once), components are the
-    * pointer-jumping loop — every stage corpus-shuffled, nothing
-    * broadcast but centroids.
+    * pointer-jumping loop — every stage corpus-shuffled.
     */
   val c6 = Q(
     "c6_mutual_knn_clusters",
