@@ -600,8 +600,59 @@ object LakeSink {
           fs.exists(new Path(ledger, id))) {
         System.err.println(s"[lake] reclaiming committed staging ${s.getPath.getName}")
         fs.delete(s.getPath, true)
+      } else if (s.getPath.getName.startsWith("occ-")) {
+        // an OCC writer's staging lives only between its staging write and
+        // placement; vacuum runs under an exclusive epoch, which fences
+        // every OCC writer, so a surviving occ- tree is an abandoned
+        // writer's leftover
+        System.err.println(s"[lake] reclaiming abandoned OCC staging ${s.getPath.getName}")
+        fs.delete(s.getPath, true)
       }
     }
+    // OCC leftovers in the LIVE tree: files an OCC writer placed but never
+    // committed (crash between placement and marker). Normally its own
+    // next call reaps them, but an ABANDONED writerId leaves a live
+    // hazard — a future commit claiming that id would adopt the orphan
+    // rows into its marker. Vacuum's exclusive epoch makes the reap safe:
+    // a gb<id>-w<writer>- file survives iff marker <id> exists AND carries
+    // that writer's #occ tag. Ids BELOW the ledger's retained floor are
+    // exempt — their markers were legitimately pruned by an earlier
+    // vacuum, so marker absence there proves nothing (reaping them would
+    // destroy committed rows).
+    val ledgerFloor: Option[Long] = {
+      val ids = if (!fs.exists(ledger)) Seq.empty else fs.listStatus(ledger).toSeq
+        .filter(s => s.isFile && s.getPath.getName.nonEmpty &&
+          s.getPath.getName.forall(_.isDigit))
+        .map(_.getPath.getName.toLong)
+      if (ids.isEmpty) None else Some(ids.min)
+    }
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      .foreach { leaf =>
+        fs.listStatus(leaf.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("gb") &&
+            f.getPath.getName.contains("-w"))
+          .foreach { f =>
+            val n = f.getPath.getName
+            val id = n.stripPrefix("gb").takeWhile(_.isDigit)
+            val wid = n.drop(2 + id.length).stripPrefix("-w").takeWhile(_ != '-')
+            val committed = id.nonEmpty && {
+              val m = new Path(ledger, id)
+              fs.exists(m) && (markerTagOf(fs, m) match {
+                case Some(tag) =>
+                  val words = tag.split(' ')
+                  words.headOption.contains(MarkerOcc) && words.lift(1).contains(wid)
+                case None => false
+              })
+            }
+            val aboveFloor =
+              id.nonEmpty && ledgerFloor.exists(floor => id.toLong >= floor)
+            if (!committed && wid.nonEmpty && aboveFloor) {
+              System.err.println(s"[lake] reclaiming uncommitted OCC leftover $n")
+              fs.delete(f.getPath, false)
+            }
+          }
+      }
     // time-travel history: pre-sweep generations serve snapshots older
     // than a compaction horizon ([[readAsOf]]) — retention-expired leaves
     // inside them fall with the live leaf, and whole generations below

@@ -144,6 +144,41 @@ class LakeOccSpec extends AnyFunSuite {
       .filter(col("event_id") === 50L).count() == 1L)
   }
 
+  test("vacuum reaps an abandoned writer's leftovers; committed OCC rows survive") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_occ_vacuum") + "/t"
+    layDown(lake)
+    // commit 2: a real OCC commit — its files must survive every vacuum
+    assert(LakeSink.appendBatchOcc(spark, lake,
+      Seq(ev(50, 9, "tail", 50.0)).toDF(), writerId = "tail") == 2L)
+    // an ABANDONED writer: placed files at the next id, no marker, never
+    // returns to reap its own leftovers
+    intercept[RuntimeException] {
+      LakeSink.appendBatchOcc(spark, lake,
+        Seq(ev(60, 8, "ghost", 60.0)).toDF(), writerId = "ghost",
+        faultInjector = p => if (p == "placed") sys.error("crash@placed"))
+    }
+    assert(leafFiles(lake, "event_date=2024-03-08").exists(_.contains("-wghost-")))
+    val ep = LakeSink.claimWriterEpoch(spark, lake)
+    LakeSink.vacuum(spark, lake,
+      before = java.time.LocalDate.of(2024, 1, 1), fenceEpoch = Some(ep))
+    // the orphans and the abandoned staging are gone; committed rows stand
+    assert(!leafFiles(lake, "event_date=2024-03-08").exists(_.contains("-wghost-")),
+      "vacuum left the abandoned writer's uncommitted files")
+    assert(leafFiles(lake, "event_date=2024-03-09").exists(_.contains("-wtail-")),
+      "vacuum reaped a COMMITTED OCC writer's files")
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake, "_staging/occ-ghost")))
+    assert(ids(LakeSink.readLake(spark, lake)) == Set(1L, 2L, 3L, 5L, 6L, 7L, 50L))
+    // the adoption hazard is closed: a later commit claiming the crashed
+    // attempt's id carries none of the ghost's rows
+    assert(LakeSink.appendBatch(spark, lake,
+      Seq(ev(70, 1, "later", 70.0)).toDF()) == 3L)
+    assert(ids(LakeSink.readLake(spark, lake)) ==
+      Set(1L, 2L, 3L, 5L, 6L, 7L, 50L, 70L))
+  }
+
   test("an exclusive epoch claim fences OCC writers out, files rolled back") {
     import spark.implicits._
     val lake = GraftTestSpark.tmpDir("lake_occ_fence") + "/t"
