@@ -389,12 +389,16 @@ object FormatQueries {
     */
   val f10 = Q(
     "f10_binaryfile_scan",
-    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'binary' END AS modality,
+    """SELECT CASE WHEN doc_id % 6 = 0 THEN 'image'
+      |       WHEN doc_id % 6 = 3 THEN 'image_png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'binary' END AS modality,
       |  count(*) AS n_items,
-      |  sum(CASE doc_id % 3
-      |        WHEN 0 THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
-      |        WHEN 1 THEN 44 + (n_chars % 97 + 32) * (1 + doc_id % 2) * 2
-      |        ELSE octet_length(encode(text)) END)::BIGINT AS total_bytes,
+      |  sum(CASE WHEN doc_id % 6 = 0
+      |        THEN 54 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
+      |       WHEN doc_id % 6 = 3
+      |        THEN 57 + (((n_chars % 96 + 16) * 3 + 3) // 4) * 4 * (doc_id % 64 + 16)
+      |       WHEN doc_id % 3 = 1 THEN 44 + (n_chars % 97 + 32) * (1 + doc_id % 2) * 2
+      |       ELSE octet_length(encode(text)) END)::BIGINT AS total_bytes,
       |  sum(doc_id)::BIGINT AS id_checksum
       |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
     // SHARED-FILESYSTEM PRECONDITION: the blob directory is a
@@ -432,6 +436,7 @@ object FormatQueries {
       .select(
         col("doc_id"),
         expr("CASE WHEN substring(content, 1, 2) = X'424D' THEN 'image' " +
+          "WHEN substring(content, 1, 8) = X'89504E470D0A1A0A' THEN 'image_png' " +
           "WHEN substring(content, 1, 4) = X'52494646' AND substring(content, 9, 4) = X'57415645' THEN 'audio' " +
           "ELSE 'binary' END").as("modality"),
         length(col("content")).cast("long").as("n_bytes"))

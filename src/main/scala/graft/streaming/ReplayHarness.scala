@@ -1847,6 +1847,117 @@ object ReplayHarness {
     * stream source orders same-batch candidates by mod time, so ascending
     * stamps give deterministic chunk-per-micro-batch replay.
     */
+  /** st51's harness: the ingest tail as an OPTIMISTIC writer — a real
+    * micro-batch stream whose foreachBatch commits through
+    * [[LakeSink.appendBatchOcc]] (writerId `tail`, dedupKey = the engine
+    * batch id), SHARING the table with an independent merge job instead
+    * of owning it through the exclusive fence. Two windows exercised:
+    *
+    *   1. crash AFTER the OCC commit, BEFORE the engine checkpoint: the
+    *      restart replays the batch, and the claimed-id discipline the
+    *      non-OCC sinks use cannot answer it (OCC ids float by design) —
+    *      the dedupKey does: the replay short-circuits off its own
+    *      `#occ tail b<n>` marker no matter where the ledger head is.
+    *   2. an independent MERGE job lands between tail batches under its
+    *      own exclusive epoch: the tail's next OCC call observes the new
+    *      epoch as its shared token and keeps committing — the two
+    *      writers interleave on one ledger, neither dying on the fence.
+    *
+    * In-harness guards pin the ledger arithmetic (tail commits at 0,1,2;
+    * the merge's rewrite at 3; the resumed tail at 4,5,6) and the replay
+    * short-circuit; the oracle census prices exactly-once — a doubled
+    * replayed batch, a lost post-merge batch, or a dropped merge effect
+    * each shift a (date, type) cell.
+    */
+  def replayOccTail(spark: SparkSession, sfDir: String, chunks: Int = 6,
+      phase1Chunks: Int = 3): DataFrame = {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val base = scratchDir("graft_occtail_")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val lakeDir = base.resolve("lake").toString
+    val ckpt = base.resolve("ckpt")
+    val withChunk = events.withColumn("__chunk",
+      pmod(col("event_id"), lit(chunks)).cast("int"))
+    val now = System.currentTimeMillis()
+    def publishChunk(i: Int): Unit = {
+      val stage = base.resolve(s"stage_$i")
+      withChunk.filter(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.parquet(stage.toString)
+      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 2 - i) * 60000L)
+    }
+    val crashFired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val committedIds =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(4, prevShuffle.toInt).toString)
+    try {
+      def runPhase(expectInjectedCrash: Boolean = false): Unit = {
+        val in = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val q = in.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val id = LakeSink.appendBatchOcc(spark, lakeDir, batch,
+              writerId = "tail", dedupKey = Some(s"b$batchId"))
+            committedIds.put(batchId, id)
+            if (batchId == 1L && crashFired.compareAndSet(false, true))
+              throw new RuntimeException("injected post-commit crash at batch 1")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        def injected(t: Throwable): Boolean = t != null &&
+          (String.valueOf(t.getMessage).contains("injected post-commit crash") ||
+            injected(t.getCause))
+        try q.awaitTermination()
+        catch {
+          case e: Throwable if expectInjectedCrash && injected(e) =>
+            System.err.println("[occtail] post-commit crash fired; the " +
+              "replayed batch must short-circuit off its dedup marker")
+        }
+      }
+      (0 until phase1Chunks).foreach(publishChunk)
+      runPhase(expectInjectedCrash = true)
+      require(crashFired.get, "injected post-commit crash never fired")
+      runPhase() // the replay of batch 1 must dedup, not double-append
+      require(Option(committedIds.get(1L)).map(_.longValue).contains(1L),
+        s"replayed batch 1 landed at ${committedIds.get(1L)} — the dedupKey " +
+          "did not short-circuit")
+      // an independent merge job between tail batches: its own exclusive
+      // epoch, its own ledger slot — the tail resumes right past it
+      val inPhase1 = pmod(col("event_id"), lit(chunks)) < phase1Chunks
+      val m = LakeSink.mergeInto(spark, lakeDir,
+        events.filter(inPhase1 && pmod(col("event_id"), lit(10)) === 7)
+          .withColumn("event_type", lit("updated"))
+          .withColumn("value", col("value") + 1000.0),
+        "event_id",
+        events.filter(inPhase1 && pmod(col("event_id"), lit(10)) === 3)
+          .select("event_id", "ts"))
+      require(m.commitId == phase1Chunks.toLong,
+        s"merge expected commit $phase1Chunks, got ${m.commitId}")
+      (phase1Chunks until chunks).foreach(publishChunk)
+      runPhase()
+      require(Option(committedIds.get(chunks - 1L)).map(_.longValue)
+          .contains(chunks.toLong),
+        s"tail did not resume past the merge: last batch landed at " +
+          s"${committedIds.get(chunks - 1L)}, expected $chunks")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(streamDir)
+      deleteRecursively(ckpt)
+    }
+    val out = LakeSink.readLake(spark, lakeDir)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+    val rows = out.collect().toIndexedSeq
+    val schema = out.schema
+    cleanupScratch(base)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
   private def publish(stage: Path, streamDir: Path, name: String, modTime: Long): Unit = {
     val listing = Files.list(stage)
     val part =

@@ -1751,10 +1751,38 @@ object StreamingQueries {
     ReplayHarness.replayBronzeSilverGold(s, dir)
   }
 
+  /** st51: the ingest tail as an OPTIMISTIC writer — f22's multi-writer
+    * protocol under a REAL micro-batch stream
+    * ([[ReplayHarness.replayOccTail]]): every foreachBatch commits through
+    * [[graft.streaming.LakeSink.appendBatchOcc]] with dedupKey = the
+    * engine batch id, an injected crash lands AFTER the OCC commit and
+    * BEFORE the engine checkpoint (the window where the replayed batch
+    * must short-circuit off its own `#occ` marker — claimed ids cannot
+    * express this, OCC ids float), and an independent merge job commits
+    * between tail batches under its own exclusive epoch without either
+    * writer dying on the fence. The oracle prices exactly-once end to
+    * end: a doubled replay, a lost post-merge batch, or a dropped merge
+    * effect each shift a (date, type) census cell.
+    */
+  val st51 = Q("st51_stream_occ_tail",
+    """WITH cur AS (
+      |  SELECT event_id, ts,
+      |    CASE WHEN event_id % 6 < 3 AND event_id % 10 = 7
+      |      THEN 'updated' ELSE event_type END AS event_type,
+      |    CASE WHEN event_id % 6 < 3 AND event_id % 10 = 7
+      |      THEN value + 1000 ELSE value END AS value
+      |  FROM events
+      |  WHERE NOT (event_id % 6 < 3 AND event_id % 10 = 3))
+      |SELECT ts::DATE AS event_date, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value, sum(event_id)::BIGINT AS id_checksum
+      |FROM cur GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    ReplayHarness.replayOccTail(s, dir)
+  }
+
   val all: Seq[Q] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
       st14, st15, st16, st17, st18, st19, st20, st21, st22, st23, st24, st25,
       st26, st27, st28, st29, st30, st31, st32, st33, st34, st35, st36, st37,
       st38, st39, st40, st41, st42, st43, st44, st45, st46, st47, st48, st49,
-      st50)
+      st50, st51)
 }
