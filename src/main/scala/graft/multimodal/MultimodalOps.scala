@@ -641,28 +641,44 @@ object MultimodalOps {
           .otherwise(col("payload")))
       .withColumn("ts",
         expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, CAST(doc_id % 10 AS INT))"))
+      // pin the synthesized payload frame ONCE: each of the 4 expectation
+      // appends makes two passes (pass + fail filters), so the unpinned
+      // lineage ran the per-row media synthesis (BMP/PNG/WAV container
+      // build incl. CRC32 framing) 8x per evaluation (guide §5)
+      .localCheckpoint()
     (0 until 4).foreach { i =>
       sink.appendWithExpectations(s, lakeDir,
         rows.filter(pmod(col("doc_id"), lit(4)) === i),
         Seq("catalog_match" -> "media_modality(payload) = modality"),
         commitId = Some(i.toLong))
     }
+    graft.core.Checkpoints.release(rows)
     val live = sink.readLake(s, lakeDir)
     val quarantined = sink.readQuarantine(s, lakeDir)
     // the gate must be EXACT against the injected corruption — a drifting
-    // sniffer fails here, making the oracle row a true gate on the decoder
-    require(quarantined.filter(!expr(corrupt)).isEmpty,
-      "catalog gate false positive: a clean payload was quarantined")
-    require(live.filter(expr(corrupt)).isEmpty,
-      "catalog gate false negative: a corrupt payload went live")
+    // sniffer fails here, making the oracle row a true gate on the decoder.
+    // The certificate rides the census passes as observed metrics
+    // (CollectMetrics on the same scan the aggregation makes) instead of
+    // the two r16 standalone filter-isEmpty jobs; the require()s below
+    // still fire in-query, after the collect the row already performs.
+    val fpObs = org.apache.spark.sql.Observation()
+    val fnObs = org.apache.spark.sql.Observation()
     val liveC = live
+      .observe(fnObs, coalesce(sum(when(expr(corrupt), 1L).otherwise(0L)), lit(0L))
+        .as("false_negatives"))
       .groupBy(lit("live").as("disposition"), col("modality"))
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
     val qC = quarantined
+      .observe(fpObs, coalesce(sum(when(!expr(corrupt), 1L).otherwise(0L)), lit(0L))
+        .as("false_positives"))
       .groupBy(col("_violations").as("disposition"), col("modality"))
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
     val out = liveC.unionByName(qC)
     val collected = out.collect().toIndexedSeq
+    require(fpObs.get.get("false_positives").contains(0L),
+      "catalog gate false positive: a clean payload was quarantined")
+    require(fnObs.get.get("false_negatives").contains(0L),
+      "catalog gate false negative: a corrupt payload went live")
     graft.streaming.ReplayHarness.cleanupScratch(base)
     s.createDataFrame(s.sparkContext.parallelize(collected), out.schema)
   }

@@ -285,17 +285,20 @@ object ClusterOps {
   private def withSq(embs: DataFrame): DataFrame =
     embs.selectExpr("vec_id", "embedding", "vec_dot(embedding, embedding) AS sq")
 
-  /** Nearest centroid per vector: scored broadcast join + top-1 window.
-    * `cents` is (cid, cent, csq) — bounded rows by construction.
+  /** Nearest centroid per vector: scored broadcast join + argmin
+    * AGGREGATE. `cents` is (cid, cent, csq) — bounded rows by
+    * construction. min_by over struct(dist2, cid) selects exactly the row
+    * the old top-1 window's orderBy(dist2, cid) ranked first, but as a
+    * partial+final hash aggregate (guide §2.3): the k-way scored fan-out
+    * collapses map-side to one row per vec_id BEFORE the exchange, where
+    * the r16 window shape shuffled all k scored rows and sorted them.
     */
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = e.join(broadcast(cents))
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents))
       .selectExpr("vec_id", "cid", "sq + csq - 2 * vec_dot(embedding, cent) AS dist2")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select("vec_id", "cid")
-  }
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cid"))
+      .select("vec_id", "cid")
 
   /** The (cid, cent, csq) centroid relation after c3's one unrolled Lloyd
     * round: deterministic seeds (k lowest vec_ids), assign, recompute

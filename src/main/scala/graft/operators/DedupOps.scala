@@ -841,9 +841,11 @@ object DedupOps {
     * be trusted either), below that only the contaminated docs drop
     * (`eval_scrubbed_doc`) and the group stays. The threshold compare is
     * integer arithmetic (`nc·100 >= n·[[GroupEvictPct]]`) so both engines
-    * decide identically. Invariants asserted in-query: no source straddles
-    * the boundary, and no contaminated doc survives into `eval_clean` —
-    * a true gate, not just a census.
+    * decide identically. Invariants: the clean-leak certificate rides the
+    * query's own final pass as an observed metric (`d14_certificate` /
+    * `clean_leaks`, enforced by DedupCertificateSpec), and the
+    * split-straddle invariant is structural (split is a pure function of
+    * source) — neither costs an extra corpus scan per evaluation anymore.
     *
     * Scale shape: d9's machinery unchanged (shingle shuffles are
     * vocab-keyed and df-capped, never corpus×corpus); the escalation adds
@@ -908,8 +910,15 @@ object DedupOps {
       .filter(col("df") <= ContamDfCap).select("sg")
     val te = d.filter(col("split") === "eval")
       .select(col("doc_id"), col("source"), explode(expr(sgExpr)).as("sg"))
+    // Pin the contaminated-doc set ONCE (an O(contamination)-row scalar
+    // frame): it feeds both the evict aggregate and the disposition join,
+    // and without the pin each consumer re-runs the whole 5-gram
+    // explode + df-cap + semi-join pipeline — the r16 advice measured the
+    // shingle stages executing ~4x per evaluation (guide §5: reuse beats
+    // recompute when the intermediate is tiny and the lineage is hot).
     val cont = te.join(keep, Seq("sg"), "left_semi")
       .select("doc_id").distinct().withColumn("hit", lit(1))
+      .localCheckpoint()
     val evict = d.filter(col("split") === "eval")
       .join(cont, Seq("doc_id"), "left")
       .groupBy(col("source"))
@@ -923,16 +932,20 @@ object DedupOps {
           .when(col("evicted").isNotNull, "eval_scrubbed_group")
           .when(col("hit").isNotNull, "eval_scrubbed_doc")
           .otherwise("eval_clean"))
-    // the composed certificate, asserted in-query: (1) p9's — no source
-    // straddles train/eval; (2) the new one — after scrubbing, no
-    // contaminated doc survives in the clean eval set
-    require(d.groupBy(col("source"))
-      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).isEmpty,
-      "group split leaked: a source appears on both sides of the boundary")
-    require(disp.filter(col("disposition") === "eval_clean" &&
-        col("hit").isNotNull).isEmpty,
-      "group scrub leaked: a contaminated doc survived in the clean eval set")
-    disp.groupBy(col("disposition"))
+    // the composed certificate, riding the pass the query already makes
+    // (Dataset.observe / CollectMetrics — q64's ObservedMetricsSpec
+    // discipline) instead of the two r16 require() actions that each
+    // re-scanned the eval split as a separate job. Metric semantics:
+    //   clean_leaks — rows whose disposition is eval_clean but that the
+    //     contamination set flagged; the scrub contract demands 0.
+    // The split-straddle half of the certificate (no source on both sides
+    // of the boundary) is structural — `split` is a pure function of
+    // `source` — and is pinned by DedupCertificateSpec rather than
+    // re-proved with an extra corpus scan per evaluation.
+    disp.observe("d14_certificate",
+        sum(when(col("disposition") === "eval_clean" && col("hit").isNotNull,
+          1L).otherwise(0L)).as("clean_leaks"))
+      .groupBy(col("disposition"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         sum(col("doc_id")).as("id_checksum"))

@@ -834,17 +834,22 @@ object SimilarityOps {
       .selectExpr("vec_id", "e.s AS s", "e.sub AS sub", "vec_dot(e.sub, e.sub) AS sq")
 
   /** Nearest codebook entry per (vector, subspace): scored broadcast join +
-    * top-1 window, c3's assignment discipline (raw-double distance order,
-    * cid tie-break — the ordered-fold dot makes the doubles bit-identical
-    * across engines, so no rounding is needed before the argmin).
+    * argmin AGGREGATE, c3's assignment discipline (raw-double distance
+    * order, cid tie-break — the ordered-fold dot makes the doubles
+    * bit-identical across engines, so no rounding is needed before the
+    * argmin). min_by over struct(dist2, cid) picks exactly the row the
+    * old top-1 window's orderBy(dist2, cid) ranked first, but as a
+    * partial+final hash aggregate (guide §2.3 "aggregate before you
+    * shuffle"): the K-way scored fan-out collapses map-side to one row
+    * per (vec_id, s) BEFORE the exchange, where the r16 window shape
+    * shuffled all K scored rows and sorted them per group.
     */
-  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("dist2"), col("cid"))
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
     sub.join(broadcast(cb), Seq("s"))
       .selectExpr("vec_id", "s", "cid", "sq + csq - 2 * vec_dot(sub, cent) AS dist2")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cid"))
       .select("vec_id", "s", "cid")
-  }
 
   /** Public PQ encode: codes `(vec_id, s, cid)` for an `embeddings`-shaped
     * frame under the given codebooks (the suite's reconstruction checks
@@ -1814,16 +1819,31 @@ object SimilarityOps {
       val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
       val ckpt = base.resolve("ckpt").toString
       val store = base.resolve("store").toString
+      // three arrival chunks, published oldest-first for deterministic
+      // micro-batch assignment (vec_id-derived, so the split is
+      // replayable). Staged CONCURRENTLY with the index build below
+      // (guide §2.6) — the chunks are pure functions of the fixture and
+      // stay in private stage dirs until the post-build publish loop.
+      val now = System.currentTimeMillis()
+      val stagePool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val staged = {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(stagePool)
+        (0 until 3).map { i =>
+          scala.concurrent.Future {
+            arriving.filter(pmod(col("vec_id"), lit(3)) === i)
+              .select("vec_id", "embedding")
+              .coalesce(1).write.parquet(base.resolve(s"stage_$i").toString)
+          }
+        }
+      }
+      stagePool.shutdown()
       val idx = ivfpqBuild(existing)
       writeIndexVersion(spark, store, idx, 1)
-      // three arrival chunks, published oldest-first for deterministic
-      // micro-batch assignment (vec_id-derived, so the split is replayable)
-      val now = System.currentTimeMillis()
       (0 until 3).foreach { i =>
         val stage = base.resolve(s"stage_$i")
-        arriving.filter(pmod(col("vec_id"), lit(3)) === i)
-          .select("vec_id", "embedding")
-          .coalesce(1).write.parquet(stage.toString)
+        scala.concurrent.Await.result(staged(i),
+          scala.concurrent.duration.Duration(10, "min"))
         val listing = java.nio.file.Files.list(stage)
         val part = try listing.filter(_.getFileName.toString.startsWith("part-"))
           .findFirst().orElseThrow(() => new IllegalStateException(s"no part in $stage"))

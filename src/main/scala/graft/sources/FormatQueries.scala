@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,8 +21,14 @@ import graft.core.{Q, Tables}
   * task per partition), the read-back supplies the schema EXPLICITLY
   * (`schema(...)`) so no inference pre-scan of the whole dataset ever runs,
   * and the downstream aggregate is the usual partial+final hash agg. The
-  * scratch directory is per-invocation under java.io.tmpdir — verification
-  * plumbing, not part of the operator.
+  * scratch directory is RAM-backed when /dev/shm is writable (falling back
+  * to java.io.tmpdir) — verification plumbing, not part of the operator:
+  * the lake verbs rewrite whole leaf sets (purge, restore, clone, z-order
+  * compaction), and on this box java.io.tmpdir is spinning ext4 while the
+  * replay harness already stages on tmpfs, so a disk-backed scratch times
+  * the sandbox's disk, not the operator (guide §1.4/§6). A production lake
+  * lives on real storage the deployment sizes — durability of a
+  * verification scratch is not part of the contract being measured.
   */
 object FormatQueries {
 
@@ -40,7 +44,7 @@ object FormatQueries {
   private val scratchDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def scratchDir(prefix: String): String =
     scratchDirs.computeIfAbsent(prefix, { p =>
-      val dir = Files.createTempDirectory(p)
+      val dir = graft.streaming.ReplayHarness.scratchDir(p)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
@@ -949,13 +953,17 @@ object FormatQueries {
     }
     val live = graft.streaming.LakeSink.readLake(s, lakeDir)
     val quarantined = graft.streaming.LakeSink.readQuarantine(s, lakeDir)
-    // conservation + gate guards: nothing lost, nothing leaked
-    val total = events.count()
-    require(live.count() + quarantined.count() == total,
-      "expectations gate lost or duplicated rows")
-    require(live.filter(col("value") > 300 || col("event_type") === "error").isEmpty,
-      "violating rows leaked into the live lake")
+    // conservation + gate guards: nothing lost, nothing leaked. Both ride
+    // passes the query already makes instead of the three r16 standalone
+    // jobs (live.count + quarantined.count + live-leak filter): the leak
+    // certificate is an observed metric on the live census scan, and
+    // conservation compares the census's own n column against one cheap
+    // count of the input (guide §1.2 — don't compute things twice).
+    val leakObs = org.apache.spark.sql.Observation()
     val liveCensus = live
+      .observe(leakObs, coalesce(sum(when(
+        col("value") > 300 || col("event_type") === "error", 1L).otherwise(0L)),
+        lit(0L)).as("leaked"))
       .groupBy(lit("live").as("disposition"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("total_value"),
@@ -967,6 +975,10 @@ object FormatQueries {
         sum(col("event_id")).as("id_checksum"))
     val census = liveCensus.unionByName(qCensus)
     val rows = census.collect().toIndexedSeq
+    require(rows.map(_.getAs[Long]("n")).sum == events.count(),
+      "expectations gate lost or duplicated rows")
+    require(leakObs.get.get("leaked").contains(0L),
+      "violating rows leaked into the live lake")
     graft.streaming.ReplayHarness.cleanupScratch(base)
     s.createDataFrame(s.sparkContext.parallelize(rows), census.schema)
   }

@@ -559,13 +559,31 @@ object LakeSink {
     * `fenceEpoch` fences scheduled maintenance like the sweep: validated at
     * entry and re-validated after the healing pass, immediately before the
     * destructive sections — claim one via [[claimWriterEpoch]].
+    *
+    * `occReapGraceMs` is the Delta-vacuum-style retention horizon for the
+    * two OCC reaps (abandoned `occ-` staging trees and unmarkered
+    * `gb*-w*` live files): only artifacts whose mtime predates vacuum
+    * entry by at least this window are reaped. The exclusive epoch does
+    * NOT fence an OCC writer that entered AFTER the claim — it adopts the
+    * claimed epoch as its sharedEpoch (st51 pins that adoption) and
+    * passes every checkShared while vacuum runs — so a zero-grace reap
+    * could delete a live writer's staging between its write and
+    * placement (the writer would then commit an EMPTY marker carrying its
+    * dedupKey, silently losing the batch) or its placed-but-unmarkered
+    * files. The grace window exempts anything young enough to still be in
+    * flight; a genuinely abandoned writer's leftovers age past it and are
+    * reaped on the next run.
     */
+  val OccReapGraceMs: Long = 15L * 60 * 1000
+
   def vacuum(
       spark: org.apache.spark.sql.SparkSession,
       lakeDir: String,
       before: java.time.LocalDate,
       ledgerKeep: Long = 1000L,
-      fenceEpoch: Option[Long] = None): (Seq[String], Int) = {
+      fenceEpoch: Option[Long] = None,
+      occReapGraceMs: Long = OccReapGraceMs): (Seq[String], Int) = {
+    val occReapHorizon = System.currentTimeMillis() - occReapGraceMs
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (Seq.empty, 0)
@@ -600,11 +618,13 @@ object LakeSink {
           fs.exists(new Path(ledger, id))) {
         System.err.println(s"[lake] reclaiming committed staging ${s.getPath.getName}")
         fs.delete(s.getPath, true)
-      } else if (s.getPath.getName.startsWith("occ-")) {
+      } else if (s.getPath.getName.startsWith("occ-") &&
+          s.getModificationTime < occReapHorizon) {
         // an OCC writer's staging lives only between its staging write and
-        // placement; vacuum runs under an exclusive epoch, which fences
-        // every OCC writer, so a surviving occ- tree is an abandoned
-        // writer's leftover
+        // placement. The exclusive epoch does NOT fence a writer that
+        // entered after the claim (it adopts the epoch — see
+        // occReapGraceMs above), so staleness is proved by AGE, not by
+        // the fence: only a tree older than the grace window is reaped.
         System.err.println(s"[lake] reclaiming abandoned OCC staging ${s.getPath.getName}")
         fs.delete(s.getPath, true)
       }
@@ -613,12 +633,14 @@ object LakeSink {
     // committed (crash between placement and marker). Normally its own
     // next call reaps them, but an ABANDONED writerId leaves a live
     // hazard — a future commit claiming that id would adopt the orphan
-    // rows into its marker. Vacuum's exclusive epoch makes the reap safe:
-    // a gb<id>-w<writer>- file survives iff marker <id> exists AND carries
-    // that writer's #occ tag. Ids BELOW the ledger's retained floor are
-    // exempt — their markers were legitimately pruned by an earlier
-    // vacuum, so marker absence there proves nothing (reaping them would
-    // destroy committed rows).
+    // rows into its marker. A gb<id>-w<writer>- file survives iff marker
+    // <id> exists AND carries that writer's #occ tag, OR it is younger
+    // than the occReapGraceMs horizon (a concurrent writer that adopted
+    // the maintenance epoch may have placed it seconds ago and not yet
+    // marker-committed — reaping it would lose its committed rows). Ids
+    // BELOW the ledger's retained floor are also exempt — their markers
+    // were legitimately pruned by an earlier vacuum, so marker absence
+    // there proves nothing (reaping them would destroy committed rows).
     val ledgerFloor: Option[Long] = {
       val ids = if (!fs.exists(ledger)) Seq.empty else fs.listStatus(ledger).toSeq
         .filter(s => s.isFile && s.getPath.getName.nonEmpty &&
@@ -647,7 +669,8 @@ object LakeSink {
             }
             val aboveFloor =
               id.nonEmpty && ledgerFloor.exists(floor => id.toLong >= floor)
-            if (!committed && wid.nonEmpty && aboveFloor) {
+            val agedOut = f.getModificationTime < occReapHorizon
+            if (!committed && wid.nonEmpty && aboveFloor && agedOut) {
               System.err.println(s"[lake] reclaiming uncommitted OCC leftover $n")
               fs.delete(f.getPath, false)
             }
@@ -1840,14 +1863,19 @@ object LakeSink {
     * marker so the schema is visible the instant the data is committed
     * (a crash in between replays both idempotently).
     */
+  /** Returns true iff a `_schema.<b>` registration file was written (first
+    * registration or a widening) — callers whose commit id can still move
+    * (OCC forward-rename) use this to carry the association with them.
+    */
   private def registerSchemaIfWidened(
       fs: org.apache.hadoop.fs.FileSystem, root: Path, b: Long,
-      dataSchema: org.apache.spark.sql.types.StructType): Unit = {
+      dataSchema: org.apache.spark.sql.types.StructType): Boolean = {
     registeredSchema(fs, root) match {
       case None =>
         writeSmallFile(fs,
           new Path(new Path(root, "_graft_commits"), s"_schema.$b"),
           dataSchema.json)
+        true
       case Some(cur) =>
         val byName = dataSchema.fields.map(f => f.name -> f.dataType).toMap
         cur.fields.foreach { f =>
@@ -1864,7 +1892,8 @@ object LakeSink {
             new Path(new Path(root, "_graft_commits"), s"_schema.$b"), union.json)
           System.err.println(s"[lake] commit $b widened the schema: +" +
             newFields.map(_.name).mkString(", "))
-        }
+          true
+        } else false
     }
   }
 
@@ -2102,13 +2131,30 @@ object LakeSink {
             fs.delete(f.getPath, false)
           }
       }
-    registerSchemaIfWidened(fs, root, maxCommittedId(fs, root) + 1, rows.schema)
+    // schema registration is keyed to the TENTATIVE id; if this writer
+    // loses the exchange and forward-renames, the registration file moves
+    // with it (carrySchemaForward below) so schema-as-of reads associate
+    // the widening with the commit that actually carries the columns
+    var schemaRegisteredAt: Option[Long] = {
+      val tentative = maxCommittedId(fs, root) + 1
+      if (registerSchemaIfWidened(fs, root, tentative, rows.schema)) Some(tentative)
+      else None
+    }
+    def carrySchemaForward(to: Long): Unit = schemaRegisteredAt.foreach { at =>
+      if (at != to) {
+        val src = new Path(ledger, s"_schema.$at")
+        val dst = new Path(ledger, s"_schema.$to")
+        if (fs.exists(src) && !fs.exists(dst) && fs.rename(src, dst))
+          schemaRegisteredAt = Some(to)
+      }
+    }
     val staging = new Path(new Path(root, StagingRoot), s"occ-$writerId")
     rows.withColumn("event_date", to_date(col(tsCol)))
       .write.partitionBy("event_date").mode("overwrite")
       .parquet(staging.toString)
     checkShared()
     var cur = maxCommittedId(fs, root) + 1
+    carrySchemaForward(cur)
     // place staged parts into live leaves under my lineage names
     val placedLeaves: Seq[String] = {
       val leaves =
@@ -2151,7 +2197,23 @@ object LakeSink {
           s"(${placedLeaves.size} leaves, attempt $attempt)")
         return cur
       } catch {
-        case _: IllegalStateException =>
+        case e: IllegalStateException =>
+          // writeCommitMarker wraps ANY create-side IOException into
+          // IllegalStateException — 'marker already exists' (lost the
+          // exchange) and a transient IO failure where NO marker landed
+          // both arrive here. Distinguish them before consulting the
+          // winner: on a genuine IO failure there is no winner to read
+          // (readMarkerLeaves would throw FileNotFoundException straight
+          // past the rollback), and the writer must clean up like the
+          // fence path — otherwise its placed-but-uncommitted files stay
+          // visible in live leaves as dirty reads and the staging leaks.
+          if (!fs.exists(new Path(ledger, cur.toString))) {
+            rollback(); fs.delete(staging, true)
+            throw new IllegalStateException(
+              s"OCC marker write failed for $writerId at $cur with no marker " +
+                s"present — IO failure, not a lost exchange; rolled back, " +
+                "no committed rows lost", e)
+          }
           // lost the exchange: someone committed `cur` first. Logical
           // conflict detection, Delta-style: the winner's leaf list must
           // be readable and disjoint from mine.
@@ -2178,6 +2240,7 @@ object LakeSink {
           }
           // disjoint: carry my files forward to the next id and retry
           val next = cur + 1
+          carrySchemaForward(next)
           placedLeaves.foreach { l =>
             fs.listStatus(new Path(root, l))
               .filter(f => f.isFile &&
@@ -2273,6 +2336,15 @@ object LakeSink {
     * append at that id must not surface rejects of a batch that never
     * went through the gate). Retention is the caller's policy (the dirs
     * are outside data discovery; vacuum does not touch them).
+    */
+  /** ON-DISK FORMAT NOTE (r16 marker-tag gating): this read serves only
+    * `#expect`-tagged commits, and [[shadowedLeaves]] requires `#cow` —
+    * lakes written by a pre-tagging build (whose markers are untagged)
+    * are NOT grandfathered: their quarantine rejects and CoW shadows go
+    * inert on upgrade. Every lake in this repo is built fresh per run
+    * from the parquet fixtures, so no persisted lake crosses the format
+    * break; a deployment that persists lakes across upgrades would need
+    * a one-shot marker-tag migration first.
     */
   def readQuarantine(
       spark: org.apache.spark.sql.SparkSession, lakeDir: String): DataFrame = {

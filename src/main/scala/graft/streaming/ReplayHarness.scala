@@ -135,23 +135,43 @@ object ReplayHarness {
     }
 
     val now = System.currentTimeMillis()
-    (0 until chunks).foreach { i =>
-      val stage = base.resolve(s"stage_$i")
-      withChunk.filter(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.parquet(stage.toString)
-      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 2 - i) * 60000L)
-    }
-
     // sentinel rows: one per requested type, 2 days past the real max ts —
     // far beyond any 6 h window + 30 min gap + 10 min watermark delay
     val sentinelTs = new java.sql.Timestamp(maxTs + 2L * 24 * 3600 * 1000)
     import spark.implicits._
     val sentinelStage = base.resolve("stage_sentinel")
-    sentinelTypes.zipWithIndex.map { case (t, i) =>
-      (-(i + 1).toLong, sentinelTs, -1L, t, 0.0, "{}")
-    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .select(events.columns.map(col).toSeq: _*)
-      .coalesce(1).write.parquet(sentinelStage.toString)
+    // The chunk + sentinel staging writes are independent tiny jobs whose
+    // wall is per-job fixed cost, not data — run them CONCURRENTLY from a
+    // driver pool (guide §2.6: actions are only sequential because the
+    // driver calls them sequentially) and publish afterwards. Each file's
+    // CONTENT is byte-identical to the sequential version (same filter,
+    // same coalesce(1) plan per chunk), and arrival order is fixed by the
+    // explicit mtimes publish() stamps, so replay semantics are unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(chunks + 1)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val staged = (0 until chunks).map { i =>
+        scala.concurrent.Future {
+          val stage = base.resolve(s"stage_$i")
+          withChunk.filter(col("__chunk") === i).drop("__chunk")
+            .coalesce(1).write.parquet(stage.toString)
+        }
+      } :+ scala.concurrent.Future {
+        sentinelTypes.zipWithIndex.map { case (t, i) =>
+          (-(i + 1).toLong, sentinelTs, -1L, t, 0.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .select(events.columns.map(col).toSeq: _*)
+          .coalesce(1).write.parquet(sentinelStage.toString)
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(staged),
+        scala.concurrent.duration.Duration(10, "min"))
+    } finally pool.shutdown()
+    (0 until chunks).foreach { i =>
+      publish(base.resolve(s"stage_$i"), streamDir, f"batch_$i%03d",
+        now - (chunks + 2 - i) * 60000L)
+    }
     publish(sentinelStage, streamDir, "batch_zzz_sentinel", now - 60000L)
 
     val in = spark.readStream.schema(events.schema)
@@ -331,12 +351,9 @@ object ReplayHarness {
       least(lit(chunks - 1),
         floor(((unix_millis(col("ts")) - minTs) * chunks).cast("double") / span)).cast("int"))
     val now = System.currentTimeMillis()
-    def publishChunk(i: Int): Unit = {
-      val stage = base.resolve(s"stage_$i")
-      withChunk.filter(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.parquet(stage.toString)
-      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 2 - i) * 60000L)
-    }
+    val publishChunk: Int => Unit =
+      stagedChunkPublisher(withChunk, base, streamDir, chunks,
+        i => now - (chunks + 2 - i) * 60000L)
 
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val prevEncoding = spark.conf.getOption("spark.sql.streaming.stateStore.encodingFormat")
@@ -435,12 +452,10 @@ object ReplayHarness {
           .partitionBy(fp).orderBy(col("doc_id"))) - 1).cast("int"))
 
     val now = System.currentTimeMillis()
-    (0 until chunks).foreach { i =>
-      val stage = base.resolve(s"stage_$i")
-      withChunk.filter(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.parquet(stage.toString)
-      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 1 - i) * 60000L)
-    }
+    val publishChunk: Int => Unit =
+      stagedChunkPublisher(withChunk, base, streamDir, chunks,
+        i => now - (chunks + 1 - i) * 60000L)
+    (0 until chunks).foreach(publishChunk)
 
     val in = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
@@ -537,12 +552,9 @@ object ReplayHarness {
     val withChunk = events.withColumn("__chunk",
       pmod(col("event_id"), lit(chunks)).cast("int"))
     val now = System.currentTimeMillis()
-    def publishChunk(i: Int): Unit = {
-      val stage = base.resolve(s"stage_$i")
-      withChunk.filter(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.parquet(stage.toString)
-      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 2 - i) * 60000L)
-    }
+    val publishChunk: Int => Unit =
+      stagedChunkPublisher(withChunk, base, streamDir, chunks,
+        i => now - (chunks + 2 - i) * 60000L)
 
     // small target size so the mid-stream sweeps really rewrite leaves at
     // fixture scale; production would keep the 128 MiB default
@@ -655,12 +667,9 @@ object ReplayHarness {
     val withChunk = events.withColumn("__chunk",
       pmod(col("event_id"), lit(chunks)).cast("int"))
     val now = System.currentTimeMillis()
-    def publishChunk(i: Int): Unit = {
-      val stage = base.resolve(s"stage_$i")
-      withChunk.filter(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.parquet(stage.toString)
-      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 2 - i) * 60000L)
-    }
+    val publishChunk: Int => Unit =
+      stagedChunkPublisher(withChunk, base, streamDir, chunks,
+        i => now - (chunks + 2 - i) * 60000L)
 
     val sinkA = LakeSink.datePartitioned(lakeA, tsCol = "ts",
       compactEvery = 3L, targetFileBytes = 512L << 10, minFilesToCompact = 2)
@@ -1252,18 +1261,33 @@ object ReplayHarness {
       .collect()(0).toSeq.map(v => v.asInstanceOf[Long]).toArray
     val midMs = (minMs + maxMs) / 2
     val now = System.currentTimeMillis()
-    var published = 0
+    // stage BOTH segments' chunk files concurrently up front (guide §2.6 —
+    // segment 2's staging overlaps segment 1's bronze drain); publication
+    // order, names and mtimes are exactly the sequential version's:
+    // publish index = seg * segmentChunks + i in call order
+    val stagePool = java.util.concurrent.Executors.newFixedThreadPool(2 * segmentChunks)
+    val stagedSegChunks = {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(stagePool)
+      (for (seg <- 0 until 2; i <- 0 until segmentChunks) yield (seg, i) -> {
+        val segFilter =
+          if (seg == 0) unix_millis(col("ts")) < midMs
+          else unix_millis(col("ts")) >= midMs
+        scala.concurrent.Future {
+          events.filter(segFilter)
+            .filter(pmod(col("event_id"), lit(segmentChunks)) === i)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .coalesce(1).write.parquet(base.resolve(s"stage_${seg}_$i").toString)
+        }
+      }).toMap
+    }
+    stagePool.shutdown()
     def publishChunk(seg: Int, i: Int): Unit = {
-      val segFilter =
-        if (seg == 0) unix_millis(col("ts")) < midMs
-        else unix_millis(col("ts")) >= midMs
-      val stage = base.resolve(s"stage_${seg}_$i")
-      events.filter(segFilter)
-        .filter(pmod(col("event_id"), lit(segmentChunks)) === i)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .coalesce(1).write.parquet(stage.toString)
-      publish(stage, streamDir, f"batch_$published%03d", now + published * 1000L)
-      published += 1
+      scala.concurrent.Await.result(stagedSegChunks((seg, i)),
+        scala.concurrent.duration.Duration(10, "min"))
+      val published = seg * segmentChunks + i
+      publish(base.resolve(s"stage_${seg}_$i"), streamDir,
+        f"batch_$published%03d", now + published * 1000L)
     }
     val bronzeSchema = org.apache.spark.sql.types.StructType(
       events.select("event_id", "ts", "user_id", "event_type", "value")
@@ -1365,7 +1389,9 @@ object ReplayHarness {
         "-1L AS user_id", s"'$SentinelType' AS event_type", "0D AS value")
       val sentStage = base.resolve("stage_sentinel")
       sentinel.coalesce(1).write.parquet(sentStage.toString)
-      publish(sentStage, streamDir, f"batch_$published%03d", now + published * 1000L)
+      // the sentinel publishes after both segments: index 2 * segmentChunks
+      val sentIdx = 2 * segmentChunks
+      publish(sentStage, streamDir, f"batch_$sentIdx%03d", now + sentIdx * 1000L)
       runBronze(LakeSink.datePartitioned(bronzeDir, tsCol = "ts",
         compactEvery = 0L))
 
@@ -1464,16 +1490,28 @@ object ReplayHarness {
       .withColumn("channel", channelCol)
     val now = System.currentTimeMillis()
     var published = 0
-    def publishDf(df: DataFrame, name: String): Unit = {
-      val stage = base.resolve(s"stage_$name")
-      df.coalesce(1).write.parquet(stage.toString)
-      publish(stage, streamDir, f"batch_${published}%03d_$name", now + published * 1000L)
+    // staging (a private-dir write, invisible to the stream) is split from
+    // publication so phase-2 staging can overlap the phase-1 drain
+    // (guide §2.6); names/mtimes follow publication order exactly as the
+    // sequential version's did
+    val stagePool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val stageEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(stagePool)
+    def stageDf(df: DataFrame, name: String): scala.concurrent.Future[Unit] =
+      scala.concurrent.Future {
+        df.coalesce(1).write.parquet(base.resolve(s"stage_$name").toString)
+      }
+    def publishStaged(staged: scala.concurrent.Future[Unit], name: String): Unit = {
+      scala.concurrent.Await.result(staged,
+        scala.concurrent.duration.Duration(10, "min"))
+      publish(base.resolve(s"stage_$name"), streamDir,
+        f"batch_${published}%03d_$name", now + published * 1000L)
       published += 1
     }
     // phase 1: two time-range chunks of the original-schema half
     val q1 = (minMs + midMs) / 2
-    publishDf(half1.filter(unix_millis(col("ts")) < q1), "p1a")
-    publishDf(half1.filter(unix_millis(col("ts")) >= q1), "p1b")
+    publishStaged(stageDf(half1.filter(unix_millis(col("ts")) < q1), "p1a"), "p1a")
+    publishStaged(stageDf(half1.filter(unix_millis(col("ts")) >= q1), "p1b"), "p1b")
 
     val schema1 = half1.schema
     val schema2 = half2.schema // = schema1 + channel
@@ -1496,31 +1534,44 @@ object ReplayHarness {
           .start()
         q.awaitTermination()
       }
-      drain(schema1)
-      System.err.println("[evolve] phase 1 drained on the 5-column schema; " +
-        "bronze gains `channel`, consumer restarts with the union schema")
+      // pre-stage all of phase 2 so its jobs overlap the phase-1 drain:
+      // every staged frame is a pure function of the fixture, and nothing
+      // reaches streamDir until the post-drain publishStaged calls
       // phase 2, file 1: the re-delivery probe — phase-1 rows of the last
       // 20 h, now carrying the evolved column (a re-delivered row reads
       // back in the NEW schema). Restored dedup state must drop them all.
-      val maxP1 = half1.agg(unix_millis(max(col("ts")))).collect()(0).getLong(0)
-      val redeliver = half1
-        .filter(unix_millis(col("ts")) >= maxP1 - 20L * 3600 * 1000)
-        .withColumn("channel", channelCol)
-      // the probe must have teeth: these rows beat the late filter by
-      // construction (ts >= restored watermark + 5 h), so ONLY restored
-      // dedup state can shed them — but only if there are any
-      val nRedeliver = redeliver.count()
-      require(nRedeliver > 0,
-        "empty re-delivery window — the restart probe is vacuous on this fixture")
-      System.err.println(s"[evolve] re-delivering $nRedeliver phase-1 rows " +
-        "across the widened-schema restart; restored dedup state must shed them")
-      publishDf(redeliver, "redeliver")
+      val redeliverStaged: scala.concurrent.Future[Long] = scala.concurrent.Future {
+        val maxP1 = half1.agg(unix_millis(max(col("ts")))).collect()(0).getLong(0)
+        val redeliver = half1
+          .filter(unix_millis(col("ts")) >= maxP1 - 20L * 3600 * 1000)
+          .withColumn("channel", channelCol)
+        // the probe must have teeth: these rows beat the late filter by
+        // construction (ts >= restored watermark + 5 h), so ONLY restored
+        // dedup state can shed them — but only if there are any
+        val n = redeliver.count()
+        require(n > 0,
+          "empty re-delivery window — the restart probe is vacuous on this fixture")
+        redeliver.coalesce(1).write
+          .parquet(base.resolve("stage_redeliver").toString)
+        n
+      }
       // then the evolved half, two ascending time-range chunks
       val q3 = (midMs + maxMs) / 2
-      publishDf(half2.filter(unix_millis(col("ts")) < q3), "p2a")
-      publishDf(half2.filter(unix_millis(col("ts")) >= q3), "p2b")
+      val p2aStaged = stageDf(half2.filter(unix_millis(col("ts")) < q3), "p2a")
+      val p2bStaged = stageDf(half2.filter(unix_millis(col("ts")) >= q3), "p2b")
+      drain(schema1)
+      System.err.println("[evolve] phase 1 drained on the 5-column schema; " +
+        "bronze gains `channel`, consumer restarts with the union schema")
+      val nRedeliver = scala.concurrent.Await.result(redeliverStaged,
+        scala.concurrent.duration.Duration(10, "min"))
+      System.err.println(s"[evolve] re-delivering $nRedeliver phase-1 rows " +
+        "across the widened-schema restart; restored dedup state must shed them")
+      publishStaged(scala.concurrent.Future.successful(()), "redeliver")
+      publishStaged(p2aStaged, "p2a")
+      publishStaged(p2bStaged, "p2b")
       drain(schema2)
     } finally {
+      stagePool.shutdown()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       deleteRecursively(streamDir)
       deleteRecursively(base.resolve("ckpt"))
@@ -1880,12 +1931,9 @@ object ReplayHarness {
     val withChunk = events.withColumn("__chunk",
       pmod(col("event_id"), lit(chunks)).cast("int"))
     val now = System.currentTimeMillis()
-    def publishChunk(i: Int): Unit = {
-      val stage = base.resolve(s"stage_$i")
-      withChunk.filter(col("__chunk") === i).drop("__chunk")
-        .coalesce(1).write.parquet(stage.toString)
-      publish(stage, streamDir, f"batch_$i%03d", now - (chunks + 2 - i) * 60000L)
-    }
+    val publishChunk: Int => Unit =
+      stagedChunkPublisher(withChunk, base, streamDir, chunks,
+        i => now - (chunks + 2 - i) * 60000L)
     val crashFired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val committedIds =
       new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
@@ -1956,6 +2004,44 @@ object ReplayHarness {
     val schema = out.schema
     cleanupScratch(base)
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  /** Concurrent chunk staging for the multi-phase harnesses (guide §2.6):
+    * fire one tiny staging write per chunk on a driver pool IMMEDIATELY —
+    * each lands in a private `stage_<i>` dir, invisible to the stream
+    * until the returned publisher moves it into `streamDir` with its
+    * explicit mtime — so later phases' staging overlaps the earlier
+    * phases' micro-batches instead of serializing between query
+    * instances. Per-file CONTENT is identical to the sequential version
+    * (same per-chunk filter + coalesce(1) plan), and arrival order is
+    * fixed by the published mtimes, so replay semantics are unchanged.
+    *
+    * The returned function publishes chunk `i`, awaiting its staging
+    * write if still in flight.
+    */
+  private def stagedChunkPublisher(
+      withChunk: DataFrame,
+      base: Path,
+      streamDir: Path,
+      chunks: Int,
+      mtimeOf: Int => Long): Int => Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(chunks)
+    val staged = {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      (0 until chunks).map { i =>
+        scala.concurrent.Future {
+          withChunk.filter(col("__chunk") === i).drop("__chunk")
+            .coalesce(1).write.parquet(base.resolve(s"stage_$i").toString)
+        }
+      }
+    }
+    pool.shutdown() // queued staging tasks still run; threads die after
+    (i: Int) => {
+      scala.concurrent.Await.result(staged(i),
+        scala.concurrent.duration.Duration(10, "min"))
+      publish(base.resolve(s"stage_$i"), streamDir, f"batch_$i%03d", mtimeOf(i))
+    }
   }
 
   private def publish(stage: Path, streamDir: Path, name: String, modTime: Long): Unit = {

@@ -160,8 +160,12 @@ class LakeOccSpec extends AnyFunSuite {
     }
     assert(leafFiles(lake, "event_date=2024-03-08").exists(_.contains("-wghost-")))
     val ep = LakeSink.claimWriterEpoch(spark, lake)
+    // grace 0: this test models a writer abandoned LONG ago (its files'
+    // age is simulated, not waited out) — the in-flight protection the
+    // default grace provides is pinned by the test below
     LakeSink.vacuum(spark, lake,
-      before = java.time.LocalDate.of(2024, 1, 1), fenceEpoch = Some(ep))
+      before = java.time.LocalDate.of(2024, 1, 1), fenceEpoch = Some(ep),
+      occReapGraceMs = 0L)
     // the orphans and the abandoned staging are gone; committed rows stand
     assert(!leafFiles(lake, "event_date=2024-03-08").exists(_.contains("-wghost-")),
       "vacuum left the abandoned writer's uncommitted files")
@@ -177,6 +181,38 @@ class LakeOccSpec extends AnyFunSuite {
       Seq(ev(70, 1, "later", 70.0)).toDF()) == 3L)
     assert(ids(LakeSink.readLake(spark, lake)) ==
       Set(1L, 2L, 3L, 5L, 6L, 7L, 50L, 70L))
+  }
+
+  test("vacuum's OCC reaps respect the grace window: fresh artifacts survive") {
+    import spark.implicits._
+    val lake = GraftTestSpark.tmpDir("lake_occ_grace") + "/t"
+    layDown(lake)
+    // a writer crashes right after placement: its files and staging tree
+    // are seconds old — indistinguishable (by the filesystem) from a LIVE
+    // writer that adopted the maintenance epoch and is between staging
+    // and marker commit. Default-grace vacuum must leave both alone.
+    intercept[RuntimeException] {
+      LakeSink.appendBatchOcc(spark, lake,
+        Seq(ev(60, 8, "ghost", 60.0)).toDF(), writerId = "ghost",
+        faultInjector = p => if (p == "placed") sys.error("crash@placed"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ep = LakeSink.claimWriterEpoch(spark, lake)
+    LakeSink.vacuum(spark, lake,
+      before = java.time.LocalDate.of(2024, 1, 1), fenceEpoch = Some(ep))
+    assert(leafFiles(lake, "event_date=2024-03-08").exists(_.contains("-wghost-")),
+      "default-grace vacuum reaped a fresh (possibly in-flight) OCC placement")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(lake, "_staging/occ-ghost")),
+      "default-grace vacuum reaped a fresh (possibly in-flight) OCC staging tree")
+    // aged out (grace 0 models mtime < horizon): the same artifacts reap
+    val ep2 = LakeSink.claimWriterEpoch(spark, lake)
+    LakeSink.vacuum(spark, lake,
+      before = java.time.LocalDate.of(2024, 1, 1), fenceEpoch = Some(ep2),
+      occReapGraceMs = 0L)
+    assert(!leafFiles(lake, "event_date=2024-03-08").exists(_.contains("-wghost-")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake, "_staging/occ-ghost")))
+    assert(ids(LakeSink.readLake(spark, lake)) == Set(1L, 2L, 3L, 5L, 6L, 7L))
   }
 
   test("an exclusive epoch claim fences OCC writers out, files rolled back") {
