@@ -354,6 +354,29 @@ object ReplayHarness {
     val publishChunk: Int => Unit =
       stagedChunkPublisher(withChunk, base, streamDir, chunks,
         i => now - (chunks + 2 - i) * 60000L)
+    // pre-stage the sentinel too (pure function of maxTs + the schema):
+    // its write overlaps the phase-1 drain instead of serializing between
+    // the two query instances; published after phase-2's chunks as before
+    val sentinelStaged: Option[scala.concurrent.Future[Unit]] =
+      if (sentinelTypes.isEmpty) None
+      else Some {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+        val f = {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          scala.concurrent.Future {
+            val sentinelTs = new java.sql.Timestamp(maxTs + 2L * 24 * 3600 * 1000)
+            import spark.implicits._
+            sentinelTypes.zipWithIndex.map { case (t, i) =>
+              (-(i + 1).toLong, sentinelTs, -1L, t, 0.0, "{}")
+            }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+              .select(events.columns.map(col).toSeq: _*)
+              .coalesce(1).write.parquet(base.resolve("stage_sentinel").toString)
+          }
+        }
+        pool.shutdown()
+        f
+      }
 
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val prevEncoding = spark.conf.getOption("spark.sql.streaming.stateStore.encodingFormat")
@@ -394,20 +417,16 @@ object ReplayHarness {
       System.err.println(s"[replay] phase 1 drained ($phase1Chunks chunks); " +
         "restarting from checkpoint")
       (phase1Chunks until chunks).foreach(publishChunk)
-      if (sentinelTypes.nonEmpty) {
-        // replayEvents' sentinel convention: one row per requested type,
-        // 2 days past the real max ts, published with the HIGHEST mod time
-        // so the restarted instance processes it last and the watermark
-        // flushes every state row before the query stops
-        val sentinelTs = new java.sql.Timestamp(maxTs + 2L * 24 * 3600 * 1000)
-        import spark.implicits._
-        val sentinelStage = base.resolve("stage_sentinel")
-        sentinelTypes.zipWithIndex.map { case (t, i) =>
-          (-(i + 1).toLong, sentinelTs, -1L, t, 0.0, "{}")
-        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .select(events.columns.map(col).toSeq: _*)
-          .coalesce(1).write.parquet(sentinelStage.toString)
-        publish(sentinelStage, streamDir, "batch_zzz_sentinel", now - 60000L)
+      // replayEvents' sentinel convention: one row per requested type,
+      // 2 days past the real max ts, published with the HIGHEST mod time
+      // so the restarted instance processes it last and the watermark
+      // flushes every state row before the query stops (pre-staged above,
+      // concurrent with phase 1)
+      sentinelStaged.foreach { staged =>
+        scala.concurrent.Await.result(staged,
+          scala.concurrent.duration.Duration(10, "min"))
+        publish(base.resolve("stage_sentinel"), streamDir,
+          "batch_zzz_sentinel", now - 60000L)
       }
       val schema2 = runPhase(transform2)
       if (Files.exists(outDir))
