@@ -1238,6 +1238,41 @@ object ScaleProbe {
       (k, Seq(("local", tLocal), ("parquet", tParquet)))
     }
 
+    // argmin-shape rung: r17 rewrote every internal nearest-centroid top-1
+    // pick from row_number window → min_by partial+final aggregate; at
+    // sf0.1 the e8–e16 consumers read flat-to-noisy (VERDICT r17 item 6),
+    // so the claim needs a larger rung. This times the two shapes of the
+    // SAME pq encode in isolation (N×8 sub-vector rows, each scored
+    // against 16 codebook entries = 128 scored rows/vector pre-argmin) on
+    // multiplied corpora, and REQUIRES bit-equal winners — the rewrite's
+    // correctness invariant, re-proved at every rung. Both arms share one
+    // pinned codebook and get an untimed warmup (e7mat's discipline).
+    val argminR = (if (phase == "all" || phase == "argmin") Seq(1, 4, 16)
+      else Seq.empty[Int]).map { k =>
+      val vecs = vecsTimes(spark, dir, k).cache()
+      vecs.count()
+      val sim = graft.operators.SimilarityOps
+      val cb = sim.pqCodebooks(vecs).localCheckpoint()
+      sim.pqEncode(vecs, cb).write.format("noop").mode("overwrite").save()
+      sim.pqEncodeWindowShape(vecs, cb).write.format("noop").mode("overwrite").save()
+      val tAgg = time {
+        sim.pqEncode(vecs, cb).write.format("noop").mode("overwrite").save()
+      }
+      val tWin = time {
+        sim.pqEncodeWindowShape(vecs, cb).write.format("noop").mode("overwrite").save()
+      }
+      val disagree = sim.pqEncode(vecs, cb).withColumnRenamed("cid", "c_agg")
+        .join(sim.pqEncodeWindowShape(vecs, cb).withColumnRenamed("cid", "c_win"),
+          Seq("vec_id", "s"))
+        .filter(col("c_agg") =!= col("c_win")).count()
+      require(disagree == 0,
+        s"argmin rung: min_by and window shapes disagree on $disagree codes")
+      vecs.unpersist()
+      System.gc()
+      System.err.println(f"[scale] argmin $k%2dx  min_by=$tAgg%6.2f s  window=$tWin%6.2f s")
+      (k, Seq(("minby", tAgg), ("window", tWin)))
+    }
+
     val json = (results.map { case (k, steps) =>
       steps.map { case (n, t) => s""""$n":$t""" }
         .mkString(s""""${k}x":{""", ",", "}")
@@ -1291,6 +1326,9 @@ object ScaleProbe {
     } ++ e7Mat.map { case (k, vals) =>
       vals.map { case (n, v) => s""""$n":$v""" }
         .mkString(s""""e7mat_${k}x":{""", ",", "}")
+    } ++ argminR.map { case (k, vals) =>
+      vals.map { case (n, v) => s""""$n":$v""" }
+        .mkString(s""""argmin_${k}x":{""", ",", "}")
     }).mkString("{\"metric\":\"scale_ladder\",", ",", "}")
     println(json)
     spark.stop()

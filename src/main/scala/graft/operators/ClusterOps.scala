@@ -415,14 +415,18 @@ object ClusterOps {
     val cents = finalCentroids(embs, k).localCheckpoint()
     val sups = cents.orderBy(col("cid")).limit(k1)
       .select(col("cid").as("sup"), col("cent").as("scent"), col("csq").as("ssq"))
-    // centroid -> super (k x k1 — tiny)
-    val wCid = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cid")).orderBy(col("d"), col("sup"))
+    // centroid -> super (k x k1 — tiny): argmin as a min_by aggregate
+    // ([[assignTo]]'s discipline — min over struct(d, sup) == the old
+    // window's orderBy(d, sup) rank 1; cent/csq are constant per cid so
+    // the winner struct carries them)
     val csup = cents.join(broadcast(sups))
       .selectExpr("cid", "cent", "csq", "sup",
         "csq + ssq - 2 * vec_dot(cent, scent) AS d")
-      .withColumn("rn", row_number().over(wCid)).filter(col("rn") === 1)
-      .select("sup", "cid", "cent", "csq")
+      .groupBy(col("cid"))
+      .agg(min_by(struct(col("sup"), col("cent"), col("csq")),
+        struct(col("d"), col("sup"))).as("w"))
+      .select(col("w.sup").as("sup"), col("cid"),
+        col("w.cent").as("cent"), col("w.csq").as("csq"))
     // vector -> super (N x k1)
     val wVec = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("d"), col("sup"))
@@ -436,10 +440,9 @@ object ClusterOps {
     // centroids; the join key is sup, so the probe side never fans out.
     vsup.join(broadcast(csup), Seq("sup"))
       .selectExpr("vec_id", "cid", "sq + csq - 2 * vec_dot(embedding, cent) AS dist2")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))))
-      .filter(col("rn") === 1).select("vec_id", "cid")
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cid"))
+      .select("vec_id", "cid")
   }
 
   /** DuckDB replay of [[kmeansAssignHier]] on top of [[duckKmeansCtes]]'

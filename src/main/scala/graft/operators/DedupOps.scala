@@ -938,17 +938,26 @@ object DedupOps {
     // re-scanned the eval split as a separate job. Metric semantics:
     //   clean_leaks — rows whose disposition is eval_clean but that the
     //     contamination set flagged; the scrub contract demands 0.
+    // The require fires IN-QUERY after the collect the row performs (the
+    // m6/f19 Observation discipline): a contamination leak aborts the
+    // evaluation loudly instead of flowing through — at zero extra jobs,
+    // since the collect is the same single pass the metric rides.
     // The split-straddle half of the certificate (no source on both sides
     // of the boundary) is structural — `split` is a pure function of
     // `source` — and is pinned by DedupCertificateSpec rather than
     // re-proved with an extra corpus scan per evaluation.
-    disp.observe("d14_certificate",
+    val leakObs = org.apache.spark.sql.Observation("d14_certificate")
+    val out = disp.observe(leakObs,
         sum(when(col("disposition") === "eval_clean" && col("hit").isNotNull,
           1L).otherwise(0L)).as("clean_leaks"))
       .groupBy(col("disposition"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         sum(col("doc_id")).as("id_checksum"))
+    val rows = out.collect().toIndexedSeq
+    require(leakObs.get.get("clean_leaks").contains(0L),
+      "decontamination leak: a flagged doc was dispositioned eval_clean")
+    s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
   }
 
   val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13,

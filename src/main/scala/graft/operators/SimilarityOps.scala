@@ -117,9 +117,21 @@ object SimilarityOps {
     def nearestCells(src: DataFrame, keep: Int): DataFrame = {
       val scored = src.join(broadcast(cents), col("vec_id") =!= lit(-1))
         .selectExpr("vec_id", "cid", s"${dotExpr("cemb", "embedding")} / (cnrm * nrm) AS ccos")
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
-        .select("vec_id", "cid")
+      if (keep == 1)
+        // top-1 as an argmax AGGREGATE (c3/pqAssign's min_by discipline,
+        // guide §2.3): max over struct(ccos, -cid) picks exactly the row
+        // the window's orderBy(ccos DESC, cid ASC) ranked first — max
+        // ccos, ties to the smallest cid — as a partial+final aggregate
+        // instead of an Exchange+Sort+WindowGroupLimit of the full
+        // N x cells scored fan-out.
+        scored.groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"))
+          .select("vec_id", "cid")
+      else {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
+          .select("vec_id", "cid")
+      }
     }
     val assign = nearestCells(e, 1)
     val probes = nearestCells(e.filter(col("vec_id") < 5), 2)
@@ -858,6 +870,21 @@ object SimilarityOps {
   def pqEncode(embs: DataFrame, cb: DataFrame): DataFrame =
     pqAssign(pqSub(embs), cb)
 
+  /** The r16 top-1 WINDOW shape of [[pqEncode]] — kept ONLY as the
+    * ScaleProbe `argmin` rung's contrast arm, so the min_by-vs-window
+    * claim is measured old-vs-new at multiplied N instead of asserted.
+    * No query path uses it.
+    */
+  private[graft] def pqEncodeWindowShape(embs: DataFrame, cb: DataFrame): DataFrame = {
+    val sub = pqSub(embs)
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist2"), col("cid"))
+    sub.join(broadcast(cb), Seq("s"))
+      .selectExpr("vec_id", "s", "cid", "sq + csq - 2 * vec_dot(sub, cent) AS dist2")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "s", "cid")
+  }
+
   /** Per-subspace PQ codebooks `(s, cid, cent, csq)`: deterministic seeds
     * (the 16 lowest vec_ids' sub-vectors) + ONE unrolled Lloyd round with
     * float-cast means — exactly c3's k-means discipline applied
@@ -1174,12 +1201,22 @@ object SimilarityOps {
     val sups = e.filter(col("vec_id") % supStride === 0)
       .selectExpr("vec_id AS sup", "embedding AS semb", "nrm AS snrm")
     def topSups(src: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("sup"))
-      src.join(broadcast(sups))
+      val scored = src.join(broadcast(sups))
         .selectExpr("vec_id", "nrm", "sup",
           s"${dotExpr("semb", "embedding")} / (snrm * nrm) AS scos")
-        .withColumn("srn", row_number().over(w)).filter(col("srn") <= keep)
-        .select("vec_id", "nrm", "sup")
+      if (keep == 1)
+        // top-1 as an argmax aggregate (s2's discipline): max over
+        // struct(scos, -sup) == the window's orderBy(scos DESC, sup ASC)
+        // rank 1; nrm is constant per vec_id so the winner carries it.
+        scored.groupBy(col("vec_id"))
+          .agg(max_by(struct(col("nrm"), col("sup")),
+            struct(col("scos"), -col("sup"))).as("w"))
+          .select(col("vec_id"), col("w.nrm").as("nrm"), col("w.sup").as("sup"))
+      else {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("sup"))
+        scored.withColumn("srn", row_number().over(w)).filter(col("srn") <= keep)
+          .select("vec_id", "nrm", "sup")
+      }
     }
     val vsup = topSups(e, KnnJoinSupProbes)
     val csup = topSups(e.filter(col("vec_id") % stride === 0), 1)
@@ -1631,12 +1668,19 @@ object SimilarityOps {
   def ivfpqIngest(arriving: DataFrame, idx: IvfPqIndex): DataFrame = {
     val e = arriving.selectExpr("vec_id", "embedding",
       "vec_dot(embedding, embedding) AS sq")
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
+    // nearest EXISTING cell as an argmin AGGREGATE (pqAssign's min_by
+    // discipline, guide §2.3): min over struct(dist2, cell) == the old
+    // window's orderBy(dist2, cell) rank 1; embedding is constant per
+    // vec_id so the winner struct carries it along with its cell's cent.
     val assigned = e
       .join(broadcast(idx.cents.selectExpr("cid AS cell", "cent AS ccent", "csq AS ccsq")))
       .selectExpr("vec_id", "embedding", "cell", "ccent",
         "sq + ccsq - 2 * vec_dot(embedding, ccent) AS dist2")
-      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("ccent"), col("embedding")),
+        struct(col("dist2"), col("cell"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"),
+        col("w.ccent").as("ccent"), col("w.embedding").as("embedding"))
     val res = assigned.selectExpr("vec_id", "cell",
       "zip_with(embedding, ccent, (a, b) -> CAST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS FLOAT)) AS remb")
     pqAssign(pqSub(res.selectExpr("vec_id", "remb AS embedding")), idx.cb)

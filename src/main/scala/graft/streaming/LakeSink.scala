@@ -166,7 +166,7 @@ object LakeSink {
         // in its Hive leaf shape. mode=overwrite makes a replay of a
         // half-staged crash self-healing.
         val dated = batch.withColumn("event_date", to_date(col(tsCol)))
-        dated.write.partitionBy("event_date").mode("overwrite")
+        stagedLeafShape(dated).write.partitionBy("event_date").mode("overwrite")
           .parquet(staging.toString)
         faultInjector(batchId, "staged")
         // COMMIT: roll back any crashed attempt's files, rename staged
@@ -226,6 +226,25 @@ object LakeSink {
     * batch whose leaves are not RDD handoffs was built by a direct batch
     * caller (backfill) — no streaming state by construction.
     */
+  /** Staged-write layout: hash-distribute the batch by its partition key
+    * before the partitioned write (guide §6 — the Iceberg
+    * `write.distribution-mode=hash` / REBALANCE-before-write shape).
+    * Without it every upstream task writes its own file into every date
+    * leaf it touches — (tasks × dates) small files per batch, each one a
+    * placement rename at commit, a footer read when stats are recorded,
+    * and a per-file open for every later scan, compaction, merge and
+    * purge. With it a batch lays down O(dates) right-sized files. AQE
+    * (on in [[graft.core.GraftSession]]) both coalesces the small
+    * per-date partitions at replay scale and SPLITS a skewed hot date at
+    * production scale, so the shape is scale-adaptive rather than tuned
+    * to either the local core count or one date distribution.
+    */
+  private def stagedLeafShape(dated: DataFrame): DataFrame =
+    // SPARK_GRAFT_LAKE_WRITE_SHAPE=legacy restores the un-distributed write
+    // (the measurement control arm; production default is the hash shape)
+    if (sys.env.get("SPARK_GRAFT_LAKE_WRITE_SHAPE").contains("legacy")) dated
+    else dated.hint("rebalance", col("event_date"))
+
   private[graft] def hasStatefulOperator(batch: DataFrame): Boolean = {
     val roots = batch.queryExecution.executedPlan.collectLeaves().collect {
       case r: org.apache.spark.sql.execution.RDDScanExec => r.rdd
@@ -2017,7 +2036,7 @@ object LakeSink {
     // idempotently)
     registerSchemaIfWidened(fs, root, b, rows.schema)
     val staging = new Path(new Path(root, StagingRoot), s"b$b")
-    rows.withColumn("event_date", to_date(col(tsCol)))
+    stagedLeafShape(rows.withColumn("event_date", to_date(col(tsCol))))
       .write.partitionBy("event_date").mode("overwrite")
       .parquet(staging.toString)
     checkWriterFence(fs, root, epoch)
@@ -2149,7 +2168,7 @@ object LakeSink {
       }
     }
     val staging = new Path(new Path(root, StagingRoot), s"occ-$writerId")
-    rows.withColumn("event_date", to_date(col(tsCol)))
+    stagedLeafShape(rows.withColumn("event_date", to_date(col(tsCol))))
       .write.partitionBy("event_date").mode("overwrite")
       .parquet(staging.toString)
     checkShared()
@@ -2978,7 +2997,7 @@ object LakeSink {
           if (ins.isEmpty) Seq.empty
           else {
             val staging = new Path(new Path(root, StagingRoot), s"b$b")
-            ins.withColumn("event_date", to_date(col(tsCol)))
+            stagedLeafShape(ins.withColumn("event_date", to_date(col(tsCol))))
               .write.partitionBy("event_date").mode("overwrite")
               .parquet(staging.toString)
             faultInjector("staged-inserts")

@@ -213,8 +213,14 @@ object ReplayHarness {
           // re-execution — a micro-batch replayed after a task retry or a
           // restart-from-checkpoint lands on the same path instead of
           // appending duplicates (blind append would turn any replay into a
-          // false 'streaming machinery broke' hash mismatch). One file per
-          // batch: replay batches are small (≤ fixture size).
+          // false 'streaming machinery broke' hash mismatch). The write
+          // keeps the batch's OWN partitioning (one small file per state
+          // partition): the r17 coalesce(1) made the single write task
+          // compute all of the stateful operator's partitions — and commit
+          // their state stores — SERIALLY (guide §1.2: the sink job was
+          // measured at 80-95% of addBatch; see OPTIMIZATION_r18.md).
+          // Batch output is a row SET (the driver sorts before hashing),
+          // so per-batch file count is not observable in any result.
           val enriched = sinkEnrich.map(f => f(batch, batchId)).getOrElse(batch)
           // the read-back path trusts the empty-batch schema probe above;
           // enforce the documented schema-stability convention at runtime so
@@ -231,8 +237,14 @@ object ReplayHarness {
           if (got != want) throw new IllegalStateException(
             s"sinkEnrich output schema for batch $batchId diverged from the " +
               s"empty-batch probe: got ${got.mkString(",")} want ${want.mkString(",")}")
-          enriched.coalesce(1).write.mode("overwrite")
+          val t0 = System.nanoTime()
+          enriched.write.mode("overwrite")
             .parquet(outDir.resolve(s"b$batchId").toString)
+          // addBatch = state commits + this sink job; print the sink half so
+          // the floor can be attributed (guide §1 — measure before touching)
+          if (sys.env.contains("GRAFT_REPLAY_DEBUG"))
+            System.err.println(f"[replay] sinkWrite batch=$batchId " +
+              f"ms=${(System.nanoTime() - t0) / 1e6}%.0f")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -404,7 +416,8 @@ object ReplayHarness {
           .outputMode(outputMode)
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.coalesce(1).write.mode("overwrite")
+            // batch's own partitioning — no coalesce(1): see replayEvents
+            batch.write.mode("overwrite")
               .parquet(outDir.resolve(s"b$batchId").toString)
           }
           .trigger(Trigger.AvailableNow())
@@ -488,7 +501,8 @@ object ReplayHarness {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.coalesce(1).write.mode("overwrite")
+          // batch's own partitioning — no coalesce(1): see replayEvents
+          batch.write.mode("overwrite")
             .parquet(outDir.resolve(s"b$batchId").toString)
         }
         .trigger(Trigger.AvailableNow())
@@ -1546,7 +1560,8 @@ object ReplayHarness {
           .writeStream.outputMode("append")
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.coalesce(1).write.mode("overwrite")
+            // batch's own partitioning — no coalesce(1): see replayEvents
+            batch.write.mode("overwrite")
               .parquet(outDir.resolve(s"b$batchId").toString)
           }
           .trigger(Trigger.AvailableNow())
@@ -1676,7 +1691,8 @@ object ReplayHarness {
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.coalesce(1).write.mode("overwrite")
+          // batch's own partitioning — no coalesce(1): see replayEvents
+          batch.write.mode("overwrite")
             .parquet(tailOut.resolve(s"b$batchId").toString)
         }
         .trigger(Trigger.AvailableNow())
@@ -1822,19 +1838,47 @@ object ReplayHarness {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), outSchema)
   }
 
+  /** Scratch trees not yet reclaimed by [[cleanupScratch]] — reaped at JVM
+    * exit. Several harnesses return a DataFrame that lazily reads its
+    * `out/` tree, so they cannot delete eagerly; before this hook each such
+    * evaluation leaked its base dir onto /dev/shm FOREVER (measured: ~900
+    * `graft_replay_*` + ~200 `graft_evolve_*` dirs on the box after half a
+    * bench run), and a day of full bench runs accumulates GBs of stale
+    * tmpfs — RAM — that outlives every JVM that wrote it.
+    */
+  private val liveScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  private lazy val scratchReaperInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      liveScratch.forEach { p =>
+        try deleteRecursively(p)
+        catch { case _: Throwable => () } // exit-time best effort
+      }, "graft-scratch-reaper"))
+    true
+  }
+
   /** RAM-backed scratch when /dev/shm is writable (replay cost is
     * fsync-dominated; a verification harness needs no durability) — the
-    * one place the shm-or-tmp choice lives.
+    * one place the shm-or-tmp choice lives. Every dir is registered for
+    * exit-time reaping; callers that can reclaim earlier (nothing lazy
+    * still reads the tree) use [[cleanupScratch]].
     */
   private[graft] def scratchDir(prefix: String): Path = {
+    require(scratchReaperInstalled)
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, prefix)
-    else Files.createTempDirectory(prefix)
+    val dir =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, prefix)
+      else Files.createTempDirectory(prefix)
+    liveScratch.add(dir)
+    dir
   }
 
   /** Reclaim a scratch tree once nothing lazy still reads from it. */
-  private[graft] def cleanupScratch(p: Path): Unit = deleteRecursively(p)
+  private[graft] def cleanupScratch(p: Path): Unit = {
+    liveScratch.remove(p)
+    deleteRecursively(p)
+  }
 
   /** st42: the checkpoint's STATE STORE read back as a DataFrame — Spark
     * 4's state data source (`spark.read.format("statestore")`), the ops

@@ -1418,7 +1418,8 @@ object StreamingQueries {
       .writeStream.outputMode("append")
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        batch.coalesce(1).write.mode("overwrite")
+        // batch's own partitioning — no coalesce(1): see replayEvents' sink
+        batch.write.mode("overwrite")
           .parquet(outDir.resolve(s"b$batchId").toString)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
